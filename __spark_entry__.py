@@ -1,38 +1,532 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship planner-driven text pipeline at
+sf0.001. ``queries()`` exposes one callable per implemented operator
+from SURVEY.md §2 (plus the LLM-data-pipeline extensions);
+``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL for each.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark code and the oracle SQL (the driver's compare sorts columns by
+name before hashing). Float aggregates are rounded on BOTH sides so
+IEEE summation-order differences between engines can't flip the hash.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which the
+    Spark parquet reader rejects; read nanos as long and rebuild a
+    microsecond timestamp (floor, matching DuckDB's ns->us handling)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship: planner-driven top-90%-of-mass token pipeline (SURVEY §2.11 + W2)
+# ---------------------------------------------------------------------------
+
+def _planner_top90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from task_on_dataframes_spark.basic_tasks import register_document_tasks
+    from task_on_dataframes_spark.plans.solve import Executor
+
+    registry = register_document_tasks(spark, sf_dir)
+    goal = "docs.text.clean_tokens.top90"
+    frames = Executor([], [[goal]], registry=registry)
+    for frame in reversed(frames):
+        if goal in frame.columns:
+            return frame.select(F.col("`" + goal + "`").alias("top90_token"))
+    raise RuntimeError("planner did not produce goal frame")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _planner_top90(spark, SF0001)
 
+
+# ---------------------------------------------------------------------------
+# §2.4/§2.5/§2.6 aggregations, windows, ordering
+# ---------------------------------------------------------------------------
+
+def _a1_value_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "l_returnflag")
+    )
+
+
+def _a2_scalar_sum(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.round(F.sum("l_quantity"), 4).alias("qty_sum"))
+
+
+def _w1_running_sum(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("l_returnflag")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return counts.withColumn("running_cnt", F.sum("cnt").over(w))
+
+
+def _w2_top90_tokens(spark, sf_dir):
+    from task_on_dataframes_spark.operators.text import (
+        clean_tokens,
+        tokenize,
+        top_mass_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokenize(docs, "text", "token", carry=["doc_id"])
+    clean = clean_tokens(toks, "token", "token", carry=["doc_id"])
+    top = top_mass_filter(clean, "token", 0.9)
+    return top.select(F.col("token").alias("top90_token"))
+
+
+def _o2_pagination(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+def _o3_topk_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l_suppkey"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+def _p1_projection_reindex(spark, sf_dir):
+    from task_on_dataframes_spark.runtime import reindex_frame
+    import warnings
+
+    li = _t(spark, sf_dir, "lineitem")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = reindex_frame(li, ["l_orderkey", "l_quantity", "ghost_col"])
+    return out.withColumn("ghost_col", F.col("ghost_col").cast("string"))
+
+
+def _p3_filter_startswith(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").startswith("small")).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+def _p5_null_safe_flag_filter(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    flags = (
+        orders.filter(F.col("o_orderpriority").startswith("1"))
+        .select(F.col("o_orderpriority").alias("p"))
+        .distinct()
+        .withColumn("istop", F.lit(True))
+    )
+    joined = orders.join(
+        F.broadcast(flags), orders.o_orderpriority == flags.p, "left"
+    )
+    return (
+        joined.filter(F.coalesce(F.col("istop"), F.lit(False)))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+def _p6_distinct_subset(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_returnflag").distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+def _j3_left_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(cust.select("c_custkey", "c_name", "c_mktsegment")),
+        orders.o_custkey == cust.c_custkey,
+        "left",
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+def _j4_semi_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def _j5_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped pipelines (multi-operator coverage)
+# ---------------------------------------------------------------------------
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q3_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def _q5_region_volume(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions; explode-with-carry (J2/F1)
+# ---------------------------------------------------------------------------
+
+def _f1_explode_carry(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    )
+
+
+def _f_string_funcs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.col("lang")).alias("lang_up"),
+        F.length(F.col("text")).alias("text_len"),
+        F.substring(F.col("source"), 1, 3).alias("src3"),
+        F.concat(F.col("lang"), F.lit("-"), F.col("source")).alias("tag"),
+        F.regexp_replace(F.col("text"), r"\d", "").alias("no_digits"),
+    )
+
+
+def _f_json_extract(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: batch time-window aggregation (§2.9 ⊕)
+# ---------------------------------------------------------------------------
+
+def _ev_hourly_agg(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def _ev_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization: a new session starts after a
+    >30min silence per user. Pure window functions — no UDF."""
+    ev = _events(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    with_flag = ev.withColumn("new_sess", new_sess)
+    sess_id = F.sum("new_sess").over(
+        w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_sess = with_flag.withColumn("session_seq", sess_id)
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "planner_top90_tokens": _planner_top90,
+        "a1_value_counts": _a1_value_counts,
+        "a2_scalar_sum": _a2_scalar_sum,
+        "w1_running_sum": _w1_running_sum,
+        "w2_top90_tokens": _w2_top90_tokens,
+        "o2_pagination": _o2_pagination,
+        "o3_topk_counts": _o3_topk_counts,
+        "p1_projection_reindex": _p1_projection_reindex,
+        "p3_filter_startswith": _p3_filter_startswith,
+        "p5_null_safe_flag_filter": _p5_null_safe_flag_filter,
+        "p6_distinct_subset": _p6_distinct_subset,
+        "j3_left_join": _j3_left_join,
+        "j4_semi_join": _j4_semi_join,
+        "j5_anti_join": _j5_anti_join,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_region_volume": _q5_region_volume,
+        "f1_explode_carry": _f1_explode_carry,
+        "f_string_funcs": _f_string_funcs,
+        "f_json_extract": _f_json_extract,
+        "ev_hourly_agg": _ev_hourly_agg,
+        "ev_sessionize": _ev_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKEN_CTE = """
+WITH toks AS (
+    SELECT regexp_replace(t.tok, '^\\W+|\\W+$', '') AS tok
+    FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+    ) t
+), clean AS (
+    SELECT tok FROM toks WHERE length(tok) >= 2
+), counts AS (
+    SELECT tok, count(*) AS cnt FROM clean GROUP BY tok
+), ranked AS (
+    SELECT tok, cnt,
+           sum(cnt) OVER (ORDER BY cnt DESC, tok ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(cnt) OVER () AS total
+    FROM counts
+), top AS (
+    SELECT tok FROM ranked WHERE cum < 0.9 * total
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    top90 = (
+        _TOKEN_CTE
+        + 'SELECT c.tok AS top90_token FROM clean c JOIN top ON c.tok = top.tok'
+    )
+    return {
+        "planner_top90_tokens": top90,
+        "w2_top90_tokens": top90,
+        "a1_value_counts": (
+            "SELECT l_returnflag, count(*) AS cnt FROM lineitem "
+            "GROUP BY l_returnflag ORDER BY cnt DESC, l_returnflag"
+        ),
+        "a2_scalar_sum": "SELECT round(sum(l_quantity), 4) AS qty_sum FROM lineitem",
+        "w1_running_sum": (
+            "WITH c AS (SELECT l_returnflag, count(*) AS cnt FROM lineitem "
+            "GROUP BY l_returnflag) "
+            "SELECT l_returnflag, cnt, sum(cnt) OVER (ORDER BY cnt DESC, "
+            "l_returnflag ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS running_cnt FROM c"
+        ),
+        "o2_pagination": (
+            "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey "
+            "LIMIT 50 OFFSET 100"
+        ),
+        "o3_topk_counts": (
+            "SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey "
+            "ORDER BY cnt DESC, l_suppkey ASC LIMIT 5"
+        ),
+        "p1_projection_reindex": (
+            "SELECT l_orderkey, l_quantity, CAST(NULL AS VARCHAR) AS ghost_col "
+            "FROM lineitem"
+        ),
+        "p3_filter_startswith": (
+            "SELECT p_partkey, p_name, p_brand FROM part "
+            "WHERE p_name LIKE 'small%'"
+        ),
+        "p5_null_safe_flag_filter": (
+            "SELECT o_orderkey, o_orderpriority FROM orders o LEFT JOIN "
+            "(SELECT DISTINCT o_orderpriority AS p, true AS istop FROM orders "
+            "WHERE o_orderpriority LIKE '1%') f ON o.o_orderpriority = f.p "
+            "WHERE coalesce(f.istop, false)"
+        ),
+        "p6_distinct_subset": (
+            "SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem"
+        ),
+        "j3_left_join": (
+            "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment FROM orders "
+            "LEFT JOIN customer ON o_custkey = c_custkey"
+        ),
+        "j4_semi_join": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "j5_anti_join": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+            "round(avg(l_quantity), 4) AS avg_qty, "
+            "round(avg(l_extendedprice), 4) AS avg_price, "
+            "round(avg(l_discount), 4) AS avg_disc, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "q3_shipping_priority": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-03-15' "
+            "AND l_shipdate > TIMESTAMP '1998-03-15' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "q5_region_volume": (
+            "SELECT n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"
+        ),
+        "f1_explode_carry": (
+            "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) "
+            "AS token FROM documents"
+        ),
+        "f_string_funcs": (
+            "SELECT doc_id, upper(lang) AS lang_up, length(text) AS text_len, "
+            "substring(source, 1, 3) AS src3, "
+            "concat(lang, '-', source) AS tag, "
+            "regexp_replace(text, '\\d', '', 'g') AS no_digits FROM documents"
+        ),
+        "f_json_extract": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+            "FROM events"
+        ),
+        "ev_hourly_agg": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
+            "round(sum(value), 4) AS sum_value FROM events "
+            "GROUP BY date_trunc('hour', ts), event_type"
+        ),
+        "ev_sessionize": (
+            "WITH g AS (SELECT user_id, event_id, value, ts, "
+            "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR epoch(ts) - lag(epoch(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+            "THEN 1 ELSE 0 END AS new_sess FROM events), "
+            "s AS (SELECT user_id, value, sum(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq "
+            "FROM g) "
+            "SELECT user_id, session_seq, count(*) AS n_events, "
+            "round(sum(value), 4) AS session_value FROM s "
+            "GROUP BY user_id, session_seq"
+        ),
+    }

@@ -1,0 +1,66 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+
+Each query executes fully via a noop-format write (no driver-side
+collect cost, no rows skipped), after a small session warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import __spark_entry__ as entrymod
+    from task_on_dataframes_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # warm up the JVM + parquet footer caches with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_volume",
+        "a1_value_counts",
+        "p6_distinct_subset",
+        "j3_left_join",
+        "w2_top90_tokens",
+        "ev_sessionize",
+        "ev_hourly_agg",
+    ]
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in headline:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Tests and the driver run on ``local[N]``, but every setting here is
+chosen to also hold on a multi-executor cluster: AQE re-plans at
+runtime (partition coalescing, skew-join splitting), broadcast joins
+keep dimension tables off the shuffle, and Arrow makes the
+Pandas-UDF escape hatch batch-columnar instead of per-row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "task_on_dataframes_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime partition coalescing + skew-join handling — the
+        # levers that keep plans healthy when data is 1000x bigger
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # dimension tables (region/nation/customer/supplier/part at any
+        # SF's dim scale) should broadcast, not shuffle
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Arrow batches for any pandas_udf / applyInPandas path
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.ui.retainedExecutions", "10")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
