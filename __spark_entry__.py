@@ -352,6 +352,119 @@ def _ev_sessionize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions: dedup / similarity / text analysis /
+# multimodal (north-star operators; SURVEY §7.2 step 5)
+# ---------------------------------------------------------------------------
+
+def _dedup_exact(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+def _dedup_minhash_lsh(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=16, bands=4, threshold=0.5, shingle_n=2
+    )
+
+
+def _dedup_ngram_jaccard(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=50
+    )
+
+
+def _dedup_simhash(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs, "doc_id", "text")
+    return simhash_pairs(fps, max_hamming=3)
+
+
+def _dedup_embedding_cosine(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.4)
+
+
+def _ann_cosine_topk(spark, sf_dir):
+    from task_on_dataframes_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries_df, k=10)
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    from task_on_dataframes_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(emb, queries_df, k=10, dims=64, planes=8)
+
+
+def _text_token_stats(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _text_quality(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _text_langid(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _text_fingerprint(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _mm_decode_meta(spark, sf_dir):
+    from task_on_dataframes_spark.operators.multimodal import (
+        decode_media_meta,
+        make_media_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media_meta(make_media_table(docs))
+
+
+def _mm_frame_sample(spark, sf_dir):
+    from task_on_dataframes_spark.operators.multimodal import (
+        decode_media_meta,
+        make_media_table,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(decode_media_meta(make_media_table(docs)))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -379,6 +492,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_json_extract": _f_json_extract,
         "ev_hourly_agg": _ev_hourly_agg,
         "ev_sessionize": _ev_sessionize,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "text_token_stats": _text_token_stats,
+        "text_quality": _text_quality,
+        "text_langid": _text_langid,
+        "text_fingerprint": _text_fingerprint,
+        "mm_decode_meta": _mm_decode_meta,
+        "mm_frame_sample": _mm_frame_sample,
     }
 
 
@@ -403,6 +529,113 @@ WITH toks AS (
     SELECT tok FROM ranked WHERE cum < 0.9 * total
 )
 """
+
+
+def _minhash_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    from task_on_dataframes_spark.operators.hashing import (
+        hash32_sql,
+        perm_hash_sql,
+    )
+
+    rows = num_perm // bands
+    sig_cols = ", ".join(
+        f"min({perm_hash_sql('h', i)}) AS mh{i}" for i in range(num_perm)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT did, {b} AS band, md5(concat_ws('_', {cols})) AS key FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (SELECT doc_id AS did, string_split_regex(lower(text), '\\s+') AS ts
+           FROM documents),
+g AS (SELECT DISTINCT did, ts[i.i] || ' ' || ts[i.i + 1] AS tok
+      FROM t, LATERAL unnest(generate_series(1, len(ts) - 1)) AS i(i)
+      WHERE len(ts) >= 2),
+h AS (SELECT did, tok, {hash32_sql('tok')} AS h FROM g),
+sig AS (SELECT did, {sig_cols} FROM h GROUP BY did),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT x.did AS a, y.did AS b
+         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+         WHERE x.did < y.did),
+sz AS (SELECT did, count(*) AS sz FROM g GROUP BY did),
+inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+          JOIN g ga ON ga.did = c.a
+          JOIN g gb ON gb.did = c.b AND gb.tok = ga.tok
+          GROUP BY c.a, c.b)
+SELECT i.a AS a, i.b AS b,
+       round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sz sa ON i.a = sa.did JOIN sz sb ON i.b = sb.did
+WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
+"""
+
+
+def _ngram_jaccard_oracle(n: int = 3, threshold: float = 0.5, max_df: int = 50) -> str:
+    gram_expr = " || ' ' || ".join(f"ts[i.i + {k}]" for k in range(n))
+    return f"""
+WITH t AS (SELECT doc_id AS did, string_split_regex(lower(text), '\\s+') AS ts
+           FROM documents),
+g AS (SELECT DISTINCT did, {gram_expr} AS tok
+      FROM t, LATERAL unnest(generate_series(1, len(ts) - {n - 1})) AS i(i)
+      WHERE len(ts) >= {n}),
+rare AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM g GROUP BY tok)
+         WHERE df <= {max_df}),
+fg AS (SELECT g.did, g.tok FROM g JOIN rare ON g.tok = rare.tok),
+cand AS (SELECT DISTINCT x.did AS a, y.did AS b
+         FROM fg x JOIN fg y ON x.tok = y.tok WHERE x.did < y.did),
+sz AS (SELECT did, count(*) AS sz FROM g GROUP BY did),
+inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+          JOIN g ga ON ga.did = c.a
+          JOIN g gb ON gb.did = c.b AND gb.tok = ga.tok
+          GROUP BY c.a, c.b)
+SELECT i.a AS a, i.b AS b,
+       round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sz sa ON i.a = sa.did JOIN sz sb ON i.b = sb.did
+WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
+"""
+
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    from task_on_dataframes_spark.operators.hashing import hash32_sql
+
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN w ELSE -w END) AS s{j}"
+        for j in range(bits)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+WITH tk AS (SELECT doc_id AS did,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents),
+tw AS (SELECT did, tok, count(*) AS w FROM tk WHERE length(tok) > 0
+       GROUP BY did, tok),
+th AS (SELECT did, w, {hash32_sql('tok')} AS h FROM tw),
+s AS (SELECT did, {bit_sums} FROM th GROUP BY did),
+fp AS (SELECT did, CAST({fp_expr} AS BIGINT) AS simhash FROM s),
+pairs AS (SELECT x.did AS a, y.did AS b,
+                 bit_count(xor(x.simhash, y.simhash)) AS hamming
+          FROM fp x JOIN fp y ON x.did < y.did)
+SELECT a, b, CAST(hamming AS INTEGER) AS hamming FROM pairs
+WHERE hamming <= {max_hamming}
+"""
+
+
+_COS = (
+    "round(list_dot_product(q.v, c.v) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 5)"
+)
+
+
+def _stop_arr(lang: str) -> str:
+    from task_on_dataframes_spark.operators.textstats import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -513,6 +746,95 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
             "round(sum(value), 4) AS sum_value FROM events "
             "GROUP BY date_trunc('hour', ts), event_type"
+        ),
+        "dedup_exact": (
+            "SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+            "AS text_digest, min(doc_id) AS rep_id, count(*) AS n_dups "
+            "FROM documents GROUP BY 1"
+        ),
+        "dedup_minhash_lsh": _minhash_oracle(16, 4, 0.5),
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle(3, 0.5, 50),
+        "dedup_simhash": _simhash_oracle(32, 3),
+        "dedup_embedding_cosine": (
+            "SELECT * FROM ("
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+            "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 5) AS cos "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            ") WHERE cos >= 0.4"
+        ),
+        "ann_cosine_topk": (
+            "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings WHERE vec_id < 10), "
+            f"s AS (SELECT q.query_id, c.vec_id, {_COS} AS cos "
+            "FROM c, q WHERE q.query_id != c.vec_id), "
+            "r AS (SELECT query_id, vec_id, cos, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s) "
+            "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
+            "FROM r WHERE rank <= 10"
+        ),
+        "text_token_stats": (
+            "SELECT doc_id, "
+            "len(string_split_regex(lower(text), '\\s+')) AS n_tokens, "
+            "len(list_distinct(string_split_regex(lower(text), '\\s+'))) "
+            "AS n_distinct_tokens, "
+            "length(text) AS n_chars, "
+            "round((length(text) - len(string_split_regex(lower(text), '\\s+')) + 1) "
+            "/ len(string_split_regex(lower(text), '\\s+')), 4) AS mean_token_len "
+            "FROM documents"
+        ),
+        "text_quality": (
+            "WITH b AS (SELECT doc_id, text, "
+            "string_split_regex(lower(text), '\\s+') AS ts FROM documents) "
+            "SELECT doc_id, len(ts) AS n_tokens, "
+            f"round(len(list_filter(ts, t -> list_contains({_stop_arr('en')}, t))) "
+            "/ len(ts), 6) AS stopword_ratio, "
+            "round(length(regexp_replace(text, '[\\w\\s]', '', 'g')) / length(text), 6) "
+            "AS punct_ratio, "
+            "round(least(len(ts) / 100.0, 1.0), 6) AS length_score FROM b"
+        ),
+        "text_langid": (
+            "WITH b AS (SELECT doc_id, "
+            "string_split_regex(lower(text), '\\s+') AS ts FROM documents), "
+            "s AS (SELECT doc_id, "
+            + ", ".join(
+                f"len(list_filter(ts, t -> list_contains({_stop_arr(lang)}, t))) "
+                f"AS score_{lang}"
+                for lang in ["en", "de", "fr", "es"]
+            )
+            + " FROM b) "
+            "SELECT doc_id, score_en, score_de, score_fr, score_es, "
+            "CASE WHEN score_en >= score_de AND score_en >= score_fr "
+            "AND score_en >= score_es THEN 'en' "
+            "WHEN score_de >= score_fr AND score_de >= score_es THEN 'de' "
+            "WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS pred_lang FROM s"
+        ),
+        "text_fingerprint": (
+            "WITH nrm AS (SELECT doc_id, "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm "
+            "FROM documents), "
+            "g AS (SELECT doc_id, norm, substr(norm, i.i, 8) AS gram FROM nrm, "
+            "LATERAL unnest(generate_series(1, greatest(length(norm) - 7, 1))) "
+            "AS i(i)) "
+            "SELECT doc_id, min(md5(norm)) AS digest, "
+            "min(CAST(('0x' || substr(md5(CAST(gram AS VARCHAR)), 1, 8)) AS BIGINT)) "
+            "AS min_shingle_hash FROM g GROUP BY doc_id"
+        ),
+        "mm_decode_meta": (
+            "SELECT doc_id AS media_id, 'text/plain' AS media_type, "
+            "octet_length(encode(text)) AS n_bytes, "
+            "CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width, "
+            "CAST(octet_length(encode(text)) % 48 + 1 AS INTEGER) AS height, "
+            "CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames "
+            "FROM documents"
+        ),
+        "mm_frame_sample": (
+            "WITH m AS (SELECT doc_id AS media_id, "
+            "octet_length(encode(text)) % 10 + 1 AS n_frames FROM documents) "
+            "SELECT media_id, CAST(f.f AS INTEGER) AS frame_idx FROM m, "
+            "LATERAL unnest(generate_series(0, n_frames - 1)) AS f(f)"
         ),
         "ev_sessionize": (
             "WITH g AS (SELECT user_id, event_id, value, ts, "

@@ -15,3 +15,19 @@ from .text import (
     top_mass_filter,
     running_sum,
 )
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+    embedding_cosine_pairs,
+    cosine,
+)
+from .similarity import cosine_topk, lsh_ann_topk
+from .textstats import token_stats, quality_score, lang_id, doc_fingerprint
+from .multimodal import (
+    make_media_table,
+    decode_media_meta,
+    sample_frames,
+)

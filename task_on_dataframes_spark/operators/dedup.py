@@ -1,0 +1,333 @@
+"""Deduplication operators for large-scale text corpora.
+
+Five strategies, all DataFrame-native (no Python in the hot path):
+
+* :func:`exact_dedup` — hash-groupBy on normalized text; one shuffle.
+* :func:`minhash_lsh_pairs` — shingle → minhash signature → band →
+  bucket self-join → exact-Jaccard verification. The standard
+  sub-quadratic near-dup pipeline: only documents sharing an LSH band
+  ever meet in a join, so the candidate set stays tiny at 100 TB while
+  the verification step stays exact.
+* :func:`ngram_jaccard_pairs` — exact Jaccard over word n-grams with a
+  document-frequency cut (`max_df`) so ubiquitous shingles don't
+  explode the candidate join.
+* :func:`simhash_fingerprints` / :func:`simhash_pairs` — 32-bit simhash
+  via per-bit weighted sums; near-dup = small Hamming distance. The
+  pair generator bands on fingerprint byte-chunks (pigeonhole: Hamming
+  <= 3 over 4 chunks guarantees one identical chunk), so it never
+  computes the full O(n^2) cross join.
+* :func:`embedding_cosine_pairs` — near-dup by embedding cosine; exact
+  double-precision arithmetic (bit-identical across engines).
+
+Every hash is the portable md5-based family from :mod:`.hashing`, so
+each operator has an exact DuckDB SQL oracle.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import hash32, perm_hash
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace,
+    strip leading/trailing space."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One representative (min id) per distinct normalized text, with
+    the duplicate count. Single hash-shuffle on the text digest."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.md5(normalized_text(F.col(text_col))).alias("text_digest"),
+        )
+        .groupBy("text_digest")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (id, token) pairs."""
+    return (
+        df.select(
+            F.col(id_col).alias("did"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+
+
+def _word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct (id, word-n-gram) pairs via slide over the token array."""
+    toks = df.select(
+        F.col(id_col).alias("did"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("ts"),
+    )
+    # positions 1..len-n+1; join n consecutive tokens with a space.
+    # guard: F.sequence(1, 0) would count *down* — emit no shingles for
+    # documents shorter than n tokens instead
+    grams = toks.select(
+        "did",
+        F.explode(
+            F.when(
+                F.size("ts") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - n + 1),
+                    lambda i: F.array_join(F.slice("ts", i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tok"),
+    )
+    return grams.distinct()
+
+
+def jaccard_verify(
+    candidates: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate (a, b) pairs given distinct
+    (did, tok) sets; keeps pairs with similarity >= threshold."""
+    sizes = sets.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sets.select(F.col("did").alias("a"), "tok")
+    sb = sets.select(F.col("did").alias("b"), "tok")
+    inter = (
+        candidates.join(sa, on="a").join(sb, on=["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("did").alias("a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("did").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(za, on="a")
+        .join(zb, on="b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    tokens: DataFrame, num_perm: int = 16
+) -> DataFrame:
+    """Per-document minhash signature: k universal-hash minima computed
+    in ONE groupBy (single shuffle, map-side partial min)."""
+    h = hash32(F.col("tok"))
+    aggs = [
+        F.min(perm_hash(h, i)).alias(f"mh{i}") for i in range(num_perm)
+    ]
+    return tokens.groupBy("did").agg(*aggs)
+
+
+def lsh_band_keys(
+    sigs: DataFrame, num_perm: int, bands: int
+) -> DataFrame:
+    """(did, band_idx, band_key) — band_key is the md5 of the band's
+    signature slice, portable across engines."""
+    rows = num_perm // bands
+    outs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        outs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("key"),
+            )
+        )
+    return sigs.select(
+        "did", F.explode(F.array(*outs)).alias("bk")
+    ).select("did", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b, exact Jaccard >= threshold) with
+    LSH candidate generation: only documents agreeing on at least one
+    band slice are compared. Shingles default to word bigrams — unigram
+    sets saturate on small vocabularies and stop discriminating."""
+    if shingle_n > 1:
+        toks = _word_ngrams(df, id_col, text_col, shingle_n)
+    else:
+        toks = _tokens(df, id_col, text_col)
+    sigs = minhash_signatures(toks, num_perm)
+    keys = lsh_band_keys(sigs, num_perm, bands)
+    ka = keys.select(F.col("did").alias("a"), "band", "key")
+    kb = keys.select(F.col("did").alias("b"), "band", "key")
+    candidates = (
+        ka.join(kb, on=["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return jaccard_verify(candidates, toks, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.3,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs. Candidate generation joins documents
+    on *shared shingles*, after dropping shingles present in more than
+    ``max_df`` documents (frequency cut: ubiquitous shingles pair
+    everything with everything and carry no signal)."""
+    grams = _word_ngrams(df, id_col, text_col, n)
+    rare = (
+        grams.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("tok")
+    )
+    filtered = grams.join(F.broadcast(rare), on="tok")
+    ga = filtered.select(F.col("did").alias("a"), "tok")
+    gb = filtered.select(F.col("did").alias("b"), "tok")
+    candidates = (
+        ga.join(gb, on="tok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # verification runs on the *unfiltered* gram sets (exact Jaccard)
+    return jaccard_verify(candidates, grams, threshold)
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """32-bit simhash: bit j of the fingerprint is the sign of the sum
+    of (+count / -count) over tokens whose hash has bit j set. One
+    groupBy with ``bits`` conditional sums."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("did"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .groupBy("did", "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", hash32(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j) % 2 == 1, F.col("w")).otherwise(
+                -F.col("w")
+            )
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = toks.groupBy("did").agg(*bit_sums)
+    fp: Column = F.lit(0).cast("bigint")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return sums.select("did", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    fps: DataFrame, max_hamming: int = 3, chunks: int = 4, bits: int = 32
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming. Candidates band on
+    byte-chunks: with 4 chunks, any pair within Hamming distance 3
+    shares at least one identical chunk (pigeonhole), so the self-join
+    hits buckets, never the full cross product."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunked = fps.select(
+        "did",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        (F.shiftright(F.col("simhash"), c * width) % (mask + 1)).alias(
+                            "ck"
+                        ),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("did", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    ca = chunked.select(
+        F.col("did").alias("a"), F.col("simhash").alias("fa"), "chunk", "ck"
+    )
+    cb = chunked.select(
+        F.col("did").alias("b"), F.col("simhash").alias("fb"), "chunk", "ck"
+    )
+    return (
+        ca.join(cb, on=["chunk", "ck"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "fa", "fb")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def cosine(va: Column, vb: Column) -> Column:
+    """Double-precision cosine similarity of two array<double> columns;
+    sequential fold — bit-identical with DuckDB's list_dot_product on
+    DOUBLE[] (verified)."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb)))
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Brute-force O(n^2) formulation — exact, and the verification
+    baseline for the LSH-bucketed variant in
+    :mod:`.similarity` which is the 100 TB path.
+    """
+    a = emb.select(
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 5).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk` — exact brute-force top-k: broadcast the (small)
+  query set against the full corpus, window-rank per query. The
+  correctness baseline; linear in corpus size, embarrassingly parallel.
+* :func:`lsh_ann_topk` — random-hyperplane LSH: bucket by sign bits,
+  rank only within buckets. The 100 TB path: candidate sets shrink by
+  ~2^planes, at a measured recall cost (tested against the brute-force
+  baseline). Hyperplanes are deterministic md5-derived +-1 vectors so
+  results are reproducible on any engine.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine
+from .hashing import perm_coeffs, MERSENNE_P
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: (query_id, vec_id, cos, rank) with rank 1..k; cosine is
+    rounded to 5 decimals before ranking and ties break on vec_id, so
+    the result set is engine-deterministic.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vc"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("vq"), F.col("vc")), 5).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_sign(plane: int, dim: int) -> int:
+    """Deterministic +-1 entry (plane, dim) of the hyperplane matrix."""
+    a, b = perm_coeffs(plane)
+    v = (a * (dim + 1) + b) % MERSENNE_P
+    return 1 if v % 2 == 1 else -1
+
+
+def hyperplane_bucket(vec: Column, dims: int, planes: int) -> Column:
+    """LSH bucket id: bit p is the sign of <plane_p, vec>."""
+    bucket: Column = F.lit(0).cast("bigint")
+    for p in range(planes):
+        signs = [_plane_sign(p, d) for d in range(dims)]
+        proj: Column = F.lit(0.0)
+        for d, s in enumerate(signs):
+            proj = proj + F.element_at(vec, d + 1) * F.lit(float(s))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dims: int = 64,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's hyperplane
+    bucket are scored. Same output shape as :func:`cosine_topk`."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vc"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("vc"), dims, planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("vq"), dims, planes))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("vq"), F.col("vc")), 5).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

