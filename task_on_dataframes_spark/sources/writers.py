@@ -1,0 +1,26 @@
+"""Sinks: CSV download (S6) and parquet results (S7).
+
+The reference streams CSV over HTTP (serve_view_df.py:160-173) and
+pickles whole result lists (serve.py:38-78); here results write as
+distributed CSV/parquet directories, with a small-result convenience
+that returns a local pandas frame for presentation layers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def csv_sink(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.option("header", header).mode(mode).csv(path)
+
+
+def parquet_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def to_local_csv(df: DataFrame, max_rows: int = 1_000_000) -> str:
+    """Small-result path: collect and render as one CSV string (the
+    reference's download endpoint shape). Guarded by ``max_rows``."""
+    pdf = df.limit(max_rows).toPandas()
+    return pdf.to_csv(index=False)

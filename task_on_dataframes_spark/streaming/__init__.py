@@ -1,0 +1,16 @@
+"""Structured Streaming surface (SURVEY §2.9 ⊕ — absent in the
+reference, required by the north-star extensions).
+
+Batch/stream parity by construction: the same column expressions used
+by the batch event queries run under ``readStream`` with a watermark,
+so one definition serves both; :func:`sessionize_stream` is the
+stateful custom-operator pattern (``applyInPandasWithState``) for
+semantics window functions can't express incrementally.
+"""
+
+from .events import (
+    events_stream,
+    hourly_counts_stream,
+    sessionize_stream,
+    run_available_now,
+)

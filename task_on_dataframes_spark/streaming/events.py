@@ -1,0 +1,199 @@
+"""Streaming event pipelines.
+
+* :func:`hourly_counts_stream` — tumbling-window counts with a
+  watermark for late data: incremental state is bounded by (watermark
+  horizon x groups), so it holds at any throughput.
+* :func:`sessionize_stream` — per-user session aggregation with a
+  30-minute inactivity gap via ``applyInPandasWithState``: the
+  canonical custom stateful operator (the batch equivalent is the
+  gaps-and-islands window query ``ev_sessionize``).
+
+The driver's events table stores nanosecond parquet timestamps, which
+Spark's reader rejects; the stream reader takes them as longs and
+rebuilds microsecond timestamps, same as the batch path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_LONG_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _as_stream_dir(path: str) -> str:
+    """The streaming file source monitors a *directory*; a single
+    parquet file is staged behind a symlink in a temp directory."""
+    import hashlib
+    import os
+    import tempfile
+
+    if os.path.isdir(path):
+        return path
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "tada_stream_src_" + hashlib.md5(path.encode()).hexdigest()[:12],
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def events_stream(
+    spark: SparkSession, src: str, max_files_per_trigger: Optional[int] = None
+) -> DataFrame:
+    """File-stream over the events parquet directory (or single file)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(EVENTS_LONG_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(_as_stream_dir(src))
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def hourly_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windowed counts + sums per event type, tolerating
+    late data up to the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("session_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = "start long, last long, n long, total double"
+
+_GAP_US = 1800 * 1_000_000
+
+
+def _session_fn(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit a session row whenever a >30min gap closes one; keep the
+    open session in state, closing it on event-time timeout."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        if state.exists:
+            start, _last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "n_events": [n],
+                    "session_value": [round(total, 4)],
+                }
+            )
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns -> us
+    vals = rows["value"].tolist()
+
+    if state.exists:
+        start, last, n, total = state.get
+    else:
+        start, last, n, total = None, None, 0, 0.0
+
+    out = []
+    for t, v in zip(ts_us, vals):
+        if last is not None and t - last > _GAP_US:
+            out.append((start, n, total))
+            start, n, total = t, 0, 0.0
+        if start is None:
+            start = t
+        last = t
+        n += 1
+        total += v
+    state.update((start, last, n, total))
+    state.setTimeoutTimestamp(last // 1000 + 1800 * 1000)  # ms event time
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in out],
+                "n_events": [n for _, n, _ in out],
+                "session_value": [round(t, 4) for _, _, t in out],
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful sessionization (30-minute inactivity gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, checkpoint: str
+) -> None:
+    """Drain everything currently available into a memory sink and stop
+    — the batch-verification harness for streaming pipelines."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append" if "session" in query_name else "complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

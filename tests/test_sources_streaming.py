@@ -1,0 +1,135 @@
+"""Sources/sinks, result cache, browse codec, and streaming tests."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_glob_and_whole_file_sources(spark, tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("hello world")
+    (d / "b.txt").write_text("line one\nline two")
+    from task_on_dataframes_spark.sources import glob_source, whole_file_text
+
+    paths = glob_source(spark, str(d / "*.txt"))
+    assert paths.count() == 2
+    texts = whole_file_text(spark, str(d / "*.txt"))
+    rows = {os.path.basename(r["path"]): r["text"] for r in texts.collect()}
+    assert rows["a.txt"] == "hello world"
+    assert "line two" in rows["b.txt"]
+
+
+def test_csv_roundtrip_and_literal(spark, tmp_path):
+    from task_on_dataframes_spark.sources import (
+        csv_sink,
+        csv_source,
+        literal_source,
+        schema_peek,
+    )
+
+    df = literal_source(spark, [(1, "x"), (2, "y")], "id long, name string")
+    out = str(tmp_path / "out_csv")
+    csv_sink(df, out)
+    back = csv_source(spark, out)
+    assert sorted([(r["id"], r["name"]) for r in back.collect()]) == [
+        (1, "x"),
+        (2, "y"),
+    ]
+    assert schema_peek(spark, out, fmt="csv") == ["id", "name"]
+
+
+def test_result_cache_roundtrip(spark, sf_dir, tmp_path):
+    from task_on_dataframes_spark.cache import ResultCache, plan_key
+
+    cache = ResultCache(root=str(tmp_path / "cache"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").count()
+    key = plan_key([], ["l_returnflag", "count"])
+    assert cache.status(key) == "missing"
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return agg
+
+    first = cache.get_or_compute(spark, key, compute)
+    assert cache.status(key) == "done"
+    second = cache.get_or_compute(spark, key, compute)
+    assert calls["n"] == 1, "second call must hit the cache"
+    assert sorted(map(tuple, first.collect())) == sorted(
+        map(tuple, second.collect())
+    )
+
+
+def test_browse_state_url_roundtrip(spark, sf_dir):
+    import task_on_dataframes_spark as tada
+    from task_on_dataframes_spark.basic_tasks import register_document_tasks
+    from task_on_dataframes_spark.browse import BrowseState
+    from task_on_dataframes_spark.plans.solve import find_path
+
+    registry = register_document_tasks(spark, sf_dir)
+    path = find_path([], [["docs.text.clean_tokens.top90"]], registry=registry)
+    actions = [a for a, _ in path if a]
+    st = BrowseState(files=["documents.parquet"], actions=actions, registry=registry)
+    q = st.to_url_q()
+    st2 = BrowseState.from_url_q(q, registry=registry)
+    assert st2.files == st.files
+    assert [a.Task for a in st2.actions] == [a.Task for a in actions]
+    assert st2.actions == actions
+    # replaying the decoded actions reaches the same abstract state
+    s1 = st.abstract_state([])
+    s2 = st2.abstract_state([])
+    assert s1 == s2
+    # lookahead lists legal next actions
+    more = st2.further_actions([])
+    assert isinstance(more, list)
+
+
+def test_streaming_hourly_counts_matches_batch(spark, tmp_path):
+    """availableNow drain of the windowed stream == batch aggregation."""
+    from task_on_dataframes_spark.streaming import (
+        events_stream,
+        hourly_counts_stream,
+        run_available_now,
+    )
+
+    src = "/root/testdata/sf0.001"
+    stream = hourly_counts_stream(events_stream(spark, f"{src}/events.parquet"))
+    run_available_now(stream, "hourly_mem", str(tmp_path / "ckpt1"))
+    got = spark.sql(
+        "SELECT hour, event_type, n, sum_value FROM hourly_mem"
+    ).collect()
+
+    import __spark_entry__ as entrymod
+
+    want = entrymod._ev_hourly_agg(spark, src).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_streaming_sessionize_runs_stateful(spark, tmp_path):
+    from task_on_dataframes_spark.streaming import (
+        events_stream,
+        run_available_now,
+        sessionize_stream,
+    )
+
+    src = "/root/testdata/sf0.001"
+    stream = sessionize_stream(events_stream(spark, f"{src}/events.parquet"))
+    run_available_now(stream, "session_mem", str(tmp_path / "ckpt2"))
+    got = spark.sql("SELECT * FROM session_mem")
+    # closed sessions only (open ones wait for the watermark) — compare
+    # against the batch gaps-and-islands equivalent as a superset check
+    assert got.columns == [
+        "user_id",
+        "session_start",
+        "n_events",
+        "session_value",
+    ]
+    n_closed = got.count()
+    import __spark_entry__ as entrymod
+
+    n_batch = entrymod._ev_sessionize(spark, src).count()
+    assert 0 < n_closed <= n_batch
