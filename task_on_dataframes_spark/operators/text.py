@@ -99,26 +99,64 @@ def top_mass_fraction(
 ) -> DataFrame:
     """Keep the smallest prefix of most-frequent keys whose cumulative
     count stays under ``fraction`` of the total (reference:
-    basic_tasks.py:92-105). Ties broken by key so the cut is
-    deterministic on any engine.
+    basic_tasks.py:92-105), ordering by (count desc, key asc) so the
+    cut is deterministic on any engine.
 
-    The window has no partition key, so it runs single-partition — but
-    over the *distinct-key* table only (vocabulary-sized, not
-    corpus-sized), which is the scalable formulation.
+    Scalable formulation: a naive global-window cumsum over the counts
+    table sorts the whole vocabulary on one partition. Instead, group
+    keys into *count classes* (one row per distinct count value — a
+    histogram that is tiny under any realistic distribution), cumsum
+    over that histogram to decide which classes are fully inside /
+    fully outside the cut, and rank keys only within the single
+    *boundary* class. The vocabulary-sized table is never globally
+    sorted; the only windows run over the histogram and over one count
+    class (partitioned by the class value).
+
+    Per-key inclusion condition (matching a row-cumsum including the
+    current row): a key at 1-based rank ``r`` within its class ``c``
+    (classes taken in count-desc order, keys key-asc inside a class) is
+    kept iff ``mass_before_class + r*c < fraction * total``.
     """
-    order = [F.desc(quoted(count_col)), F.asc(quoted(key_col))]
-    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    return (
-        counts_df.select(
-            _c(key_col),
-            _c(count_col),
-            F.sum(_c(count_col)).over(w_cum).alias("__cum"),
-            F.sum(_c(count_col)).over(w_all).alias("__total"),
-        )
-        .filter(F.col("__cum") < fraction * F.col("__total"))
-        .select(_c(key_col), _c(count_col))
+    kq, cq = _c(key_col), _c(count_col)
+    hist = counts_df.groupBy(cq).agg(F.count(F.lit(1)).alias("__n_keys"))
+    w_hist = (
+        Window.orderBy(F.desc(quoted(count_col)))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    hist = hist.select(
+        cq,
+        F.coalesce(F.sum(cq * F.col("__n_keys")).over(w_hist), F.lit(0)).alias(
+            "__mass_before"
+        ),
+        F.sum(cq * F.col("__n_keys"))
+        .over(Window.partitionBy())
+        .alias("__total"),
+        F.col("__n_keys"),
+    ).withColumn(
+        # largest r with mass_before + r*c < fraction*total
+        "__r_max",
+        F.least(
+            F.col("__n_keys").cast("double"),
+            F.floor(
+                (fraction * F.col("__total") - F.col("__mass_before") - F.lit(1e-9))
+                / cq
+            ).cast("double"),
+        ).cast("long"),
+    )
+    full = hist.filter(F.col("__r_max") >= F.col("__n_keys")).select(cq)
+    partial = hist.filter(
+        (F.col("__r_max") > 0) & (F.col("__r_max") < F.col("__n_keys"))
+    ).select(cq, "__r_max")
+
+    kept_full = counts_df.join(F.broadcast(full), on=[count_col], how="left_semi")
+    w_class = Window.partitionBy(cq).orderBy(kq)
+    kept_partial = (
+        counts_df.join(F.broadcast(partial), on=[count_col], how="inner")
+        .withColumn("__r", F.row_number().over(w_class))
+        .filter(F.col("__r") <= F.col("__r_max"))
+        .select(kq, cq)
+    )
+    return kept_full.select(kq, cq).unionByName(kept_partial)
 
 
 def top_mass_filter(
@@ -136,5 +174,9 @@ def top_mass_filter(
         counts_df = value_counts(df, col, out="__cnt", desc=False)
         count_col = "__cnt"
     assert count_col is not None
+    # the counts table feeds three consumers in top_mass_fraction (the
+    # histogram, the fully-kept classes, the boundary class); persist the
+    # vocabulary-sized table so the corpus is scanned and counted once
+    counts_df = counts_df.persist()
     top = top_mass_fraction(counts_df, col, count_col, fraction).select(_c(col))
     return df.join(F.broadcast(top), on=[col], how="left_semi")

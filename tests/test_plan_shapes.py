@@ -1,0 +1,108 @@
+"""Physical-plan shape assertions — the 100TB-scale guarantees.
+
+Correctness tests prove the small-SF answer; these prove the *plan*
+would survive a 1000-executor cluster: filters reach the parquet scan,
+small dimensions broadcast instead of shuffling the fact table, and no
+operator sorts a corpus-sized table on a single partition.
+"""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir, queries):
+    plan = _physical(queries["p3_filter_startswith"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*StringStartsWith\(p_name,small\)", plan)
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir, queries):
+    # q1 projects 7 of lineitem's 16 columns; the scan must not read more
+    plan = _physical(queries["q1_pricing_summary"](spark, sf_dir))
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    read_cols = [c.split("#")[0] for c in m.group(1).split(",") if c]
+    assert "l_comment" not in read_cols
+    assert len(read_cols) <= 7, read_cols
+
+
+def test_small_dims_broadcast_not_shuffled(spark, sf_dir, queries):
+    for name in ("q3_shipping_priority", "q5_region_volume", "j3_left_join"):
+        plan = _physical(queries[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+    # q5's 6-table join: every join should be broadcast (dims are tiny);
+    # the fact table must never hash-shuffle for a join
+    q5 = _physical(queries["q5_region_volume"](spark, sf_dir))
+    assert "SortMergeJoin" not in q5
+
+
+def test_semi_and_anti_joins_are_join_primitives(spark, sf_dir, queries):
+    assert re.search(r"LeftSemi", _physical(queries["j4_semi_join"](spark, sf_dir)))
+    assert re.search(r"LeftAnti", _physical(queries["j5_anti_join"](spark, sf_dir)))
+
+
+def test_top90_never_globally_sorts_the_vocabulary(spark, sf_dir, queries):
+    """The top-K%-of-mass cut must confine single-partition work to the
+    count histogram (tiny); the token/vocab tables may only exchange by
+    hash. A `Sort` directly under `Exchange SinglePartition` is only
+    legal when its input is the post-histogram aggregate."""
+    plan = _physical(queries["w2_top90_tokens"](spark, sf_dir))
+    # corpus side ends in a broadcast left-semi join, not a shuffle join
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
+    # every SinglePartition exchange must sit above the count-histogram
+    # aggregate (keys=[__cnt...]), never above token-keyed data
+    for frag in re.findall(r"Exchange SinglePartition[^\n]*\n(.*?)(?=\n\s*$|\Z)",
+                           plan, re.S):
+        first_agg = re.search(r"HashAggregate\(keys=\[([^\]]*)\]", frag)
+        assert first_agg and "__cnt" in first_agg.group(1), frag[:300]
+
+
+def test_global_agg_is_partial_then_final(spark, sf_dir, queries):
+    plan = _physical(queries["a2_scalar_sum"](spark, sf_dir))
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_pagination_does_not_collect_whole_table(spark, sf_dir, queries):
+    # offset+limit compiles to a global limit operator, not a full sort
+    # materialization of orders
+    plan = _physical(queries["o2_pagination"](spark, sf_dir))
+    assert "GlobalLimit" in plan or "TakeOrdered" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir, queries):
+    plan = _physical(queries["o3_topk_counts"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sessionize_windows_are_partitioned_by_user(spark, sf_dir, queries):
+    plan = _physical(queries["ev_sessionize"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_whole_stage_codegen_covers_hot_path(spark, sf_dir, queries):
+    # codegen spans only materialize in the final AQE plan, post-execution
+    df = queries["q1_pricing_summary"](spark, sf_dir)
+    df.collect()
+    plan = _physical(df)
+    # `*(n)` prefixes mark WholeStageCodegen spans in the final plan;
+    # the scan→filter→partial-agg hot path must be inside one
+    assert re.search(r"\*\(\d+\) HashAggregate", plan)
+    assert re.search(r"\*\(\d+\) ColumnarToRow", plan) or re.search(
+        r"\*\(\d+\) Filter", plan
+    )
