@@ -465,6 +465,148 @@ def _mm_frame_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.3 ⊕ as-of / range joins; §2.5 ranking windows; §2.7 set ops;
+# §2.4 ⊕ distinct-agg / rollup; tf-idf
+# ---------------------------------------------------------------------------
+
+def _j6_asof_join(spark, sf_dir):
+    """For each click event, the most recent prior purchase by the same
+    user — merge as-of via union-tag + running last() (one shuffle)."""
+    from task_on_dataframes_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid"), "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_cols=["pid", "value"],
+        tiebreak="pid",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_pid").alias("prev_purchase_id"),
+        F.round("asof_value", 4).alias("prev_purchase_value"),
+    )
+
+
+def _j7_range_join(spark, sf_dir):
+    """Bucket lineitem quantities into literal ranges: broadcast range
+    join, then aggregate per bucket — the big side never shuffles for
+    the join."""
+    from task_on_dataframes_spark.operators.joins import range_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity")
+    buckets = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 40.0, "high"),
+         (40.0, 100.0, "top")],
+        "lo double, hi double, label string",
+    )
+    return (
+        range_join(li, buckets, "l_quantity")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+def _w3_ranking(spark, sf_dir):
+    """row_number / rank / dense_rank / lag over a per-customer window —
+    partitioned by key, so fully parallel."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def _set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT (distinct semantics) over customer key
+    sets, tagged — §2.7 is absent in the reference; free in Spark."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    high = (
+        orders.filter(F.col("o_orderpriority") == "2-HIGH")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return (
+        urgent.intersect(high).withColumn("tag", F.lit("both"))
+        .unionByName(urgent.subtract(high).withColumn("tag", F.lit("urgent_only")))
+        .unionByName(high.subtract(urgent).withColumn("tag", F.lit("high_only")))
+    )
+
+
+def _a3_distinct_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _a4_rollup(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus): subtotal rows materialize
+    NULL group keys, coalesced to 'ALL' so both engines agree."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def _text_tfidf(spark, sf_dir):
+    from task_on_dataframes_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+def _ann_ivf_topk(spark, sf_dir):
+    from task_on_dataframes_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -505,6 +647,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "mm_decode_meta": _mm_decode_meta,
         "mm_frame_sample": _mm_frame_sample,
+        "j6_asof_join": _j6_asof_join,
+        "j7_range_join": _j7_range_join,
+        "w3_ranking": _w3_ranking,
+        "set_ops": _set_ops,
+        "a3_distinct_agg": _a3_distinct_agg,
+        "a4_rollup": _a4_rollup,
+        "text_tfidf": _text_tfidf,
+        "ann_ivf_topk": _ann_ivf_topk,
     }
 
 
@@ -850,5 +1000,80 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_seq, count(*) AS n_events, "
             "round(sum(value), 4) AS session_value FROM s "
             "GROUP BY user_id, session_seq"
+        ),
+        "j6_asof_join": (
+            "WITH c AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "p AS (SELECT event_id AS pid, user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase'), "
+            "m AS (SELECT c.event_id, c.user_id, p.pid, p.value, "
+            "row_number() OVER (PARTITION BY c.event_id "
+            "ORDER BY p.ts DESC, p.pid DESC) AS rn "
+            "FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts) "
+            "SELECT event_id, user_id, pid AS prev_purchase_id, "
+            "round(value, 4) AS prev_purchase_value FROM m WHERE rn = 1"
+        ),
+        "j7_range_join": (
+            "SELECT b.label, count(*) AS n, round(sum(l.l_quantity), 4) AS sum_qty "
+            "FROM lineitem l JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), "
+            "(25.0, 40.0, 'high'), (40.0, 100.0, 'top')) AS b(lo, hi, label) "
+            "ON l.l_quantity >= b.lo AND l.l_quantity < b.hi "
+            "GROUP BY b.label"
+        ),
+        "w3_ranking": (
+            "SELECT * FROM ("
+            "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, "
+            "row_number() OVER w AS rn, rank() OVER w AS rnk, "
+            "dense_rank() OVER w AS drnk, "
+            "round(lag(o_totalprice) OVER w, 2) AS prev_price "
+            "FROM orders "
+            "WINDOW w AS (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC)"
+            ") WHERE rn <= 3"
+        ),
+        "set_ops": (
+            "WITH urgent AS (SELECT DISTINCT o_custkey AS custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT'), "
+            "high AS (SELECT DISTINCT o_custkey AS custkey FROM orders "
+            "WHERE o_orderpriority = '2-HIGH') "
+            "SELECT custkey, 'both' AS tag FROM "
+            "(SELECT custkey FROM urgent INTERSECT SELECT custkey FROM high) "
+            "UNION ALL "
+            "SELECT custkey, 'urgent_only' AS tag FROM "
+            "(SELECT custkey FROM urgent EXCEPT SELECT custkey FROM high) "
+            "UNION ALL "
+            "SELECT custkey, 'high_only' AS tag FROM "
+            "(SELECT custkey FROM high EXCEPT SELECT custkey FROM urgent)"
+        ),
+        "a3_distinct_agg": (
+            "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, "
+            "count(DISTINCT l_partkey) AS n_part, count(*) AS n "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "a4_rollup": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS flag, "
+            "coalesce(l_linestatus, 'ALL') AS status, "
+            "count(*) AS n, round(sum(l_quantity), 4) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "text_tfidf": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_replace(t.tok, '^\\W+|\\W+$', '') AS tok "
+            "FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '\\s+')) AS tok "
+            "FROM documents) t), "
+            "clean AS (SELECT doc_id, tok FROM toks WHERE length(tok) >= 2), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM clean "
+            "GROUP BY doc_id, tok), "
+            "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.tok, "
+            "tf.tf * ln(n.n / dfreq.df) AS score "
+            "FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n), "
+            "ranked AS (SELECT doc_id, tok, score, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rn "
+            "FROM scored) "
+            "SELECT doc_id, tok AS token, round(score, 6) AS tfidf, rn "
+            "FROM ranked WHERE rn <= 3"
         ),
     }

@@ -113,3 +113,80 @@ def lsh_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into
+    ``n_centroids`` inverted lists, search only the ``n_probe`` lists
+    nearest to each query.
+
+    Centroids are deterministic (the ``n_centroids`` lowest-id corpus
+    vectors), so results are reproducible run-to-run. Assignment scores
+    every vector against the broadcast centroid set, then collapses to
+    the argmax with a map-side partial ``max(struct(sim, -cid))`` —
+    shuffle volume stays at corpus size, not corpus x centroids. The
+    probed-cluster pairs are broadcast, so the corpus-sized member
+    table never shuffles for the candidate join; only candidates
+    (corpus/n_centroids x n_probe per query) reach the per-query top-k
+    window.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vc"),
+    )
+    cents = (
+        c.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("vc").alias("cv"))
+    )
+    assigned = c.join(F.broadcast(cents)).select(
+        "vec_id",
+        "vc",
+        "cid",
+        F.round(cosine(F.col("vc"), F.col("cv")), 5).alias("sim"),
+    )
+    member = assigned.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("m"),
+        F.first("vc").alias("vc"),
+    ).select("vec_id", "vc", (-F.col("m.ncid")).alias("cid"))
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cid"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "vq",
+            "cid",
+            F.round(cosine(F.col("vq"), F.col("cv")), 5).alias("qsim"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "vq", "cid")
+    )
+    scored = (
+        member.join(F.broadcast(probes), on="cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("vq"), F.col("vc")), 5).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -180,3 +180,48 @@ def top_mass_filter(
     counts_df = counts_df.persist()
     top = top_mass_fraction(counts_df, col, count_col, fraction).select(_c(col))
     return df.join(F.broadcast(top), on=[col], how="left_semi")
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` tokens per document by tf-idf (idf = ln(N/df)).
+
+    Shuffle profile at scale: one shuffle keyed on (doc, token) for tf,
+    one keyed on token for df (both with map-side partial aggregation),
+    one on doc for the per-document top-k — all on natural keys, no
+    global sort, no driver-side collect (N travels as a broadcast 1-row
+    frame). The top-k window is partitioned by document, and Spark's
+    WindowGroupLimit pushes the rank filter below the sort.
+    """
+    toks = tokenize(docs, text_col, "__tok", carry=[id_col])
+    clean = clean_tokens(toks, "__tok", "__tok", carry=[id_col])
+    tf = clean.groupBy(_c(id_col), F.col("__tok")).agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    df_tbl = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(df_tbl, on="__tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "__score", F.col("__tf") * F.log(F.col("__n") / F.col("__df"))
+        )
+    )
+    w = Window.partitionBy(_c(id_col)).orderBy(
+        F.desc("__score"), F.asc("__tok")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            _c(id_col),
+            F.col("__tok").alias("token"),
+            F.round("__score", round_to).alias("tfidf"),
+            F.col("__rn").alias("rn"),
+        )
+    )

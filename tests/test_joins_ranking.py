@@ -1,0 +1,128 @@
+"""Unit tests: as-of join, range join, IVF ANN recall, tf-idf."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from task_on_dataframes_spark.operators.joins import asof_join, range_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),
+            (2, 10, _ts("2024-01-01 12:00:00")),
+            (3, 20, _ts("2024-01-01 09:00:00")),  # no prior right row
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 09:30:00"), 100.0),
+            (10, _ts("2024-01-01 10:00:00"), 200.0),  # ties left ts: <= wins
+            (10, _ts("2024-01-01 11:00:00"), 300.0),
+            (20, _ts("2024-01-01 09:30:00"), 999.0),  # after left's ts
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_cols=["value"]
+        ).collect()
+    }
+    assert out == {1: 200.0, 2: 300.0, 3: None}
+
+
+def test_asof_join_tiebreak_on_equal_right_ts(spark):
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01 10:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (5, _ts("2024-01-01 09:00:00"), 7, 70.0),
+            (5, _ts("2024-01-01 09:00:00"), 9, 90.0),
+        ],
+        "user_id long, ts timestamp, pid long, value double",
+    )
+    row = asof_join(
+        left, right, on=["user_id"], left_ts="ts",
+        right_cols=["pid", "value"], tiebreak="pid",
+    ).collect()[0]
+    assert (row["asof_pid"], row["asof_value"]) == (9, 90.0)
+
+
+def test_asof_join_null_payload_keeps_row_consistency(spark):
+    # matched row's NULL must not be back-filled from an older row
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01 10:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (5, _ts("2024-01-01 08:00:00"), 1, 10.0),
+            (5, _ts("2024-01-01 09:00:00"), 2, None),
+        ],
+        "user_id long, ts timestamp, pid long, value double",
+    )
+    row = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_cols=["pid", "value"]
+    ).collect()[0]
+    assert row["asof_pid"] == 2
+    assert row["asof_value"] is None
+
+
+def test_range_join_half_open_intervals(spark):
+    big = spark.createDataFrame([(0.0,), (9.99,), (10.0,), (99.0,)], "v double")
+    buckets = spark.createDataFrame(
+        [(0.0, 10.0, "a"), (10.0, 100.0, "b")], "lo double, hi double, label string"
+    )
+    out = {
+        r["v"]: r["label"] for r in range_join(big, buckets, "v").collect()
+    }
+    assert out == {0.0: "a", 9.99: "a", 10.0: "b", 99.0: "b"}
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    from task_on_dataframes_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, q, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_ann_topk(emb, q, k=10, n_centroids=8, n_probe=4).collect()
+    }
+    assert len(approx) == 50  # k x queries, deterministic size
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    from task_on_dataframes_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare1"),
+            (2, "common common rare2"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=1)
+    top = {r["doc_id"]: r["token"] for r in out.collect()}
+    # 'common' appears in every doc -> idf = ln(1) = 0
+    assert top[1] == "rare1" and top[2] == "rare2"
