@@ -399,6 +399,13 @@ def _dedup_embedding_cosine(spark, sf_dir):
     return embedding_cosine_pairs(emb, threshold=0.4)
 
 
+def _dedup_embedding_lsh(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import embedding_lsh_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(emb, threshold=0.4, dims=64, planes=4)
+
+
 def _ann_cosine_topk(spark, sf_dir):
     from task_on_dataframes_spark.operators.similarity import cosine_topk
 
@@ -639,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "text_token_stats": _text_token_stats,
@@ -782,6 +790,22 @@ _COS = (
 )
 
 
+def _hyperplane_bucket_sql(vec: str, dims: int, planes: int) -> str:
+    """SQL twin of operators.similarity.hyperplane_bucket: identical
+    sign matrix, identical left-fold addition order, so the FP
+    projections agree bit-for-bit with Spark's."""
+    from task_on_dataframes_spark.operators.similarity import _plane_sign
+
+    terms = []
+    for p in range(planes):
+        proj = "0.0" + "".join(
+            f" + {vec}[{d + 1}] * ({float(_plane_sign(p, d))})"
+            for d in range(dims)
+        )
+        terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def _stop_arr(lang: str) -> str:
     from task_on_dataframes_spark.operators.textstats import STOPWORDS
 
@@ -912,6 +936,18 @@ def oracle_sql() -> dict[str, str]:
             "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
             "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 5) AS cos "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            ") WHERE cos >= 0.4"
+        ),
+        "dedup_embedding_lsh": (
+            "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, "
+            + _hyperplane_bucket_sql("(embedding::DOUBLE[])", 64, 4)
+            + " AS bucket FROM embeddings) "
+            "SELECT * FROM ("
+            "SELECT a.id AS a, b.id AS b, "
+            "round(list_dot_product(a.v, b.v) / "
+            "(sqrt(list_dot_product(a.v, a.v)) * "
+            "sqrt(list_dot_product(b.v, b.v))), 5) AS cos "
+            "FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id"
             ") WHERE cos >= 0.4"
         ),
         "ann_cosine_topk": (

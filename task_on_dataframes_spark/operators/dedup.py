@@ -331,3 +331,41 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dims: int = 64,
+    planes: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, LSH-bucketed — the
+    100 TB path: vectors are keyed by their random-hyperplane sign
+    bucket, candidate pairs form only *within* a bucket (high-cosine
+    pairs land in the same bucket with probability
+    ``(1 - theta/pi)^planes``), and exact cosine verifies candidates.
+    One shuffle on the bucket id; no all-pairs stage. Recall misses are
+    the LSH trade; raise recall by unioning over rotated plane sets.
+    """
+    from .similarity import hyperplane_bucket
+
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("v"), dims, planes))
+    a = v.select(
+        F.col("id").alias("a"), F.col("v").alias("va"), "bucket"
+    )
+    b = v.select(
+        F.col("id").alias("b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 5).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )

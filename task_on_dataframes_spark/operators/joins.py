@@ -14,7 +14,11 @@ them:
   partition, exactly what a merge as-of join costs).
 * :func:`range_join` — match rows to interval buckets. The bucket side
   is broadcast, so the big side never shuffles and Catalyst evaluates
-  the range predicate inside codegen.
+  the range predicate inside codegen. When the bucket table itself
+  grows beyond broadcast size, the standard rewrite is to quantize both
+  sides onto a fixed-width grid column and equi-join on the grid id
+  (each row joins its own and adjacent grid cells, then the exact range
+  predicate filters) — turning the theta-join into a hash join.
 """
 
 from __future__ import annotations
