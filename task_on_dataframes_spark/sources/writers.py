@@ -24,3 +24,26 @@ def to_local_csv(df: DataFrame, max_rows: int = 1_000_000) -> str:
     reference's download endpoint shape). Guarded by ``max_rows``."""
     pdf = df.limit(max_rows).toPandas()
     return pdf.to_csv(index=False)
+
+
+def bucketed_table_sink(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (+sorted) managed table: repeated joins /
+    aggregations on ``bucket_cols`` then read co-located partitions and
+    skip the shuffle entirely — the persistent-layout lever for a fact
+    table that is joined on the same key by every query. (Requires a
+    metastore-backed table, hence ``saveAsTable``.)"""
+    w = (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
