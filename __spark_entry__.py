@@ -444,6 +444,12 @@ def _text_langid(spark, sf_dir):
     return lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _text_token_count(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import token_count_estimate
+
+    return token_count_estimate(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def _text_fingerprint(spark, sf_dir):
     from task_on_dataframes_spark.operators.textstats import doc_fingerprint
 
@@ -652,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _text_token_stats,
         "text_quality": _text_quality,
         "text_langid": _text_langid,
+        "text_token_count": _text_token_count,
         "text_fingerprint": _text_fingerprint,
         "mm_decode_meta": _mm_decode_meta,
         "mm_frame_sample": _mm_frame_sample,
@@ -996,6 +1003,17 @@ def oracle_sql() -> dict[str, str]:
             "AND score_en >= score_es THEN 'en' "
             "WHEN score_de >= score_fr AND score_de >= score_es THEN 'de' "
             "WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS pred_lang FROM s"
+        ),
+        "text_token_count": (
+            "SELECT doc_id, "
+            "len(string_split_regex(text, '\\s+')) AS n_ws_tokens, "
+            "len(list_filter(regexp_extract_all(text, "
+            "'''[a-z]{1,2}| ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9\\s]+|\\s+'), "
+            "p -> regexp_matches(p, '\\S'))) AS n_bpe_pieces, "
+            "round(length(text) / len(list_filter(regexp_extract_all(text, "
+            "'''[a-z]{1,2}| ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9\\s]+|\\s+'), "
+            "p -> regexp_matches(p, '\\S'))), 4) AS chars_per_piece "
+            "FROM documents"
         ),
         "text_fingerprint": (
             "WITH nrm AS (SELECT doc_id, "

@@ -87,6 +87,29 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return scored.withColumn("pred_lang", pred)
 
 
+#: GPT-2-flavored pre-tokenizer, restricted to syntax that Java regex
+#: (Spark) and RE2 (DuckDB) match identically: contractions, letter
+#: runs, short digit runs, punctuation runs, whitespace — each with an
+#: optional leading space, like BPE vocabularies encode it
+BPE_ISH_PATTERN = r"'[a-z]{1,2}| ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def token_count_estimate(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """LLM-budget token estimate per document: whitespace tokens and
+    BPE-ish pieces (``regexp_extract_all`` against the pre-tokenizer
+    pattern — single-pass, JVM-side, no UDF), plus chars-per-piece,
+    the usual sanity signal that a document is tokenizer-hostile."""
+    text = F.col(text_col)
+    pieces = F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+    n_pieces = F.size(F.filter(pieces, lambda p: p.rlike(r"\S")))
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(text, r"\s+")).alias("n_ws_tokens"),
+        n_pieces.alias("n_bpe_pieces"),
+        F.round(F.length(text) / n_pieces, 4).alias("chars_per_piece"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str, text_col: str, shingle: int = 8
 ) -> DataFrame:
