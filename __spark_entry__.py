@@ -330,6 +330,29 @@ def _ev_hourly_agg(spark, sf_dir):
     )
 
 
+def _ev_sliding_agg(spark, sf_dir):
+    """1-hour windows sliding every 15 minutes: each event lands in 4
+    windows. Spark's F.window replicates rows window-count times before
+    the keyed agg — shuffle volume is events x (len/slide), bounded and
+    keyed, no cross product."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def _ev_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization: a new session starts after a
     >30min silence per user. Pure window functions — no UDF."""
@@ -646,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_string_funcs": _f_string_funcs,
         "f_json_extract": _f_json_extract,
         "ev_hourly_agg": _ev_hourly_agg,
+        "ev_sliding_agg": _ev_sliding_agg,
         "ev_sessionize": _ev_sessionize,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -1054,6 +1078,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_seq, count(*) AS n_events, "
             "round(sum(value), 4) AS session_value FROM s "
             "GROUP BY user_id, session_seq"
+        ),
+        "ev_sliding_agg": (
+            # an event at t belongs to the 4 sliding windows starting at
+            # floor(t/900)*900 - k*900, k in 0..3
+            "SELECT to_timestamp(CAST(floor(epoch(e.ts) / 900) * 900 "
+            "- k.k * 900 AS BIGINT)) AS win_start, "
+            "e.event_type, count(*) AS n, round(sum(e.value), 4) AS sum_value "
+            "FROM events e CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 3)) AS k) k "
+            "GROUP BY 1, 2"
         ),
         "j6_asof_join": (
             "WITH c AS (SELECT event_id, user_id, ts FROM events "

@@ -79,7 +79,11 @@ class BrowseState:
                 head, cm = key.split("_cm_", 1)
                 idx = int(head.split("_")[1])
                 frame_s, col_enc = cm.split("_", 1)
-                arg, varenc, reqidx = val.split("|", 2)
+                # the variable encoding may itself contain '|' (regex
+                # alternation): arg is the first field, req_index the
+                # last — everything between is the encoding
+                arg, rest = val.split("|", 1)
+                varenc, reqidx = rest.rsplit("|", 1)
                 bindings.setdefault(idx, []).append(
                     Binding(
                         frame=int(frame_s),

@@ -74,13 +74,13 @@ def new_task(name: Optional[str] = None, registry: Optional[TaskRegistry] = None
 
     def _decorate(f: Callable) -> Callable:
         task = Task(
-            name=f.__name__,
+            name=name or f.__name__,
             requires=list(getattr(f, _REQ_ATTR, [])),
             generates=list(getattr(f, _GEN_ATTR, [])),
             fcode=f,
             appends=bool(getattr(f, _APPENDS_ATTR, False)),
             pass_extra=getattr(f, _EXTRA_ATTR, None),
-            ref=name,
+            ref=f.__name__,
         )
         (registry or default_registry).register(task)
         f.__doc__ = "\n".join([f"Task: {name or f.__name__}", f.__doc__ or ""])
