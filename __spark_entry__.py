@@ -203,23 +203,23 @@ def _j5_anti_join(spark, sf_dir):
 
 def _q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # the money columns are exact 2-decimal values: decimal arithmetic
+    # makes every sum exact and summation-order-independent, so results
+    # can't flip at an FP rounding boundary when partitioning changes
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(ep), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(ep * (1 - disc)), 2)
+            .cast("double").alias("sum_disc_price"),
+            F.round(F.sum(ep * (1 - disc) * (1 + tax)), 2)
+            .cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -245,8 +245,12 @@ def _q3_shipping_priority(spark, sf_dir):
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (1 - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -273,10 +277,130 @@ def _q5_region_volume(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (1 - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def _q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan+filter+agg — the pushdown showcase
+    (all three predicates reach the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue")
+        )
+    )
+
+
+def _q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            # decimal arithmetic: exact, summation-order-independent, so
+            # per-group cents can't land on an FP rounding boundary
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (1 - F.col("l_discount").cast("decimal(18,4)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def _q12_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape: conditional counts (case-when inside sum) per
+    line status."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def _q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: ratio of conditional aggregates after a
+    fact-dim join (part broadcasts)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def _q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: having-filtered aggregate re-joined to its fact
+    — the small post-agg side broadcasts, so the orders/customer tables
+    never shuffle for it."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
     )
 
 
@@ -665,6 +789,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_region_volume": _q5_region_volume,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q10_returned_items": _q10_returned_items,
+        "q12_priority_lines": _q12_priority_lines,
+        "q14_promo_share": _q14_promo_share,
+        "q18_large_orders": _q18_large_orders,
         "f1_explode_carry": _f1_explode_carry,
         "f_string_funcs": _f_string_funcs,
         "f_json_extract": _f_json_extract,
@@ -902,10 +1031,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
-            "round(sum(l_quantity), 2) AS sum_qty, "
-            "round(sum(l_extendedprice), 2) AS sum_base_price, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
-            "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+            "CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge, "
             "round(avg(l_quantity), 4) AS avg_qty, "
             "round(avg(l_extendedprice), 4) AS avg_price, "
             "round(avg(l_discount), 4) AS avg_disc, "
@@ -915,7 +1044,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q3_shipping_priority": (
             "SELECT l_orderkey, o_orderdate, o_orderpriority, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue "
             "FROM customer JOIN orders ON c_custkey = o_custkey "
             "JOIN lineitem ON l_orderkey = o_orderkey "
             "WHERE c_mktsegment = 'BUILDING' "
@@ -926,12 +1055,59 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q5_region_volume": (
             "SELECT n_name, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue "
             "FROM customer, orders, lineitem, supplier, nation, region "
             "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
             "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
             "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
             "AND r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"
+        ),
+        "q6_forecast_revenue": (
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "q10_returned_items": (
+            "SELECT c_custkey, c_name, c_acctbal, n_name, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "(1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue "
+            "FROM lineitem, orders, customer, nation "
+            "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey "
+            "AND c_nationkey = n_nationkey AND l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "q12_priority_lines": (
+            "SELECT l_linestatus, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS high_line_count, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS low_line_count "
+            "FROM lineitem, orders WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY l_linestatus"
+        ),
+        "q14_promo_share": (
+            "SELECT round(100.0 * "
+            "sum(CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / "
+            "sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct "
+            "FROM lineitem, part WHERE l_partkey = p_partkey "
+            "AND l_shipdate >= TIMESTAMP '1996-03-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01'"
+        ),
+        "q18_large_orders": (
+            "WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty "
+            "FROM lineitem GROUP BY l_orderkey "
+            "HAVING round(sum(l_quantity), 2) > 150) "
+            "SELECT c_custkey, c_name, o_orderkey, o_orderdate, "
+            "round(o_totalprice, 2) AS o_totalprice, sum_qty "
+            "FROM big, orders, customer "
+            "WHERE o_orderkey = l_orderkey AND o_custkey = c_custkey"
         ),
         "f1_explode_carry": (
             "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) "

@@ -24,8 +24,15 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # warm up the JVM + parquet footer caches with a trivial action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm up the JVM, file-listing and parquet-footer caches so the
+    # timed queries measure steady-state execution, not first-touch
+    # metadata costs
+    for t in (
+        "region nation customer supplier part orders lineitem documents"
+    ).split():
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
     headline = [
         "q1_pricing_summary",
