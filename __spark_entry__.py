@@ -288,6 +288,29 @@ def _q5_region_volume(spark, sf_dir):
     )
 
 
+def _s1_glob_source(spark, sf_dir):
+    """S1: one row per file matching a glob (reference get_paths) —
+    distributed listing via the binaryFile source, content column
+    pruned at the scan."""
+    from task_on_dataframes_spark.sources.readers import glob_source
+
+    paths = glob_source(spark, f"{sf_dir}/*.parquet", out="path")
+    return paths.select(
+        F.regexp_replace("path", "^file:(//)?", "").alias("path")
+    )
+
+
+def _s2_whole_file_read(spark, sf_dir):
+    """S2: whole-file contents beside the path (reference get_text);
+    here the byte length stands in for content equality with the
+    oracle's read_blob."""
+    df = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return df.select(
+        F.regexp_replace("path", "^file:(//)?", "").alias("path"),
+        F.length("content").alias("n_bytes"),
+    )
+
+
 def _q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: pure scan+filter+agg — the pushdown showcase
     (all three predicates reach the parquet scan)."""
@@ -789,6 +812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_region_volume": _q5_region_volume,
+        "s1_glob_source": _s1_glob_source,
+        "s2_whole_file_read": _s2_whole_file_read,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q10_returned_items": _q10_returned_items,
         "q12_priority_lines": _q12_priority_lines,
@@ -1061,6 +1086,14 @@ def oracle_sql() -> dict[str, str]:
             "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
             "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
             "AND r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"
+        ),
+        "s1_glob_source": (
+            "SELECT file AS path "
+            "FROM glob('/root/testdata/sf0.01/*.parquet')"
+        ),
+        "s2_whole_file_read": (
+            "SELECT filename AS path, size AS n_bytes "
+            "FROM read_blob('/root/testdata/sf0.01/*.parquet')"
         ),
         "q6_forecast_revenue": (
             "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "

@@ -11,6 +11,7 @@ semantics window functions can't express incrementally.
 from .events import (
     events_stream,
     hourly_counts_stream,
+    sliding_counts_stream,
     sessionize_stream,
     run_available_now,
 )

@@ -100,6 +100,31 @@ def hourly_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    length: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding windowed counts + sums per event type. State is bounded
+    by (watermark horizon / slide) x groups — each event contributes to
+    length/slide windows, all keyed."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", length, slide).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

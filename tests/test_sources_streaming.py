@@ -109,6 +109,26 @@ def test_streaming_hourly_counts_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+def test_streaming_sliding_counts_matches_batch(spark, tmp_path):
+    from task_on_dataframes_spark.streaming import (
+        events_stream,
+        run_available_now,
+        sliding_counts_stream,
+    )
+
+    src = "/root/testdata/sf0.001"
+    stream = sliding_counts_stream(events_stream(spark, f"{src}/events.parquet"))
+    run_available_now(stream, "sliding_mem", str(tmp_path / "ckpt3"))
+    got = spark.sql(
+        "SELECT win_start, event_type, n, sum_value FROM sliding_mem"
+    ).collect()
+
+    import __spark_entry__ as entrymod
+
+    want = entrymod._ev_sliding_agg(spark, src).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_streaming_sessionize_runs_stateful(spark, tmp_path):
     from task_on_dataframes_spark.streaming import (
         events_stream,
