@@ -21,7 +21,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -88,6 +90,70 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Resize pass over mapInPandas. The pixel resample is STUBBED
+    (payload truncated/padded to width*height bytes, deterministic);
+    the real kernel drops into the same batch loop. Pure map — no
+    shuffle, scales with input splits."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(
+                        lambda b: bytes(b[:target]).ljust(target, b"\0")
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dims: int = 16) -> DataFrame:
+    """Feature extraction over mapInPandas: a DETERMINISTIC FAKE
+    embedding (normalized byte histogram folded to ``dims`` buckets)
+    standing in for a vision/audio encoder. The output column is
+    ``array<float>`` — directly consumable by the similarity/dedup
+    operators (cosine_topk, embedding_lsh_pairs)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr % dims, minlength=dims).astype("float32")
+                total = hist.sum() or 1.0
+                feats.append((hist / total).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return media.mapInPandas(batches, FEATURES_SCHEMA)
 
 
 def sample_frames(decoded: DataFrame, every: int = 1) -> DataFrame:

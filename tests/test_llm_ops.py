@@ -92,6 +92,35 @@ def test_multimodal_plumbing_batches(spark, sf_dir):
     assert frames.count() == n_frames_total
 
 
+def test_multimodal_resize_and_features_feed_similarity(spark, sf_dir):
+    from task_on_dataframes_spark.operators.multimodal import (
+        extract_features,
+        make_media_table,
+        resize_media,
+    )
+    from task_on_dataframes_spark.operators.similarity import cosine_topk
+
+    media = make_media_table(_docs(spark, sf_dir)).limit(50)
+    small = resize_media(media, width=8, height=8)
+    rows = small.limit(3).collect()
+    assert all(len(bytes(r["payload"])) == 64 for r in rows)
+    assert all((r["width"], r["height"]) == (8, 8) for r in rows)
+
+    feats = extract_features(media, dims=16)
+    f0 = feats.limit(1).collect()[0]
+    assert len(f0["features"]) == 16
+    assert abs(sum(f0["features"]) - 1.0) < 1e-5  # normalized histogram
+    # array<float> plugs straight into the similarity operators
+    corpus = feats.select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    q = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk(corpus, q, k=3)
+    assert top.count() == 6
+
+
 def test_langid_mostly_english_vocab(spark, sf_dir):
     from task_on_dataframes_spark.operators.textstats import lang_id
 
