@@ -439,6 +439,16 @@ def _f1_explode_carry(spark, sf_dir):
     )
 
 
+def _f2_word_boundary_split(spark, sf_dir):
+    """F2: split at regex word boundaries (reference tokenize,
+    basic_tasks.py:60 — str.split(r'\\b')), keeping word pieces."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\b")).alias("piece"),
+    ).filter(F.col("piece").rlike(r"^\w"))
+
+
 def _f_string_funcs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -820,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": _q14_promo_share,
         "q18_large_orders": _q18_large_orders,
         "f1_explode_carry": _f1_explode_carry,
+        "f2_word_boundary_split": _f2_word_boundary_split,
         "f_string_funcs": _f_string_funcs,
         "f_json_extract": _f_json_extract,
         "ev_hourly_agg": _ev_hourly_agg,
@@ -1145,6 +1156,12 @@ def oracle_sql() -> dict[str, str]:
         "f1_explode_carry": (
             "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) "
             "AS token FROM documents"
+        ),
+        "f2_word_boundary_split": (
+            # Java split-at-\b keeping word-leading pieces == the
+            # maximal \w+ runs, which RE2 extracts directly
+            "SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) "
+            "AS piece FROM documents"
         ),
         "f_string_funcs": (
             "SELECT doc_id, upper(lang) AS lang_up, length(text) AS text_len, "
