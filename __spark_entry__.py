@@ -789,6 +789,31 @@ def _text_tfidf(spark, sf_dir):
     return tfidf_top_terms(docs, "doc_id", "text", k=3)
 
 
+def _text_chunk(spark, sf_dir):
+    from task_on_dataframes_spark.operators.text import chunk_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_text(docs, "doc_id", "text", chunk_tokens=64)
+
+
+def _sql_exists_subquery(spark, sf_dir):
+    """The SQL entry point: EXISTS decorrelates to a left-semi join
+    (same plan the DataFrame API produces)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM v_orders
+        WHERE EXISTS (
+            SELECT 1 FROM v_lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity > 45
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 def _ann_ivf_topk(spark, sf_dir):
     from task_on_dataframes_spark.operators.similarity import ivf_ann_topk
 
@@ -858,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_distinct_agg": _a3_distinct_agg,
         "a4_rollup": _a4_rollup,
         "text_tfidf": _text_tfidf,
+        "text_chunk": _text_chunk,
+        "sql_exists_subquery": _sql_exists_subquery,
         "ann_ivf_topk": _ann_ivf_topk,
     }
 
@@ -1369,6 +1396,21 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(l_linestatus, 'ALL') AS status, "
             "count(*) AS n, round(sum(l_quantity), 4) AS sum_qty "
             "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "text_chunk": (
+            "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts "
+            "FROM documents) "
+            "SELECT doc_id, CAST(i.i AS INT) AS chunk_id, "
+            "array_to_string(ts[i.i * 64 + 1 : i.i * 64 + 64], ' ') AS chunk, "
+            "CAST(least(len(ts) - i.i * 64, 64) AS INT) AS n_tokens "
+            "FROM t, LATERAL unnest(generate_series(0, "
+            "CAST(ceil(len(ts) / 64.0) AS INT) - 1)) AS i(i)"
+        ),
+        "sql_exists_subquery": (
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
+            "GROUP BY o_orderpriority"
         ),
         "text_tfidf": (
             "WITH toks AS (SELECT doc_id, "

@@ -182,6 +182,47 @@ def top_mass_filter(
     return df.join(F.broadcast(top), on=[col], how="left_semi")
 
 
+def chunk_text(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    out: str = "chunk",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks — the standard
+    pre-training/RAG chunker. One row per (doc, chunk) with the chunk
+    text rebuilt and its token count.
+
+    All native expressions: split once, slice the token array per chunk
+    (no per-token explode+regroup shuffle — the chunk boundaries are
+    arithmetic on the array), then explode one row per chunk. Zero
+    shuffles; scales with input splits.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+            ).alias("text"),
+            F.least(n - i * chunk_tokens, F.lit(chunk_tokens)).alias(
+                "n_tokens"
+            ),
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    ).select(
+        F.col(id_col),
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.text").alias(out),
+        F.col("__c.n_tokens").alias("n_tokens"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     id_col: str,
