@@ -46,12 +46,14 @@ def register_document_tasks(
 
     * ``get_docs``      — () -> [docs.id, docs.text]  (parquet scan)
     * ``get_lines``     — (.+)\\.text -> {x}.lines    (newline split+explode)
+    * ``get_from``      — (.+)\\.lines -> {x}.lines.from (From:-prefix
+      matches beside the originals, non-matches NULL)
     * ``tokenize``      — (.+\\.text)\\Z -> sample_ind, {x}.tokens
     * ``tokenize_clean``— sample_ind, (.+)\\.tokens -> sample_ind, {x}.clean_tokens
     * ``counts``        — (.+) -> {x}.counts, {x}     (generic group-by count)
     * ``top90``         — (.+\\.clean_tokens)\\Z + {x},{x}.counts -> {x}.top90
     """
-    registry = registry or TaskRegistry()
+    registry = TaskRegistry() if registry is None else registry
 
     @new_task(registry=registry)
     @makes(["docs.id", "docs.text"], appends=False)
@@ -72,6 +74,20 @@ def register_document_tasks(
         return x.select(
             F.col(quoted(src)),
             F.explode(F.split(F.col(quoted(src)), r"\r?\n")).alias(expects[0][1]),
+        )
+
+    @new_task(registry=registry)
+    @requires([pat(r"(.+)\.lines")], arg="x")
+    @makes([r"{x}.lines.from"])
+    @close_task()
+    def get_from(x, expects):
+        # reference get_from (basic_tasks.py:43-51): matching lines
+        # appear in the new column, non-matches stay NULL *beside* the
+        # originals (left-join-back semantics, here one select)
+        src = x.columns[0]
+        c = F.col(quoted(src))
+        return x.select(
+            c, F.when(c.startswith("From:"), c).alias(expects[0][1])
         )
 
     @new_task(registry=registry)

@@ -39,7 +39,7 @@ class BrowseState:
     ):
         self.files = list(files)
         self.actions = list(actions or [])
-        self.registry = registry or default_registry
+        self.registry = default_registry if registry is None else registry
 
     # -- codec ---------------------------------------------------------
     def to_url_q(self) -> str:

@@ -82,7 +82,7 @@ def new_task(name: Optional[str] = None, registry: Optional[TaskRegistry] = None
             pass_extra=getattr(f, _EXTRA_ATTR, None),
             ref=f.__name__,
         )
-        (registry or default_registry).register(task)
+        (default_registry if registry is None else registry).register(task)
         f.__doc__ = "\n".join([f"Task: {name or f.__name__}", f.__doc__ or ""])
 
         @functools.wraps(f)
@@ -112,7 +112,7 @@ class temporary_tasks:
     """
 
     def __init__(self, registry: Optional[TaskRegistry] = None):
-        self.registry = registry or default_registry
+        self.registry = default_registry if registry is None else registry
 
     def __enter__(self) -> TaskRegistry:
         self._snap = self.registry.snapshot()

@@ -92,7 +92,7 @@ def _returns_groups(returns: Sequence[RetArg]) -> List[FrozenSet[str]]:
 def actions_given_state(
     state: State, registry: Optional[TaskRegistry] = None
 ) -> List[Action]:
-    registry = registry or default_registry
+    registry = default_registry if registry is None else registry
     state_vars = set(state.Vars)
     have = _have_vars(state)
 
@@ -151,7 +151,7 @@ class TaskProblem:
         registry: Optional[TaskRegistry] = None,
     ):
         self.goal = [list(g) for g in goal]
-        self.registry = registry or default_registry
+        self.registry = default_registry if registry is None else registry
         self.initial_state = State(
             Vars=tuple(frozenset(v) for v in initial_vars), Tasks=()
         )
@@ -236,7 +236,7 @@ def perform_actions(
     Frames stay lazy on Spark — nothing materializes here."""
     from ..runtime import call_task  # late import: keep planner Spark-free
 
-    registry = registry or default_registry
+    registry = default_registry if registry is None else registry
     current: List = list(sources)
     for action in actions:
         task = registry[action.Task]

@@ -62,6 +62,42 @@ def test_top_mass_filter_keeps_at_most_fraction(spark, sf_dir):
     assert kept <= 0.9 * total  # cumsum cut is strictly below the fraction
 
 
+def test_get_from_keeps_nonmatches_null_beside_originals(spark):
+    """Reference get_from semantics (basic_tasks.py:43-51): matching
+    lines land in the new column, non-matches stay NULL, every original
+    row survives — reached through the planner."""
+    import re
+
+    import task_on_dataframes_spark as tada
+    from pyspark.sql import functions as F
+
+    reg = tada.TaskRegistry()
+    text = "From: alice\nhello\nFrom: bob\nbye"
+
+    @tada.new_task(registry=reg)
+    @tada.makes(["docs.text"], appends=False)
+    @tada.close_task()
+    def src(expects):
+        return spark.createDataFrame([(text,)], ["docs.text"])
+
+    from task_on_dataframes_spark.basic_tasks import register_document_tasks
+
+    register_document_tasks(spark, "/root/testdata/sf0.001", registry=reg)
+    # get_lines' (.+)\.text captures the prefix 'docs', so the
+    # lineage columns are docs.lines / docs.lines.from
+    out = tada.solve_goal(
+        [], ["docs.lines", "docs.lines.from"], registry=reg
+    )
+    rows = out.select("`docs.lines`", "`docs.lines.from`").collect()
+    got = {r[0]: r[1] for r in rows}
+    assert got == {
+        "From: alice": "From: alice",
+        "hello": None,
+        "From: bob": "From: bob",
+        "bye": None,
+    }
+
+
 def test_reindex_null_fill_on_spark(spark, sf_dir):
     import warnings
 
