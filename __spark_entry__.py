@@ -572,6 +572,21 @@ def _dedup_simhash(spark, sf_dir):
     return simhash_pairs(fps, max_hamming=3)
 
 
+def _dedup_components(spark, sf_dir):
+    """Near-dup clusters: simhash pair graph -> connected components ->
+    (member, representative=min doc_id). The iterative min-label
+    propagation is the Spark side; the oracle is a recursive CTE."""
+    from task_on_dataframes_spark.operators.dedup import (
+        connected_components,
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(simhash_fingerprints(docs, "doc_id", "text"), max_hamming=3)
+    return connected_components(pairs, src="a", dst="b")
+
+
 def _dedup_embedding_cosine(spark, sf_dir):
     from task_on_dataframes_spark.operators.dedup import embedding_cosine_pairs
 
@@ -865,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_simhash": _dedup_simhash,
+        "dedup_components": _dedup_components,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -1213,6 +1229,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle(16, 4, 0.5),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(3, 0.5, 50),
         "dedup_simhash": _simhash_oracle(32, 3),
+        "dedup_components": (
+            "WITH RECURSIVE pairs AS ({pairs_sql}), "
+            "sym AS (SELECT a AS u, b AS v FROM pairs "
+            "UNION SELECT b AS u, a AS v FROM pairs), "
+            "walk(node, label) AS ("
+            "SELECT DISTINCT u, u FROM sym "
+            "UNION "
+            "SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.node) "
+            "SELECT node AS member, min(label) AS rep FROM walk GROUP BY node"
+        ).format(pairs_sql=_simhash_oracle(bits=32, max_hamming=3)),
         "dedup_embedding_cosine": (
             "SELECT * FROM ("
             "SELECT a.vec_id AS a, b.vec_id AS b, "
@@ -1240,6 +1266,48 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings WHERE vec_id < 10), "
             f"s AS (SELECT q.query_id, c.vec_id, {_COS} AS cos "
             "FROM c, q WHERE q.query_id != c.vec_id), "
+            "r AS (SELECT query_id, vec_id, cos, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s) "
+            "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
+            "FROM r WHERE rank <= 10"
+        ),
+        "ann_lsh_topk": (
+            "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+            + _hyperplane_bucket_sql("(embedding::DOUBLE[])", 64, 8)
+            + " AS bucket FROM embeddings), "
+            "q AS (SELECT vec_id AS query_id, v, bucket FROM c WHERE vec_id < 10), "
+            f"s AS (SELECT q.query_id, c.vec_id, {_COS} AS cos "
+            "FROM c JOIN q ON c.bucket = q.bucket "
+            "WHERE q.query_id != c.vec_id), "
+            "r AS (SELECT query_id, vec_id, cos, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s) "
+            "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
+            "FROM r WHERE rank <= 10"
+        ),
+        "ann_ivf_topk": (
+            "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "cent AS (SELECT vec_id AS cid, v AS cv FROM c ORDER BY vec_id LIMIT 16), "
+            "assign AS (SELECT c.vec_id, c.v, cent.cid, "
+            "round(list_dot_product(c.v, cent.cv) / "
+            "(sqrt(list_dot_product(c.v, c.v)) * "
+            "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS sim "
+            "FROM c, cent), "
+            "member AS (SELECT vec_id, v, cid FROM ("
+            "SELECT vec_id, v, cid, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM assign) "
+            "WHERE rn = 1), "
+            "qa AS (SELECT vec_id AS query_id, v, cid, sim FROM assign "
+            "WHERE vec_id < 10), "
+            "probes AS (SELECT query_id, v, cid FROM ("
+            "SELECT query_id, v, cid, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, cid ASC) AS pr FROM qa) "
+            "WHERE pr <= 4), "
+            "s AS (SELECT p.query_id, m.vec_id, "
+            "round(list_dot_product(p.v, m.v) / "
+            "(sqrt(list_dot_product(p.v, p.v)) * "
+            "sqrt(list_dot_product(m.v, m.v))), 5) AS cos "
+            "FROM member m JOIN probes p ON m.cid = p.cid "
+            "WHERE p.query_id != m.vec_id), "
             "r AS (SELECT query_id, vec_id, cos, row_number() OVER "
             "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s) "
             "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "

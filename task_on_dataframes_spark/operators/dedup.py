@@ -333,6 +333,65 @@ def embedding_cosine_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph by
+    iterative min-label propagation: every node ends up labeled with
+    the smallest node id in its component (the canonical
+    representative for keep-one dedup).
+
+    The loop is driver-coordinated (like GraphFrames): each iteration
+    is one keyed join + aggregation, and every iterate is
+    ``localCheckpoint``-ed — without the lineage cut, iteration N's
+    plan would embed N copies of the upstream pair-generation tree and
+    the driver dies re-optimizing it. Convergence is a count of
+    changed labels; iterations = graph diameter, small for near-dup
+    clusters. Data volume per iteration never exceeds |V| + |E|.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.u == labels.node)
+            .groupBy(F.col("v").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("member"), F.col("label").alias("rep"))
+
+
 def embedding_lsh_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -92,6 +92,17 @@ def test_multimodal_plumbing_batches(spark, sf_dir):
     assert frames.count() == n_frames_total
 
 
+def test_connected_components_labels_min_id(spark):
+    from task_on_dataframes_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11}, edge list directionless
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], "a long, b long"
+    )
+    out = {r["member"]: r["rep"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_multimodal_resize_and_features_feed_similarity(spark, sf_dir):
     from task_on_dataframes_spark.operators.multimodal import (
         extract_features,
