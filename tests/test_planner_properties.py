@@ -80,6 +80,44 @@ def test_browse_codec_roundtrips_any_action(cols, req_index):
     )
 
 
+@settings(deadline=None, max_examples=60)
+@given(
+    st.dictionaries(
+        st.integers(0, 2),
+        st.lists(names, min_size=0, max_size=5, unique=True),
+        max_size=3,
+    )
+)
+def test_unification_invariants_hold_for_any_have_set(have):
+    """Every satisfying call must: bind each (frame,col) at most once,
+    keep all of one arg's requirements in a single frame, bind vars
+    that actually match their column, and fully resolve templates."""
+    from task_on_dataframes_spark.plans.task import Task
+    from task_on_dataframes_spark.plans.unify import TaskCaller
+    from task_on_dataframes_spark.plans.variable import Variable
+
+    task = Task(
+        name="fuzz",
+        requires=[
+            ("x", Variable(re.compile(r"(.+)"))),
+            ("x", Variable(re.compile(r"(.+)\.b\Z"))),
+            ("y", Variable("{x.1.0}.c")),
+        ],
+        generates=[(None, "{x.1}.out"), (1, "{x}.pos")],
+    )
+    calls = list(TaskCaller(have, task).satisfy())
+    for bindings, returns in calls:
+        cells = [(b.frame, b.column) for b in bindings]
+        assert len(cells) == len(set(cells))
+        for arg in ("x", "y"):
+            frames = {b.frame for b in bindings if b.arg == arg}
+            assert len(frames) <= 1
+        for b in bindings:
+            assert b.var.matches(b.column) is not None
+        for _, name in returns:
+            assert "{" not in name
+
+
 @settings(deadline=None, max_examples=25)
 @given(
     st.lists(
