@@ -292,18 +292,27 @@ def simhash_pairs(
     )
 
 
-def cosine(va: Column, vb: Column) -> Column:
-    """Double-precision cosine similarity of two array<double> columns;
-    sequential fold — bit-identical with DuckDB's list_dot_product on
-    DOUBLE[] (verified)."""
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+def dot(x: Column, y: Column) -> Column:
+    """Sequential-fold dot product — bit-identical with DuckDB's
+    list_dot_product on DOUBLE[]."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
-    return dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb)))
+
+def norm(v: Column) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def cosine(va: Column, vb: Column) -> Column:
+    """Double-precision cosine similarity of two array<double> columns.
+    In pairwise operators prefer precomputing :func:`norm` per ROW and
+    using ``dot(va,vb)/(na*nb)`` — same arithmetic (so oracle results
+    are bit-identical), but each vector's own norm is computed once
+    instead of once per pair."""
+    return dot(va, vb) / (norm(va) * norm(vb))
 
 
 def embedding_cosine_pairs(
@@ -319,15 +328,21 @@ def embedding_cosine_pairs(
     :mod:`.similarity` which is the 100 TB path.
     """
     a = emb.select(
-        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
-    )
+        F.col(id_col).alias("a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    ).withColumn("na", norm(F.col("va")))
     b = emb.select(
-        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
-    )
+        F.col(id_col).alias("b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    ).withColumn("nb", norm(F.col("vb")))
     return (
         a.join(b, F.col("a") < F.col("b"))
         .select(
-            "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 5).alias("cos")
+            "a",
+            "b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 5
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

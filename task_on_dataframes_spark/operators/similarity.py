@@ -17,7 +17,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine
+from .dedup import cosine, dot, norm
 from .hashing import perm_coeffs, MERSENNE_P
 
 
@@ -38,17 +38,19 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vc"),
-    )
+    ).withColumn("nc", norm(F.col("vc")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("vq"),
-    )
+    ).withColumn("nq", norm(F.col("vq")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("vq"), F.col("vc")), 5).alias("cos"),
+            F.round(
+                dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc")), 5
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -94,18 +96,24 @@ def lsh_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vc"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("vc"), dims, planes))
+    ).withColumn("bucket", hyperplane_bucket(F.col("vc"), dims, planes)).withColumn(
+        "nc", norm(F.col("vc"))
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("vq"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("vq"), dims, planes))
+    ).withColumn("bucket", hyperplane_bucket(F.col("vq"), dims, planes)).withColumn(
+        "nq", norm(F.col("vq"))
+    )
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("vq"), F.col("vc")), 5).alias("cos"),
+            F.round(
+                dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc")), 5
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -177,12 +185,15 @@ def ivf_ann_topk(
         .select("query_id", "vq", "cid")
     )
     scored = (
-        member.join(F.broadcast(probes), on="cid")
+        member.withColumn("nc", norm(F.col("vc")))
+        .join(F.broadcast(probes.withColumn("nq", norm(F.col("vq")))), on="cid")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("vq"), F.col("vc")), 5).alias("cos"),
+            F.round(
+                dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc")), 5
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
