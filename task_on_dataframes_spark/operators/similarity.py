@@ -62,6 +62,69 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k via numpy GEMM inside ``mapInPandas`` — the
+    vectorized-UDF fast path for exact search: each Arrow batch of
+    corpus vectors is one matrix multiply against the broadcast query
+    matrix (BLAS), ~10-100x the per-pair expression fold. Results can
+    differ from :func:`cosine_topk` in the last float ulp (BLAS sums
+    pairwise, the expression folds sequentially), so this variant is
+    for throughput, not oracle-exact replay.
+
+    Scale shape: queries broadcast once per executor via a plain
+    closure; corpus streams through in batches; per-query global top-k
+    is a tiny keyed aggregation over per-batch top-k candidates.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    ).collect()
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    q_mat = np.array([r["vq"] for r in q_rows])  # (Q, D)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    schema = "query_id long, vec_id long, cos double"
+
+    def batches(it):
+        for pdf in it:
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.stack(pdf["vc"].to_numpy())  # (N, D)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_mat.T  # (N, Q) — one GEMM per Arrow batch
+            out = {"query_id": [], "vec_id": [], "cos": []}
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                keep = min(k + 1, len(col))  # +1 to survive self-match drop
+                top = np.argpartition(-col, keep - 1)[:keep]
+                out["query_id"].extend([q_ids[qi]] * len(top))
+                out["vec_id"].extend(ids[top])
+                out["cos"].extend(np.round(col[top], 5))
+            yield pd.DataFrame(out)
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vc"),
+    )
+    candidates = c.mapInPandas(batches, schema).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _plane_sign(plane: int, dim: int) -> int:
     """Deterministic +-1 entry (plane, dim) of the hyperplane matrix."""
     a, b = perm_coeffs(plane)
