@@ -288,6 +288,43 @@ def _q5_region_volume(spark, sf_dir):
     )
 
 
+def _a5_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+    )
+
+
+def _a6_stats(spark, sf_dir):
+    """Statistical aggregates: correlation, sample covariance/stddev."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+    )
+
+
+def _p7_pivot(spark, sf_dir):
+    """Pivot: linestatus columns per returnflag row (explicit value
+    list so the plan is one pass, no distinct-values pre-query)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+        )
+    )
+
+
 def _s1_glob_source(spark, sf_dir):
     """S1: one row per file matching a glob (reference get_paths) —
     distributed listing via the binaryFile source, content column
@@ -898,6 +935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _set_ops,
         "a3_distinct_agg": _a3_distinct_agg,
         "a4_rollup": _a4_rollup,
+        "a5_percentiles": _a5_percentiles,
+        "a6_stats": _a6_stats,
+        "p7_pivot": _p7_pivot,
         "text_tfidf": _text_tfidf,
         "text_chunk": _text_chunk,
         "sql_exists_subquery": _sql_exists_subquery,
@@ -1464,6 +1504,26 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(l_linestatus, 'ALL') AS status, "
             "count(*) AS n, round(sum(l_quantity), 4) AS sum_qty "
             "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "a5_percentiles": (
+            "SELECT l_returnflag, "
+            "round(quantile_cont(l_extendedprice, 0.25), 4) AS p25, "
+            "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
+            "round(quantile_cont(l_extendedprice, 0.75), 4) AS p75 "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "a6_stats": (
+            "SELECT l_returnflag, "
+            "round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, "
+            "round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price, "
+            "round(stddev_samp(l_quantity), 4) AS sd_qty "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "p7_pivot": (
+            "SELECT l_returnflag, "
+            "sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f, "
+            "sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "text_chunk": (
             "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts "

@@ -95,6 +95,28 @@ def test_sessionize_windows_are_partitioned_by_user(spark, sf_dir, queries):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
+    """Hive-partitioned writes enable partition pruning: a filter on the
+    partition column must appear as PartitionFilters and prune the file
+    listing, never scan-and-filter."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    orders.write.partitionBy("order_year").mode("overwrite").parquet(out)
+
+    one_year = spark.read.parquet(out).filter(F.col("order_year") == 1996)
+    plan = _physical(one_year)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "order_year" in m.group(1), plan
+    # the non-partition data filters list must NOT contain the year
+    d = re.search(r"DataFilters: \[([^\]]*)\]", plan)
+    assert d is None or "order_year" not in d.group(1)
+    assert one_year.count() > 0
+
+
 def test_whole_stage_codegen_covers_hot_path(spark, sf_dir, queries):
     # codegen spans only materialize in the final AQE plan, post-execution
     df = queries["q1_pricing_summary"](spark, sf_dir)
