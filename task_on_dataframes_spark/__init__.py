@@ -23,6 +23,8 @@ the reference can switch with minimal changes::
     frames = tada.Executor([df], [["doc.multiline.lines"]])
 """
 
+from . import view
+from .introspect import plan_facts
 from .plans.variable import Variable, set_ignore_case
 from .runtime import quoted, spark_col, reindex_frame, append_join_back
 from .plans.task import Task, TaskRegistry, default_registry, tasks
@@ -41,6 +43,8 @@ from .plans.solve import (
 )
 
 __all__ = [
+    "view",
+    "plan_facts",
     "quoted",
     "spark_col",
     "reindex_frame",

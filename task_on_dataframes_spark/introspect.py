@@ -13,16 +13,17 @@ own pipelines' scale contracts::
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List
+from typing import TYPE_CHECKING, Any, Dict, List
 
-from pyspark.sql import DataFrame
+if TYPE_CHECKING:  # keep the package importable without a JVM
+    from pyspark.sql import DataFrame
 
 
-def physical_plan(df: DataFrame) -> str:
+def physical_plan(df: "DataFrame") -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def plan_facts(df: DataFrame) -> Dict[str, Any]:
+def plan_facts(df: "DataFrame") -> Dict[str, Any]:
     """Summarize the scale-relevant facts of a DataFrame's physical
     plan."""
     plan = physical_plan(df)

@@ -15,7 +15,9 @@ from __future__ import annotations
 import html
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from typing import TYPE_CHECKING
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
 
 PAGE_SIZE = 50
 
