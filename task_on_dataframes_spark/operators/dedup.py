@@ -171,6 +171,11 @@ def minhash_lsh_pairs(
         toks = _word_ngrams(df, id_col, text_col, shingle_n)
     else:
         toks = _tokens(df, id_col, text_col)
+    # the shingle table has four consumers (signatures, both sides of
+    # the verification join, sizes): persist it so the corpus is
+    # shingled once — the staging step every large-scale dedup pipeline
+    # pays (MEMORY_AND_DISK, spills instead of recomputing)
+    toks = toks.persist()
     sigs = minhash_signatures(toks, num_perm)
     keys = lsh_band_keys(sigs, num_perm, bands)
     ka = keys.select(F.col("did").alias("a"), "band", "key")
@@ -196,7 +201,7 @@ def ngram_jaccard_pairs(
     on *shared shingles*, after dropping shingles present in more than
     ``max_df`` documents (frequency cut: ubiquitous shingles pair
     everything with everything and carry no signal)."""
-    grams = _word_ngrams(df, id_col, text_col, n)
+    grams = _word_ngrams(df, id_col, text_col, n).persist()
     rare = (
         grams.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
