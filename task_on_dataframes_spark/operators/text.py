@@ -198,7 +198,7 @@ def chunk_text(
     arithmetic on the array), then explode one row per chunk. Zero
     shuffles; scales with input splits.
     """
-    toks = F.split(F.col(text_col), r"\s+")
+    toks = F.split(_c(text_col), r"\s+")
     n = F.size(toks)
     n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
     chunks = F.transform(
@@ -214,9 +214,9 @@ def chunk_text(
         ),
     )
     return docs.select(
-        F.col(id_col), F.explode(chunks).alias("__c")
+        _c(id_col), F.explode(chunks).alias("__c")
     ).select(
-        F.col(id_col),
+        _c(id_col),
         F.col("__c.chunk_id").alias("chunk_id"),
         F.col("__c.text").alias(out),
         F.col("__c.n_tokens").alias("n_tokens"),
