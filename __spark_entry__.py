@@ -367,6 +367,84 @@ def _q6_forecast_revenue(spark, sf_dir):
     )
 
 
+def _q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume by year — self-aliased
+    nation dim joined twice (both broadcast), disjunctive nation-pair
+    predicate, decimal-exact revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(vol), 2).cast("double").alias("revenue"))
+    )
+
+
+def _q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share = conditional revenue
+    ratio per year over a 7-table join (dims broadcast; exact decimal
+    numerator/denominator, ratio in double)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol)).cast(
+                    "double"
+                )
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
 def _q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -902,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_glob_source": _s1_glob_source,
         "s2_whole_file_read": _s2_whole_file_read,
         "q6_forecast_revenue": _q6_forecast_revenue,
+        "q7_nation_volume": _q7_nation_volume,
+        "q8_market_share": _q8_market_share,
         "q10_returned_items": _q10_returned_items,
         "q12_priority_lines": _q12_priority_lines,
         "q14_promo_share": _q14_promo_share,
@@ -1194,6 +1274,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
             "AND l_shipdate < TIMESTAMP '1997-01-01' "
             "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "q7_nation_volume": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS INT) AS l_year, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue "
+            "FROM lineitem, orders, customer, supplier, nation n1, nation n2 "
+            "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey "
+            "AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey "
+            "AND c_nationkey = n2.n_nationkey "
+            "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "q8_market_share": (
+            "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+            "round(CAST(sum(CASE WHEN n2.n_name = 'NATION_2' THEN "
+            "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) / "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) "
+            "AS mkt_share "
+            "FROM lineitem, orders, customer, supplier, part, "
+            "nation n1, nation n2, region "
+            "WHERE l_partkey = p_partkey AND p_type = 'PROMO' "
+            "AND l_orderkey = o_orderkey AND o_custkey = c_custkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = n1.n_nationkey "
+            "AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA' "
+            "AND s_nationkey = n2.n_nationkey "
+            "GROUP BY 1"
         ),
         "q10_returned_items": (
             "SELECT c_custkey, c_name, c_acctbal, n_name, "
