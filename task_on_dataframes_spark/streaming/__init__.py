@@ -9,6 +9,7 @@ semantics window functions can't express incrementally.
 """
 
 from .events import (
+    enrich_stream,
     events_stream,
     hourly_counts_stream,
     sliding_counts_stream,

@@ -208,6 +208,16 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
     )
 
 
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: the static dimension is joined to
+    every micro-batch (broadcast per batch — the static side never
+    shuffles the stream). AQE does not run on streams, so for a skewed
+    stream key use :mod:`..operators.skew` salting instead."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, checkpoint: str
 ) -> None:

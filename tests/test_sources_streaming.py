@@ -153,3 +153,41 @@ def test_streaming_sessionize_runs_stateful(spark, tmp_path):
 
     n_batch = entrymod._ev_sessionize(spark, src).count()
     assert 0 < n_closed <= n_batch
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from task_on_dataframes_spark.streaming import (
+        enrich_stream,
+        events_stream,
+        run_available_now,
+    )
+
+    src = "/root/testdata/sf0.001"
+    dim = spark.range(0, 2000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 5).alias("cohort")
+    )
+    stream = enrich_stream(
+        events_stream(spark, f"{src}/events.parquet"), dim, on="user_id"
+    ).select("event_id", "user_id", "cohort")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enriched_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM enriched_mem").collect()
+
+    import __spark_entry__ as entrymod
+
+    batch = (
+        entrymod._events(spark, src)
+        .join(F.broadcast(dim), on="user_id", how="left")
+        .select("event_id", "user_id", "cohort")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
