@@ -36,6 +36,48 @@ def test_distinct_count_2phase_matches_exact(spark):
     assert "hashpartitioning(k" in plan and ", v#" in plan
 
 
+def test_salted_agg_matches_plain_agg(spark):
+    from task_on_dataframes_spark.operators.skew import salted_agg
+
+    df = _skewed(spark)
+    got = {
+        (r["k"]): (r["s"], r["n"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            exprs_partial=[
+                F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+            ],
+            exprs_final=[
+                F.sum("s").alias("s"), F.sum("n").alias("n")
+            ],
+            n_salt=8,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["s"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_planner_terminates_fast_on_unsatisfiable_goal(spark, sf_dir):
+    import time
+
+    from task_on_dataframes_spark.basic_tasks import register_document_tasks
+    from task_on_dataframes_spark.plans.solve import find_path
+
+    reg = register_document_tasks(spark, sf_dir)
+    t0 = time.perf_counter()
+    path = find_path([], [["no.such.column.exists"]], registry=reg)
+    dt = time.perf_counter() - t0
+    assert path == []
+    # generic-task caps + visited-state memo keep the search bounded
+    assert dt < 10, f"unsatisfiable-goal search took {dt:.1f}s"
+
+
 def test_salted_join_matches_plain_join(spark):
     big = _skewed(spark)
     small = spark.createDataFrame(
