@@ -70,6 +70,19 @@ def to_csv(page_df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def palette(n: int) -> list:
+    """n visually-spread hex colors for UI row/series coloring — the
+    reference's extras_ui.py palettable helper, dependency-free (evenly
+    spaced hues at fixed saturation/lightness)."""
+    import colorsys
+
+    out = []
+    for i in range(max(n, 1)):
+        r, g, b = colorsys.hls_to_rgb((i / max(n, 1)) % 1.0, 0.6, 0.55)
+        out.append(f"#{int(r*255):02x}{int(g*255):02x}{int(b*255):02x}")
+    return out[:n]
+
+
 def download_name(df: DataFrame, suffix: str = ".csv") -> str:
     """The reference names downloads after the longest column name
     (serve_view_df.py:165-168)."""
