@@ -625,6 +625,26 @@ def _ev_sliding_agg(spark, sf_dir):
     )
 
 
+def _w4_moving_avg(spark, sf_dir):
+    """RANGE-frame window: per event type, trailing-hour value sum and
+    window population (event-time range, not row count). Decimal-exact
+    sum so the result is partitioning-independent; the division into a
+    mean is left to the caller (engines round quotients differently)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.sum(dec).over(w), 4).cast("double").alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+
+
 def _ev_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization: a new session starts after a
     >30min silence per user. Pure window functions — no UDF."""
@@ -1012,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_asof_join": _j6_asof_join,
         "j7_range_join": _j7_range_join,
         "w3_ranking": _w3_ranking,
+        "w4_moving_avg": _w4_moving_avg,
         "set_ops": _set_ops,
         "a3_distinct_agg": _a3_distinct_agg,
         "a4_rollup": _a4_rollup,
@@ -1559,6 +1580,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e CROSS JOIN "
             "(SELECT unnest(generate_series(0, 3)) AS k) k "
             "GROUP BY 1, 2"
+        ),
+        "w4_moving_avg": (
+            "SELECT event_id, event_type, "
+            "CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 4) "
+            "AS DOUBLE) AS trailing_sum, "
+            "count(*) OVER w AS n_window "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY event_type "
+            "ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
+            "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"
         ),
         "j6_asof_join": (
             "WITH c AS (SELECT event_id, user_id, ts FROM events "

@@ -142,6 +142,35 @@ def test_appends_carries_source_columns_plan_and_exec_agree():
         assert goal.sort_values("a")["a.up"].tolist() == ["P", "Q"]
 
 
+def test_multiple_goal_sets_must_all_be_satisfied():
+    """A build request is a list of goal column SETS — each must be
+    covered by some frame (reference: Executor(sources, build),
+    solve.py:93-102)."""
+    with tada.temporary_tasks():
+
+        @tada.new_task()
+        @tada.requires(["a"], arg="x")
+        @tada.makes(["a.up"], appends=False)
+        @tada.close_task()
+        def up(x, expects):
+            return x["a"].str.upper().rename(expects[0][1]).to_frame()
+
+        @tada.new_task()
+        @tada.requires(["a"], arg="x")
+        @tada.makes(["a.len"], appends=False)
+        @tada.close_task()
+        def ln(x, expects):
+            return x["a"].str.len().rename(expects[0][1]).to_frame()
+
+        src = pd.DataFrame({"a": ["xy", "z"]})
+        frames = tada.Executor([src], [["a.up"], ["a.len"]])
+        assert any("a.up" in f.columns for f in frames)
+        assert any("a.len" in f.columns for f in frames)
+        # an unsatisfiable member set fails the whole request
+        with pytest.raises(RuntimeError):
+            tada.Executor([src], [["a.up"], ["nope"]])
+
+
 def test_generic_task_cap_limits_reuse():
     with tada.temporary_tasks():
 
