@@ -133,6 +133,31 @@ def test_blas_topk_agrees_with_expression_topk(spark, sf_dir):
     assert len(exact & blas) >= 48
 
 
+def test_chunks_reassemble_to_original_tokens(spark):
+    """Chunking invariant: concatenating a doc's chunks in chunk_id
+    order reproduces the original token sequence, and every chunk but
+    the last is full."""
+    from task_on_dataframes_spark.operators.text import chunk_text
+
+    texts = [
+        ("a " * 130).strip(),       # 130 tokens -> 64 + 64 + 2
+        "one two three",            # shorter than a chunk
+        ("w " * 64).strip(),        # exactly one chunk
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = chunk_text(docs, "doc_id", "text", chunk_tokens=64).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        rows = by_doc[i]
+        assert " ".join(r["chunk"] for r in rows) == t
+        assert all(r["n_tokens"] == 64 for r in rows[:-1])
+        assert sum(r["n_tokens"] for r in rows) == len(t.split())
+
+
 def test_tfidf_prefers_rare_terms(spark):
     from task_on_dataframes_spark.operators.text import tfidf_top_terms
 
