@@ -25,7 +25,16 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from task_on_dataframes_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # size scan splits to the measured SF: aim for ~3 tasks per core on
+    # the largest table so single-file parquet still parallelizes;
+    # clamped to [4m, 128m] so cluster-scale inputs keep the default
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    biggest = max(
+        (os.path.getsize(os.path.join(sf_dir, f)) for f in os.listdir(sf_dir)),
+        default=0,
+    )
+    mpb = min(max(biggest // (3 * cpus), 4 << 20), 128 << 20)
+    spark = get_spark("bench", max_partition_bytes=str(mpb))
 
     # warm up the JVM, file-listing and parquet-footer caches so the
     # timed queries measure steady-state execution, not first-touch

@@ -18,11 +18,18 @@ def get_spark(
     app_name: str = "task_on_dataframes_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    max_partition_bytes: str | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    # scan-split size: the default 128m is right at cluster scale; for
+    # small benchmark SFs callers pass a smaller value so single-file
+    # tables still split across cores (see bench.py)
+    max_partition_bytes = max_partition_bytes or os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -35,6 +42,7 @@ def get_spark(
         # dimension tables (region/nation/customer/supplier/part at any
         # SF's dim scale) should broadcast, not shuffle
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
         # Arrow batches for any pandas_udf / applyInPandas path
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ui.retainedExecutions", "10")
