@@ -939,6 +939,19 @@ def _text_tfidf(spark, sf_dir):
     return tfidf_top_terms(docs, "doc_id", "text", k=3)
 
 
+def _sample_split(spark, sf_dir):
+    """Deterministic train/val/test split counts: hash-bucket labeling
+    so the split is reproducible across runs, engines, partitionings."""
+    from task_on_dataframes_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        assign_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _text_chunk(spark, sf_dir):
     from task_on_dataframes_spark.operators.text import chunk_text
 
@@ -1041,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_pivot": _p7_pivot,
         "text_tfidf": _text_tfidf,
         "text_chunk": _text_chunk,
+        "sample_split": _sample_split,
         "sql_exists_subquery": _sql_exists_subquery,
         "ann_ivf_topk": _ann_ivf_topk,
     }
@@ -1665,6 +1679,11 @@ def oracle_sql() -> dict[str, str]:
             "sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f, "
             "sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "sample_split": (
+            "WITH b AS (SELECT CAST(('0x' || substr(md5(CAST(('split:' || CAST(doc_id AS VARCHAR)) AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket FROM documents) "
+            "SELECT CASE WHEN bucket < 900 THEN 'train' WHEN bucket < 950 THEN 'val' WHEN bucket < 1000 THEN 'test' ELSE 'holdout' END AS split, "
+            "count(*) AS n FROM b GROUP BY 1"
         ),
         "text_chunk": (
             "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts "

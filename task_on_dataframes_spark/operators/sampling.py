@@ -1,0 +1,55 @@
+"""Deterministic sampling / dataset splitting.
+
+Training pipelines need *reproducible* splits — the same row must land
+in the same split on every run, on any cluster, at any parallelism.
+Random `df.sample()` can't promise that across engines/partitionings;
+hashing a stable key can: bucket = portable_hash(key, salt) % 1000,
+compare against per-mille thresholds. One narrow scan, no shuffle, no
+state; adding data later never moves existing rows between splits.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import hash32
+
+
+def split_bucket(key: Column, salt: str = "split") -> Column:
+    """Stable per-mille bucket (0..999) for a row key."""
+    return F.pmod(hash32(F.concat(F.lit(salt + ":"), key.cast("string"))), F.lit(1000))
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: Sequence[Tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Label every row with its split, by cumulative per-mille ranges
+    over the stable hash bucket. Fractions must sum to <= 1; any
+    remainder is labeled ``holdout``."""
+    bucket = split_bucket(F.col(key_col), salt)
+    expr = None
+    lo = 0
+    for name, frac in fractions:
+        hi = lo + int(round(frac * 1000))
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    assert lo <= 1000, "fractions exceed 1.0"
+    return df.withColumn(out, expr.otherwise("holdout"))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep a stable ``fraction`` of rows by key hash — same rows every
+    run, no shuffle, filter evaluated at the scan."""
+    return df.filter(
+        split_bucket(F.col(key_col), salt) < int(round(fraction * 1000))
+    )

@@ -92,6 +92,31 @@ def test_multimodal_plumbing_batches(spark, sf_dir):
     assert frames.count() == n_frames_total
 
 
+def test_deterministic_split_is_stable_and_disjoint(spark, sf_dir):
+    from task_on_dataframes_spark.operators.sampling import (
+        assign_split,
+        deterministic_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in assign_split(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in assign_split(docs, "doc_id").collect()}
+    assert a == b  # reproducible
+    n = len(a)
+    from collections import Counter
+
+    dist = Counter(a.values())
+    assert 0.8 * n <= dist["train"] <= 0.97 * n
+    assert set(dist) <= {"train", "val", "test"}
+    # sampling is a subset and stable
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3).collect()}
+    assert s1 == s2 and 0 < len(s1) < n
+    # growing the fraction only ADDS rows (monotone thresholds)
+    s_half = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.5).collect()}
+    assert s1 <= s_half
+
+
 def test_connected_components_labels_min_id(spark):
     from task_on_dataframes_spark.operators.dedup import connected_components
 
