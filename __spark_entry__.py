@@ -952,6 +952,44 @@ def _sample_split(spark, sf_dir):
     )
 
 
+def _decontaminate(spark, sf_dir):
+    """Train/test contamination check (GPT-3-style n-gram overlap):
+    a train document is contaminated when it shares any word 5-gram
+    with any test-split document. Composition of the deterministic
+    splitter + shingling + semi/anti joins: the gram-overlap join is
+    keyed on the gram, so nothing quadratic ever forms."""
+    from task_on_dataframes_spark.operators.dedup import _word_ngrams
+    from task_on_dataframes_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = assign_split(docs, "doc_id")
+    grams = _word_ngrams(docs, "doc_id", "text", 5)
+    test_ids = labeled.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("did")
+    )
+    train_ids = labeled.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("did")
+    )
+    test_grams = grams.join(F.broadcast(test_ids), on="did").select("tok").distinct()
+    train_grams = grams.join(train_ids, on="did", how="left_semi")
+    contaminated = (
+        train_grams.join(F.broadcast(test_grams), on="tok", how="left_semi")
+        .select("did")
+        .distinct()
+    )
+    return (
+        train_ids.join(
+            contaminated.withColumn("__c", F.lit(1)), on="did", how="left"
+        )
+        .groupBy(
+            F.when(F.col("__c").isNotNull(), "contaminated")
+            .otherwise("clean")
+            .alias("status")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _text_chunk(spark, sf_dir):
     from task_on_dataframes_spark.operators.text import chunk_text
 
@@ -1055,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _text_tfidf,
         "text_chunk": _text_chunk,
         "sample_split": _sample_split,
+        "decontaminate": _decontaminate,
         "sql_exists_subquery": _sql_exists_subquery,
         "ann_ivf_topk": _ann_ivf_topk,
     }
@@ -1684,6 +1723,25 @@ def oracle_sql() -> dict[str, str]:
             "WITH b AS (SELECT CAST(('0x' || substr(md5(CAST(('split:' || CAST(doc_id AS VARCHAR)) AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket FROM documents) "
             "SELECT CASE WHEN bucket < 900 THEN 'train' WHEN bucket < 950 THEN 'val' WHEN bucket < 1000 THEN 'test' ELSE 'holdout' END AS split, "
             "count(*) AS n FROM b GROUP BY 1"
+        ),
+        "decontaminate": (
+            "WITH lab AS (SELECT doc_id, text, CAST(('0x' || substr(md5(CAST(('split:' || CAST(doc_id AS VARCHAR)) AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket FROM documents), "
+            "t AS (SELECT doc_id AS did, string_split_regex(lower(text), '\\s+') AS ts "
+            "FROM documents), "
+            "g AS (SELECT DISTINCT did, "
+            "ts[i.i] || ' ' || ts[i.i+1] || ' ' || ts[i.i+2] || ' ' || "
+            "ts[i.i+3] || ' ' || ts[i.i+4] AS tok "
+            "FROM t, LATERAL unnest(generate_series(1, len(ts) - 4)) AS i(i) "
+            "WHERE len(ts) >= 5), "
+            "test_ids AS (SELECT doc_id AS did FROM lab WHERE bucket >= 950), "
+            "train_ids AS (SELECT doc_id AS did FROM lab WHERE bucket < 900), "
+            "tg AS (SELECT DISTINCT g.tok FROM g JOIN test_ids USING (did)), "
+            "cont AS (SELECT DISTINCT g.did FROM g "
+            "JOIN train_ids USING (did) JOIN tg ON g.tok = tg.tok) "
+            "SELECT CASE WHEN cont.did IS NOT NULL THEN 'contaminated' "
+            "ELSE 'clean' END AS status, count(*) AS n "
+            "FROM train_ids LEFT JOIN cont ON train_ids.did = cont.did "
+            "GROUP BY 1"
         ),
         "text_chunk": (
             "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts "
