@@ -90,6 +90,22 @@ def test_salted_join_matches_plain_join(spark):
     assert plain.exceptAll(salted).isEmpty()
 
 
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (HLL++) and approx percentile: the sketch
+    path for cardinalities/quantiles too big for exact computation.
+    Engine-specific sketches can't be oracle-hashed; assert bounded
+    relative error against the exact answers instead."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50a"),
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+    assert abs(row["p50a"] - row["p50"]) / row["p50"] < 0.02
+
+
 def test_plan_facts_reports_scan_and_joins(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
