@@ -554,6 +554,39 @@ def _f1_explode_carry(spark, sf_dir):
     )
 
 
+def _p8_unpivot(spark, sf_dir):
+    """Unpivot/melt: wide part attributes to long (attr, value) rows."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.round("p_retailprice", 2).alias("retailprice"),
+    ).melt(
+        ids=["p_partkey"],
+        values=["size", "retailprice"],
+        variableColumnName="attr",
+        valueColumnName="value",
+    )
+
+
+def _f_date_funcs(spark, sf_dir):
+    """Date/time scalar functions (absent in the reference ⊕): ship
+    delay in days, truncations, offsets, month boundaries."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff("l_shipdate", "o_orderdate").alias("ship_delay_days"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("due_date"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+    )
+
+
 def _f2_word_boundary_split(spark, sf_dir):
     """F2: split at regex word boundaries (reference tokenize,
     basic_tasks.py:60 — str.split(r'\\b')), keeping word pieces."""
@@ -1058,6 +1091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": _q14_promo_share,
         "q18_large_orders": _q18_large_orders,
         "f1_explode_carry": _f1_explode_carry,
+        "p8_unpivot": _p8_unpivot,
+        "f_date_funcs": _f_date_funcs,
         "f2_word_boundary_split": _f2_word_boundary_split,
         "f_string_funcs": _f_string_funcs,
         "f_json_extract": _f_json_extract,
@@ -1423,6 +1458,24 @@ def oracle_sql() -> dict[str, str]:
         "f1_explode_carry": (
             "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) "
             "AS token FROM documents"
+        ),
+        "p8_unpivot": (
+            "SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS value "
+            "FROM part UNION ALL "
+            "SELECT p_partkey, 'retailprice' AS attr, "
+            "round(p_retailprice, 2) AS value FROM part"
+        ),
+        "f_date_funcs": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) "
+            "AS ship_delay_days, "
+            "CAST(year(o_orderdate) AS INT) AS o_year, "
+            "CAST(month(o_orderdate) AS INT) AS o_month, "
+            "CAST(day(o_orderdate) AS INT) AS o_day, "
+            "o_orderdate + INTERVAL 30 DAY AS due_date, "
+            "CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) "
+            "AS month_end "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
         ),
         "f2_word_boundary_split": (
             # Java split-at-\b keeping word-leading pieces == the
