@@ -587,6 +587,29 @@ def _f_date_funcs(spark, sf_dir):
     )
 
 
+def _f_array_funcs(spark, sf_dir):
+    """Array functions over array<float> (absent in the reference ⊕):
+    size, element access, slicing aggregates, higher-order transform."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.element_at(v, 1), 5).alias("first"),
+        F.round(F.array_max(v), 5).alias("vmax"),
+        F.round(F.array_min(v), 5).alias("vmin"),
+        F.round(
+            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 5
+        ).alias("head8_sum"),
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            ),
+            5,
+        ).alias("sq_norm"),
+    )
+
+
 def _f2_word_boundary_split(spark, sf_dir):
     """F2: split at regex word boundaries (reference tokenize,
     basic_tasks.py:60 — str.split(r'\\b')), keeping word pieces."""
@@ -1093,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_explode_carry": _f1_explode_carry,
         "p8_unpivot": _p8_unpivot,
         "f_date_funcs": _f_date_funcs,
+        "f_array_funcs": _f_array_funcs,
         "f2_word_boundary_split": _f2_word_boundary_split,
         "f_string_funcs": _f_string_funcs,
         "f_json_extract": _f_json_extract,
@@ -1476,6 +1500,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) "
             "AS month_end "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        "f_array_funcs": (
+            "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) "
+            "SELECT vec_id, CAST(len(e) AS INT) AS dim, "
+            "round(e[1], 5) AS first, "
+            "round(list_max(e), 5) AS vmax, "
+            "round(list_min(e), 5) AS vmin, "
+            "round(list_reduce(list_prepend(0.0, e[1:8]), (a, x) -> a + x), 5) "
+            "AS head8_sum, "
+            "round(list_reduce(list_prepend(0.0, "
+            "list_transform(e, x -> x * x)), (a, x) -> a + x), 5) AS sq_norm "
+            "FROM v"
         ),
         "f2_word_boundary_split": (
             # Java split-at-\b keeping word-leading pieces == the
