@@ -26,6 +26,46 @@ def to_local_csv(df: DataFrame, max_rows: int = 1_000_000) -> str:
     return pdf.to_csv(index=False)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_file_mb`` files (optionally range-sorted so min/max
+    rowgroup stats prune range predicates). The 100 TB maintenance op —
+    thousands of tiny files destroy scan parallelism bookkeeping and
+    footer-read time. Returns the output file count. Atomicity:
+    rewrites to ``path + '.compact'`` then swaps, so a crash never
+    leaves a half-written directory in place."""
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb << 20)))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    tmp = path.rstrip("/") + ".compact"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".old"
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old)
+    return n_files
+
+
 def bucketed_table_sink(
     df: DataFrame,
     table: str,

@@ -69,3 +69,22 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS ta_bkt")
         spark.sql("DROP TABLE IF EXISTS tb_bkt")
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from task_on_dataframes_spark.sources.writers import compact_parquet
+
+    src = str(tmp_path / "many")
+    spark.range(0, 100000).repartition(40).write.parquet(src)
+    import glob
+
+    before = len(glob.glob(f"{src}/*.parquet"))
+    assert before >= 40
+    n = compact_parquet(spark, src, target_file_mb=256, sort_cols=["id"])
+    after = glob.glob(f"{src}/*.parquet")
+    assert len(after) == n == 1
+    back = spark.read.parquet(src)
+    assert back.count() == 100000
+    # range-sorted rewrite: a range predicate's filter is pushed and the
+    # data is clustered for rowgroup min/max pruning
+    assert back.filter("id < 10").count() == 10
