@@ -995,6 +995,24 @@ def _text_tfidf(spark, sf_dir):
     return tfidf_top_terms(docs, "doc_id", "text", k=3)
 
 
+def _text_pack(spark, sf_dir):
+    """Sequence packing: chunk the corpus, then assign chunks to
+    2048-token packs by global token offset — computed with the
+    distributed prefix-sum pattern (no global window; see
+    operators/text.py:pack_sequences)."""
+    from task_on_dataframes_spark.operators.text import chunk_text, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_text(docs, "doc_id", "text", chunk_tokens=64)
+    packed = pack_sequences(
+        chunks, ["doc_id", "chunk_id"], "n_tokens", budget=2048
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
 def _sample_split(spark, sf_dir):
     """Deterministic train/val/test split counts: hash-bucket labeling
     so the split is reproducible across runs, engines, partitionings."""
@@ -1151,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_pivot": _p7_pivot,
         "text_tfidf": _text_tfidf,
         "text_chunk": _text_chunk,
+        "text_pack": _text_pack,
         "sample_split": _sample_split,
         "decontaminate": _decontaminate,
         "sql_exists_subquery": _sql_exists_subquery,
@@ -1807,6 +1826,20 @@ def oracle_sql() -> dict[str, str]:
             "sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f, "
             "sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "text_pack": (
+            "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts "
+            "FROM documents), "
+            "c AS (SELECT doc_id, CAST(i.i AS INT) AS chunk_id, "
+            "CAST(least(len(ts) - i.i * 64, 64) AS INT) AS n_tokens "
+            "FROM t, LATERAL unnest(generate_series(0, "
+            "CAST(ceil(len(ts) / 64.0) AS INT) - 1)) AS i(i)), "
+            "s AS (SELECT *, sum(n_tokens) OVER (ORDER BY doc_id, chunk_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens "
+            "AS start FROM c) "
+            "SELECT CAST(floor(start / 2048) AS BIGINT) AS pack_id, "
+            "count(*) AS n_chunks, sum(n_tokens) AS pack_tokens "
+            "FROM s GROUP BY 1"
         ),
         "sample_split": (
             "WITH b AS (SELECT CAST(('0x' || substr(md5(CAST(('split:' || CAST(doc_id AS VARCHAR)) AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket FROM documents) "

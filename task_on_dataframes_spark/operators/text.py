@@ -223,6 +223,68 @@ def chunk_text(
     )
 
 
+def pack_sequences(
+    chunks: DataFrame,
+    order_cols: Sequence[str],
+    token_col: str,
+    budget: int = 2048,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Assign chunks to fixed token-budget packs (the sequence-packing
+    step before training): ``pack_id = floor(start_offset / budget)``
+    where ``start_offset`` is the chunk's global running token offset
+    in ``order_cols`` order.
+
+    The global prefix sum runs WITHOUT a global window — the
+    distributed prefix-sum pattern:
+
+    1. range-partition + sort by the order columns (global order across
+       ordered partitions);
+    2. per-partition token totals -> cumulative partition offsets (one
+       tiny single-partition window over #partitions rows);
+    3. per-partition local cumsum (windows partitioned by partition id
+       — fully parallel) + broadcast offset = exact global offset.
+
+    The result is independent of the partition boundaries (offsets
+    telescope), so any partition count gives identical packs.
+    """
+    order = [F.col(quoted(c)) for c in order_cols]
+    ordered = chunks
+    if partitions:
+        ordered = ordered.repartitionByRange(partitions, *order)
+    else:
+        ordered = ordered.repartitionByRange(*order)
+    ordered = ordered.sortWithinPartitions(*order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ptotals = ordered.groupBy("__pid").agg(
+        F.sum(quoted(token_col)).alias("__ptotal")
+    )
+    w_off = (
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = ptotals.select(
+        "__pid",
+        F.coalesce(F.sum("__ptotal").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ordered.join(F.broadcast(offsets), on="__pid")
+        .withColumn(
+            "__start",
+            F.col("__offset")
+            + F.sum(quoted(token_col)).over(w_local)
+            - F.col(quoted(token_col)),
+        )
+        .withColumn("pack_id", F.floor(F.col("__start") / budget))
+        .drop("__pid", "__offset", "__start")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     id_col: str,

