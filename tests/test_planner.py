@@ -38,6 +38,22 @@ def test_variable_matching_semantics():
     assert Variable.from_q(p.q_enc()).pattern.pattern == r"(.*)\.path"
 
 
+def test_ignore_case_flag_for_exact_variables():
+    """Reference's opt-in global case-insensitivity
+    (variable_match_ignore_case, tasks.py:20) applies to exact-string
+    variables created while the flag is on."""
+    try:
+        tada.set_ignore_case(True)
+        v = Variable("Doc.Text")
+        assert v == "doc.text"
+        assert v == "DOC.TEXT"
+    finally:
+        tada.set_ignore_case(False)
+    w = Variable("Doc.Text")
+    assert not (w == "doc.text")
+    assert w == "Doc.Text"
+
+
 def test_template_index_uses_binding_order():
     # reference's tokenize_clean: {x} refers to the *pattern* requirement
     # even though an exact one is declared first
