@@ -30,7 +30,11 @@ def main() -> None:
     # clamped to [4m, 128m] so cluster-scale inputs keep the default
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     biggest = max(
-        (os.path.getsize(os.path.join(sf_dir, f)) for f in os.listdir(sf_dir)),
+        (
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if os.path.isfile(os.path.join(sf_dir, f))
+        ),
         default=0,
     )
     mpb = min(max(biggest // (3 * cpus), 4 << 20), 128 << 20)

@@ -9,6 +9,7 @@ semantics window functions can't express incrementally.
 """
 
 from .events import (
+    dedup_stream,
     enrich_stream,
     events_stream,
     hourly_counts_stream,

@@ -208,6 +208,19 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: list, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first event per key,
+    with state bounded by the watermark horizon
+    (``dropDuplicatesWithinWatermark`` evicts key state once the
+    watermark passes) — the unbounded-state trap of plain
+    ``dropDuplicates`` on a stream does not exist here."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def enrich_stream(
     events: DataFrame, dim: DataFrame, on: str, how: str = "left"
 ) -> DataFrame:

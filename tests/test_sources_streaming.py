@@ -191,3 +191,38 @@ def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_stream_dedup_bounded_state(spark, tmp_path):
+    from task_on_dataframes_spark.streaming import dedup_stream, events_stream
+
+    src = "/root/testdata/sf0.001"
+    stream = dedup_stream(
+        events_stream(spark, f"{src}/events.parquet"), ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt5"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM dedup_mem")
+    n = got.count()
+    distinct_keys = got.distinct().count()
+    assert n == distinct_keys  # no duplicate (user, type) pairs emitted
+
+    import __spark_entry__ as entrymod
+
+    n_batch = (
+        entrymod._events(spark, src)
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    # the single availableNow drain keeps dedup state for the whole
+    # run, so the stream result equals the batch distinct; in a live
+    # stream, only duplicates within the watermark horizon are dropped
+    assert n == n_batch
