@@ -988,6 +988,33 @@ def _a4_rollup(spark, sf_dir):
     )
 
 
+def _a7_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup's prefix chain): totals by
+    (flag, status), by status alone, and grand total — one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               count(*) AS n,
+               round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS sum_qty
+        FROM v_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
+        """
+    ).withColumn("sum_qty", F.col("sum_qty").cast("double"))
+
+
+def _f_posexplode(spark, sf_dir):
+    """Explode with ordinality: token position within each document."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "token"),
+    ).select("doc_id", (F.col("pos") + 1).alias("ord"), "token")
+
+
 def _text_tfidf(spark, sf_dir):
     from task_on_dataframes_spark.operators.text import tfidf_top_terms
 
@@ -1166,6 +1193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_rollup": _a4_rollup,
         "a5_percentiles": _a5_percentiles,
         "a6_stats": _a6_stats,
+        "a7_grouping_sets": _a7_grouping_sets,
+        "f_posexplode": _f_posexplode,
         "p7_pivot": _p7_pivot,
         "text_tfidf": _text_tfidf,
         "text_chunk": _text_chunk,
@@ -1879,6 +1908,20 @@ def oracle_sql() -> dict[str, str]:
             "WHERE EXISTS (SELECT 1 FROM lineitem "
             "WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
             "GROUP BY o_orderpriority"
+        ),
+        "a7_grouping_sets": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS flag, "
+            "coalesce(l_linestatus, 'ALL') AS status, count(*) AS n, "
+            "CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) "
+            "AS sum_qty FROM lineitem "
+            "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
+            "(l_linestatus), ())"
+        ),
+        "f_posexplode": (
+            "WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') "
+            "AS ts FROM documents WHERE doc_id < 100) "
+            "SELECT doc_id, CAST(i.i AS INT) AS ord, ts[i.i] AS token "
+            "FROM t, LATERAL unnest(generate_series(1, len(ts))) AS i(i)"
         ),
         "text_tfidf": (
             "WITH toks AS (SELECT doc_id, "
