@@ -60,6 +60,12 @@ def main() -> None:
         "w2_top90_tokens",
         "ev_sessionize",
         "ev_hourly_agg",
+        # extension flagships
+        "j6_asof_join",
+        "text_tfidf",
+        "text_pack",
+        "dedup_minhash_lsh",
+        "ann_ivf_topk",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}
