@@ -21,6 +21,15 @@ from pyspark.sql import functions as F
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _oracle_sf_dir() -> str:
+    """The directory the oracle compares against. The driver and
+    tools/check_correctness.py both run DuckDB views over SF_DIR
+    (default sf0.01); file-listing oracles must follow the same root."""
+    import os
+
+    return os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -73,7 +82,11 @@ def _a1_value_counts(spark, sf_dir):
 
 def _a2_scalar_sum(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(F.round(F.sum("l_quantity"), 4).alias("qty_sum"))
+    return li.agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("qty_sum")
+    )
 
 
 def _w1_running_sum(spark, sf_dir):
@@ -220,9 +233,20 @@ def _q1_pricing_summary(spark, sf_dir):
             .cast("double").alias("sum_disc_price"),
             F.round(F.sum(ep * (1 - disc) * (1 + tax)), 2)
             .cast("double").alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # avgs as exact-decimal sum / count, divided as doubles: the
+            # operands are order-independent so the quotient is too
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(ep).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(disc).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -361,7 +385,14 @@ def _q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                ),
+                2,
+            )
+            .cast("double")
             .alias("revenue")
         )
     )
@@ -502,14 +533,22 @@ def _q14_promo_share(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     part = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # decimal-exact numerator/denominator (order-independent), then one
+    # IEEE double division — identical operands give identical quotients
+    # in any engine
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    zero = F.lit(0).cast("decimal(16,4)")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -523,7 +562,11 @@ def _q18_large_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_qty")
+        )
         .filter(F.col("sum_qty") > 150)
     )
     orders = _t(spark, sf_dir, "orders")
@@ -653,7 +696,9 @@ def _ev_hourly_agg(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
     )
 
@@ -670,7 +715,9 @@ def _ev_sliding_agg(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -717,7 +764,9 @@ def _ev_sessionize(spark, sf_dir):
         with_sess.groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("session_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("session_value"),
         )
     )
 
@@ -913,7 +962,9 @@ def _j7_range_join(spark, sf_dir):
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_qty"),
         )
     )
 
@@ -977,7 +1028,9 @@ def _a4_rollup(spark, sf_dir):
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
@@ -1364,13 +1417,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, count(*) AS cnt FROM lineitem "
             "GROUP BY l_returnflag ORDER BY cnt DESC, l_returnflag"
         ),
-        "a2_scalar_sum": "SELECT round(sum(l_quantity), 4) AS qty_sum FROM lineitem",
+        "a2_scalar_sum": (
+            "SELECT CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) "
+            "AS DOUBLE) AS qty_sum FROM lineitem"
+        ),
         "w1_running_sum": (
             "WITH c AS (SELECT l_returnflag, count(*) AS cnt FROM lineitem "
             "GROUP BY l_returnflag) "
-            "SELECT l_returnflag, cnt, sum(cnt) OVER (ORDER BY cnt DESC, "
+            "SELECT l_returnflag, cnt, CAST(sum(cnt) OVER (ORDER BY cnt DESC, "
             "l_returnflag ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-            "AS running_cnt FROM c"
+            "AS BIGINT) AS running_cnt FROM c"
         ),
         "o2_pagination": (
             "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey "
@@ -1415,9 +1471,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price, "
             "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price, "
             "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge, "
-            "round(avg(l_quantity), 4) AS avg_qty, "
-            "round(avg(l_extendedprice), 4) AS avg_price, "
-            "round(avg(l_discount), 4) AS avg_disc, "
+            "round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) "
+            "/ count(*), 4) AS avg_qty, "
+            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) "
+            "/ count(*), 4) AS avg_price, "
+            "round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) "
+            "/ count(*), 4) AS avg_disc, "
             "count(*) AS count_order "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
             "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
@@ -1442,16 +1501,19 @@ def oracle_sql() -> dict[str, str]:
             "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
             "AND r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"
         ),
+        # SF_DIR-aware: the checker (and driver) compare at whatever
+        # directory the SF_DIR env var points to; hardcoding sf0.01 here
+        # would spuriously fail any other SF (ADVICE r1).
         "s1_glob_source": (
-            "SELECT file AS path "
-            "FROM glob('/root/testdata/sf0.01/*.parquet')"
+            f"SELECT file AS path FROM glob('{_oracle_sf_dir()}/*.parquet')"
         ),
         "s2_whole_file_read": (
             "SELECT filename AS path, size AS n_bytes "
-            "FROM read_blob('/root/testdata/sf0.01/*.parquet')"
+            f"FROM read_blob('{_oracle_sf_dir()}/*.parquet')"
         ),
         "q6_forecast_revenue": (
-            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+            "SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+            "CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue "
             "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
             "AND l_shipdate < TIMESTAMP '1997-01-01' "
             "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
@@ -1500,10 +1562,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q12_priority_lines": (
             "SELECT l_linestatus, "
-            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-            "THEN 1 ELSE 0 END) AS high_line_count, "
-            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-            "THEN 0 ELSE 1 END) AS low_line_count "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
             "FROM lineitem, orders WHERE l_orderkey = o_orderkey "
             "AND l_shipdate >= TIMESTAMP '1996-01-01' "
             "AND l_shipdate < TIMESTAMP '1997-01-01' "
@@ -1511,17 +1573,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q14_promo_share": (
             "SELECT round(100.0 * "
-            "sum(CASE WHEN p_type = 'PROMO' "
-            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / "
-            "sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct "
+            "CAST(sum(CASE WHEN p_type = 'PROMO' "
+            "THEN CAST(l_extendedprice AS DECIMAL(12,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(4,2))) "
+            "ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) / "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) "
+            "AS promo_revenue_pct "
             "FROM lineitem, part WHERE l_partkey = p_partkey "
             "AND l_shipdate >= TIMESTAMP '1996-03-01' "
             "AND l_shipdate < TIMESTAMP '1996-04-01'"
         ),
         "q18_large_orders": (
-            "WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty "
-            "FROM lineitem GROUP BY l_orderkey "
-            "HAVING round(sum(l_quantity), 2) > 150) "
+            "WITH big AS (SELECT l_orderkey, "
+            "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) "
+            "AS sum_qty FROM lineitem GROUP BY l_orderkey "
+            "HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) "
+            "AS DOUBLE) > 150) "
             "SELECT c_custkey, c_name, o_orderkey, o_orderdate, "
             "round(o_totalprice, 2) AS o_totalprice, sum_qty "
             "FROM big, orders, customer "
@@ -1579,7 +1647,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ev_hourly_agg": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
-            "round(sum(value), 4) AS sum_value FROM events "
+            "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "
+            "AS sum_value FROM events "
             "GROUP BY date_trunc('hour', ts), event_type"
         ),
         "dedup_exact": (
@@ -1757,16 +1826,20 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq "
             "FROM g) "
-            "SELECT user_id, session_seq, count(*) AS n_events, "
-            "round(sum(value), 4) AS session_value FROM s "
+            "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
+            "count(*) AS n_events, "
+            "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "
+            "AS session_value FROM s "
             "GROUP BY user_id, session_seq"
         ),
         "ev_sliding_agg": (
             # an event at t belongs to the 4 sliding windows starting at
             # floor(t/900)*900 - k*900, k in 0..3
-            "SELECT to_timestamp(CAST(floor(epoch(e.ts) / 900) * 900 "
-            "- k.k * 900 AS BIGINT)) AS win_start, "
-            "e.event_type, count(*) AS n, round(sum(e.value), 4) AS sum_value "
+            "SELECT CAST(to_timestamp(CAST(floor(epoch(e.ts) / 900) * 900 "
+            "- k.k * 900 AS BIGINT)) AS TIMESTAMP) AS win_start, "
+            "e.event_type, count(*) AS n, "
+            "CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 4) AS DOUBLE) "
+            "AS sum_value "
             "FROM events e CROSS JOIN "
             "(SELECT unnest(generate_series(0, 3)) AS k) k "
             "GROUP BY 1, 2"
@@ -1794,7 +1867,9 @@ def oracle_sql() -> dict[str, str]:
             "round(value, 4) AS prev_purchase_value FROM m WHERE rn = 1"
         ),
         "j7_range_join": (
-            "SELECT b.label, count(*) AS n, round(sum(l.l_quantity), 4) AS sum_qty "
+            "SELECT b.label, count(*) AS n, "
+            "CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,6))), 4) "
+            "AS DOUBLE) AS sum_qty "
             "FROM lineitem l JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), "
             "(25.0, 40.0, 'high'), (40.0, 100.0, 'top')) AS b(lo, hi, label) "
             "ON l.l_quantity >= b.lo AND l.l_quantity < b.hi "
@@ -1833,7 +1908,9 @@ def oracle_sql() -> dict[str, str]:
         "a4_rollup": (
             "SELECT coalesce(l_returnflag, 'ALL') AS flag, "
             "coalesce(l_linestatus, 'ALL') AS status, "
-            "count(*) AS n, round(sum(l_quantity), 4) AS sum_qty "
+            "count(*) AS n, "
+            "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) "
+            "AS sum_qty "
             "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
         "a5_percentiles": (
@@ -1852,8 +1929,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "p7_pivot": (
             "SELECT l_returnflag, "
-            "sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f, "
-            "sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o "
+            "CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_f, "
+            "CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_o "
             "FROM lineitem GROUP BY l_returnflag"
         ),
         "text_pack": (
@@ -1867,7 +1946,7 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens "
             "AS start FROM c) "
             "SELECT CAST(floor(start / 2048) AS BIGINT) AS pack_id, "
-            "count(*) AS n_chunks, sum(n_tokens) AS pack_tokens "
+            "count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens "
             "FROM s GROUP BY 1"
         ),
         "sample_split": (
