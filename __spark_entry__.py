@@ -1715,8 +1715,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM r WHERE rank <= 10"
         ),
         "ann_ivf_topk": (
+            # centroids: deterministic hash-stratified sample — one
+            # min-hash row per stratum (mirrors similarity.ivf_ann_topk)
             "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
-            "cent AS (SELECT vec_id AS cid, v AS cv FROM c ORDER BY vec_id LIMIT 16), "
+            "ch AS (SELECT vec_id, v, "
+            "CAST(('0x' || substr(md5(CAST('ivf:' || CAST(vec_id AS VARCHAR) "
+            "AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM c), "
+            "cent AS (SELECT vec_id AS cid, v AS cv FROM ("
+            "SELECT vec_id, v, row_number() OVER "
+            "(PARTITION BY h % 16 ORDER BY h, vec_id) AS rn FROM ch) "
+            "WHERE rn = 1), "
             "assign AS (SELECT c.vec_id, c.v, cent.cid, "
             "round(list_dot_product(c.v, cent.cv) / "
             "(sqrt(list_dot_product(c.v, c.v)) * "

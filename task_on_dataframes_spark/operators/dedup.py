@@ -25,7 +25,7 @@ each operator has an exact DuckDB SQL oracle.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -325,13 +325,25 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_rows: Optional[int] = 100_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
     Brute-force O(n^2) formulation — exact, and the verification
-    baseline for the LSH-bucketed variant in
-    :mod:`.similarity` which is the 100 TB path.
+    baseline for the LSH-bucketed variant (:func:`embedding_lsh_pairs`)
+    which is the 100 TB path. The ``max_rows`` guard refuses inputs
+    whose cross product would be a scale-killer (100k rows is already
+    5e9 pairs); it exists so this baseline cannot silently run on a
+    fact table. Pass ``None`` only in tests/oracles.
     """
+    if max_rows is not None:
+        n = emb.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs is O(n^2) and input has {n}+ rows "
+                f"(max_rows={max_rows}); use embedding_lsh_pairs (bucketed, "
+                "scale-safe) or raise max_rows explicitly"
+            )
     a = emb.select(
         F.col(id_col).alias("a"),
         F.col(vec_col).cast("array<double>").alias("va"),
@@ -368,9 +380,14 @@ def connected_components(
     is one keyed join + aggregation, and every iterate is
     ``localCheckpoint``-ed — without the lineage cut, iteration N's
     plan would embed N copies of the upstream pair-generation tree and
-    the driver dies re-optimizing it. Convergence is a count of
-    changed labels; iterations = graph diameter, small for near-dup
-    clusters. Data volume per iteration never exceeds |V| + |E|.
+    the driver dies re-optimizing it. Each iteration also composes the
+    labeling with itself (pointer doubling: label <- label(label)), so
+    convergence takes O(log diameter) iterations, not O(diameter) —
+    max_iter=20 covers any component of diameter < 2^20. Convergence
+    is a count of changed labels; if the loop exhausts max_iter while
+    labels still move, the result would be silently WRONG for keep-one
+    dedup, so it raises instead of returning. Data volume per
+    iteration never exceeds |V| + |E|.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -398,6 +415,21 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
+        )
+        # pointer doubling: follow the label one more hop (label(label))
+        # — every label is itself a node id, so one self-join doubles
+        # the propagation distance per iteration
+        hop = new_labels.select(
+            F.col("node").alias("lnode"), F.col("label").alias("llabel")
+        )
+        new_labels = (
+            new_labels.join(hop, new_labels.label == hop.lnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("llabel", F.col("label"))
+                ).alias("label"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -409,6 +441,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still moving) — the labels "
+            "are NOT component minima; raise max_iter (each iteration "
+            "doubles the reachable distance)"
+        )
     return labels.select(F.col("node").alias("member"), F.col("label").alias("rep"))
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import cosine, dot, norm
-from .hashing import perm_coeffs, MERSENNE_P
+from .hashing import hash32, perm_coeffs, MERSENNE_P
 
 
 def cosine_topk(
@@ -69,6 +69,7 @@ def cosine_topk_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: Optional[int] = 10_000,
 ) -> DataFrame:
     """Brute-force top-k via numpy GEMM inside ``mapInPandas`` — the
     vectorized-UDF fast path for exact search: each Arrow batch of
@@ -80,11 +81,23 @@ def cosine_topk_blas(
 
     Scale shape: queries broadcast once per executor via a plain
     closure; corpus streams through in batches; per-query global top-k
-    is a tiny keyed aggregation over per-batch top-k candidates.
+    is a tiny keyed aggregation over per-batch top-k candidates. The
+    query matrix is collected to the driver — correct ONLY for small
+    query sets, hence the ``max_queries`` guard (10k queries x 1 KiB
+    vector ≈ 10 MiB closure; beyond that use :func:`cosine_topk`,
+    whose broadcast join never driver-collects).
     """
     import numpy as np
     import pandas as pd
 
+    if max_queries is not None:
+        nq = queries.limit(max_queries + 1).count()
+        if nq > max_queries:
+            raise ValueError(
+                f"cosine_topk_blas collects the query set to the driver and "
+                f"got {nq}+ queries (max_queries={max_queries}); use "
+                "cosine_topk for large query sets or raise max_queries"
+            )
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("vq"),
@@ -200,24 +213,33 @@ def ivf_ann_topk(
     ``n_centroids`` inverted lists, search only the ``n_probe`` lists
     nearest to each query.
 
-    Centroids are deterministic (the ``n_centroids`` lowest-id corpus
-    vectors), so results are reproducible run-to-run. Assignment scores
-    every vector against the broadcast centroid set, then collapses to
-    the argmax with a map-side partial ``max(struct(sim, -cid))`` —
-    shuffle volume stays at corpus size, not corpus x centroids. The
-    probed-cluster pairs are broadcast, so the corpus-sized member
-    table never shuffles for the candidate join; only candidates
-    (corpus/n_centroids x n_probe per query) reach the per-query top-k
-    window.
+    Centroid selection is deterministic hash-stratified sampling: each
+    vector hashes (portable md5 ``hash32``) into one of ``n_centroids``
+    strata and the min-hash row per stratum becomes that stratum's
+    centroid. Unlike lowest-id selection this is uncorrelated with
+    ingest order, so inverted lists stay balanced at scale, and it is
+    still reproducible on any engine (the DuckDB oracle replays the
+    same selection). The pick is a map-side-partial ``min(struct)`` per
+    stratum — shuffle volume is n_partitions x n_centroids rows, never
+    the corpus. Assignment scores every vector against the broadcast
+    centroid set, then collapses to the argmax with a map-side partial
+    ``max(struct(sim, -cid))`` — shuffle volume stays at corpus size,
+    not corpus x centroids. The probed-cluster pairs are broadcast, so
+    the corpus-sized member table never shuffles for the candidate
+    join; only candidates (corpus/n_centroids x n_probe per query)
+    reach the per-query top-k window.
     """
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vc"),
     )
+    h = hash32(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
     cents = (
-        c.orderBy("vec_id")
-        .limit(n_centroids)
-        .select(F.col("vec_id").alias("cid"), F.col("vc").alias("cv"))
+        c.withColumn("h", h)
+        .withColumn("stratum", F.col("h") % n_centroids)
+        .groupBy("stratum")
+        .agg(F.min(F.struct("h", "vec_id", "vc")).alias("m"))
+        .select(F.col("m.vec_id").alias("cid"), F.col("m.vc").alias("cv"))
     )
     assigned = c.join(F.broadcast(cents)).select(
         "vec_id",

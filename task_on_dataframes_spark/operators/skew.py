@@ -47,8 +47,12 @@ def salted_agg(
     raw rows; ``exprs_final`` (referencing the partial aliases) merge
     them (e.g. partial ``sum(x) AS s`` → final ``sum(s) AS s``)."""
     keys = list(keys)
+    # salt must be DETERMINISTIC per row: partition-id/monotonic-id salts
+    # change when a map task is recomputed after a partial shuffle fetch,
+    # double-counting or dropping rows in phase 2. Hashing the full row
+    # content reproduces identical salts on any retry.
     salted = df.withColumn(
-        "__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salt))
+        "__salt", F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(n_salt))
     )
     partial = salted.groupBy(*keys, "__salt").agg(*exprs_partial)
     return partial.groupBy(*keys).agg(*exprs_final)
@@ -61,14 +65,28 @@ def salted_join(
     n_salt: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-resistant equi-join: the big side gets a random-ish salt in
-    [0, n_salt); the small side is replicated once per salt value; the
+    """Skew-resistant equi-join: the big side gets a content-derived salt
+    in [0, n_salt); the small side is replicated once per salt value; the
     join key becomes (keys..., salt), so one hot key spreads over
-    ``n_salt`` shuffle partitions instead of one."""
+    ``n_salt`` shuffle partitions instead of one.
+
+    ``how`` is restricted to inner/left/left_semi/left_anti: replicating
+    the small side means every UNMATCHED small-side row would surface
+    ``n_salt`` times in a right/full outer result, which is silently
+    wrong. (left_semi/left_anti on the big side are safe: semi/anti
+    dedupe matches by definition.)
+    """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "leftsemi", "leftanti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the salt-replicated "
+            "small side emits unmatched rows n_salt times under "
+            "right/full outer joins; use inner/left/left_semi/left_anti"
+        )
     on = list(on)
+    # deterministic per-row salt (see salted_agg): survives task retries
     big_s = big.withColumn(
-        "__salt",
-        F.pmod(F.hash(*[F.col(c) for c in on], F.monotonically_increasing_id()), F.lit(n_salt)),
+        "__salt", F.pmod(F.xxhash64(F.struct(*big.columns)), F.lit(n_salt))
     )
     salts = F.array(*[F.lit(i) for i in range(n_salt)])
     small_s = small.withColumn("__salt", F.explode(salts))

@@ -83,10 +83,36 @@ def running_sum(
     value_col: str,
     out: str,
     order_by: Sequence[Column],
+    partition_by: Optional[Sequence[str]] = None,
+    max_rows: Optional[int] = 10_000_000,
 ) -> DataFrame:
     """Cumulative sum over an explicit total order (reference:
     basic_tasks.py:100 relies on pandas insertion order; Spark must name
-    the order in the window spec — SURVEY §7.3)."""
+    the order in the window spec — SURVEY §7.3).
+
+    Bounded-input contract: without ``partition_by`` the unpartitioned
+    window funnels EVERY row through one task — by design only for
+    bounded frames (group-by results, vocabularies, histograms). The
+    guard refuses inputs above ``max_rows`` (pass ``None`` to waive it,
+    at your own scale risk). For fact-scale prefix sums pass
+    ``partition_by`` (per-key windows, fully parallel) or use the
+    two-phase distributed prefix sum in :func:`pack_sequences`.
+    """
+    if partition_by:
+        w = (
+            Window.partitionBy(*[_c(p) for p in partition_by])
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out, F.sum(_c(value_col)).over(w))
+    if max_rows is not None:
+        n = df.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"running_sum: unpartitioned window over {n}+ rows exceeds "
+                f"max_rows={max_rows}; pass partition_by= for a scalable "
+                "per-key prefix sum, or max_rows=None to override"
+            )
     w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(out, F.sum(_c(value_col)).over(w))
 

@@ -89,7 +89,11 @@ def hourly_counts_stream(
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # decimal-exact sum: matches the batch twin bit-for-bit
+            # regardless of micro-batch/partition summation order
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("hour"),
@@ -114,7 +118,11 @@ def sliding_counts_stream(
         .groupBy(F.window("ts", length, slide).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # decimal-exact sum: matches the batch twin bit-for-bit
+            # regardless of micro-batch/partition summation order
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -232,14 +240,23 @@ def enrich_stream(
 
 
 def run_available_now(
-    stream_df: DataFrame, query_name: str, checkpoint: str
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint: str,
+    output_mode: str = "append",
 ) -> None:
     """Drain everything currently available into a memory sink and stop
-    — the batch-verification harness for streaming pipelines."""
+    — the batch-verification harness for streaming pipelines.
+
+    ``output_mode`` is explicit (append/complete/update): non-aggregate
+    streams (dedup, enrichment) can only run in append, windowed
+    aggregations without watermark-expired finals need complete —
+    inferring the mode from the query name breaks the former.
+    """
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("append" if "session" in query_name else "complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

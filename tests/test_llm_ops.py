@@ -164,3 +164,37 @@ def test_langid_mostly_english_vocab(spark, sf_dir):
     # synthetic corpus vocabulary is English-ish; the heuristic must be
     # deterministic and total
     assert out.filter(F.col("pred_lang").isNull()).isEmpty()
+
+
+def test_ivf_ann_recall_floor_against_brute_force(spark, sf_dir):
+    """IVF with hash-stratified centroids must hit a stated recall floor
+    vs the exact baseline. Measured on the synthetic random embeddings
+    (near-orthogonal — IVF's adversarial case): recall@10 = 0.48 at
+    n_probe=4/16 and 0.77 at n_probe=8/16 (sf0.01). Floors leave slack
+    for SF-to-SF variation but would catch a broken centroid pick or
+    probe ranking (either collapses recall toward n_probe/n_centroids
+    x random)."""
+    from task_on_dataframes_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=10).collect()
+    }
+    lo = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_ann_topk(emb, q, k=10, n_centroids=16, n_probe=4).collect()
+    }
+    hi = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_ann_topk(emb, q, k=10, n_centroids=16, n_probe=8).collect()
+    }
+    assert len(lo & exact) / len(exact) >= 0.35
+    assert len(hi & exact) / len(exact) >= 0.60
+    # more probes must not lose recall
+    assert len(hi & exact) >= len(lo & exact)

@@ -121,3 +121,92 @@ def test_plan_facts_reports_scan_and_joins(spark, sf_dir):
     assert ["l_orderkey", "l_partkey", "l_quantity"] == sorted(
         facts["scan_columns"][0]
     )
+
+
+def test_salted_join_rejects_outer_hows(spark):
+    """Replicating the small side n_salt times would emit unmatched
+    small-side rows n_salt times under right/full outer — refuse."""
+    import pytest
+
+    df = _skewed(spark)
+    small = spark.range(0, 5).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    for how in ("right", "full", "right_outer", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(df, small, on=["k"], how=how)
+
+
+def test_salted_join_left_keeps_unmatched_big_rows_once(spark):
+    df = _skewed(spark)  # keys 0..50
+    small = spark.range(0, 3).select(
+        F.col("id").alias("k"), F.lit("x").alias("tag")
+    )
+    out = salted_join(df, small, on=["k"], n_salt=4, how="left")
+    # row count must equal the unsalted left join's (no dup inflation)
+    want = df.join(small, on="k", how="left").count()
+    assert out.count() == want
+
+
+def test_salts_are_deterministic_row_content_hashes(spark):
+    """Recomputing the salt expression must give identical values —
+    guards against partition-id/monotonic-id salts that change on task
+    retry and double-count in phase 2."""
+    from pyspark.sql import functions as F2
+
+    df = _skewed(spark)
+    salt = F2.pmod(F2.xxhash64(F2.struct(*df.columns)), F2.lit(16))
+    a = df.withColumn("s", salt).groupBy("s").count().collect()
+    b = df.withColumn("s", salt).groupBy("s").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_brute_force_guards_refuse_oversized_inputs(spark):
+    import pytest
+
+    from task_on_dataframes_spark.operators.dedup import embedding_cosine_pairs
+    from task_on_dataframes_spark.operators.similarity import cosine_topk_blas
+    from task_on_dataframes_spark.operators.text import running_sum
+
+    emb = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        embedding_cosine_pairs(emb, max_rows=10).count()
+    with pytest.raises(ValueError, match="collects the query set"):
+        cosine_topk_blas(emb, emb.select(F.col("vec_id").alias("query_id"), "embedding"), max_queries=10).count()
+    counts = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("c"))
+    with pytest.raises(ValueError, match="unpartitioned window"):
+        running_sum(counts, "c", "cum", [F.col("k")], max_rows=10).count()
+    # partitioned variant is exempt from the guard (scales per key)
+    out = running_sum(
+        counts.withColumn("g", F.col("k") % 4),
+        "c", "cum", [F.col("k")], partition_by=["g"], max_rows=10,
+    )
+    assert out.count() == 100
+
+
+def test_connected_components_pointer_doubling_converges_long_chain(spark):
+    """A 300-node path graph has diameter 300: plain min-label
+    propagation needs 300 iterations, pointer doubling needs
+    ~log2(300)=9. max_iter=12 passes only with doubling."""
+    from task_on_dataframes_spark.operators.dedup import connected_components
+
+    edges = spark.range(0, 300).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    labels = connected_components(edges, max_iter=12)
+    rows = labels.collect()
+    assert len(rows) == 301
+    assert all(r["rep"] == 0 for r in rows)
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    import pytest
+
+    from task_on_dataframes_spark.operators.dedup import connected_components
+
+    edges = spark.range(0, 40).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)

@@ -98,7 +98,7 @@ def test_streaming_hourly_counts_matches_batch(spark, tmp_path):
 
     src = "/root/testdata/sf0.001"
     stream = hourly_counts_stream(events_stream(spark, f"{src}/events.parquet"))
-    run_available_now(stream, "hourly_mem", str(tmp_path / "ckpt1"))
+    run_available_now(stream, "hourly_mem", str(tmp_path / "ckpt1"), output_mode="complete")
     got = spark.sql(
         "SELECT hour, event_type, n, sum_value FROM hourly_mem"
     ).collect()
@@ -118,7 +118,7 @@ def test_streaming_sliding_counts_matches_batch(spark, tmp_path):
 
     src = "/root/testdata/sf0.001"
     stream = sliding_counts_stream(events_stream(spark, f"{src}/events.parquet"))
-    run_available_now(stream, "sliding_mem", str(tmp_path / "ckpt3"))
+    run_available_now(stream, "sliding_mem", str(tmp_path / "ckpt3"), output_mode="complete")
     got = spark.sql(
         "SELECT win_start, event_type, n, sum_value FROM sliding_mem"
     ).collect()
@@ -138,7 +138,7 @@ def test_streaming_sessionize_runs_stateful(spark, tmp_path):
 
     src = "/root/testdata/sf0.001"
     stream = sessionize_stream(events_stream(spark, f"{src}/events.parquet"))
-    run_available_now(stream, "session_mem", str(tmp_path / "ckpt2"))
+    run_available_now(stream, "session_mem", str(tmp_path / "ckpt2"), output_mode="append")
     got = spark.sql("SELECT * FROM session_mem")
     # closed sessions only (open ones wait for the watermark) — compare
     # against the batch gaps-and-islands equivalent as a superset check
