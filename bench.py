@@ -78,18 +78,63 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # regression anchor: compare against the newest BENCH_r{N}.json and
+    # flag per-query slowdowns beyond 1.3x (VERDICT r1 item 7)
+    anchor = _latest_anchor()
+    if anchor:
+        prev = anchor.get("queries", {})
+        regressions = {
+            n: {"prev": prev[n], "now": t, "ratio": round(t / prev[n], 2)}
+            for n, t in timings.items()
+            if n in prev and prev[n] > 0 and t > 1.3 * prev[n]
+        }
+        out["vs_anchor"] = {
+            "anchor": anchor.get("_file"),
+            "prev_total": anchor.get("value"),
+            "ratio_total": (
+                round(total / anchor["value"], 3) if anchor.get("value") else None
+            ),
+            "regressions": regressions,
+        }
+
+    print(json.dumps(out))
     spark.stop()
+
+
+def _latest_anchor() -> dict:
+    """Newest BENCH_r{N}.json beside this file, tagged with its name."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if n > best_n:
+            best, best_n = p, n
+    if not best:
+        return {}
+    try:
+        with open(best) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    # the driver wraps the bench line under "parsed"
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    data["_file"] = os.path.basename(best)
+    return data
 
 
 if __name__ == "__main__":

@@ -42,7 +42,15 @@ from .plans.solve import (
     solve_goal,
 )
 
+def create_app(*args, **kwargs):
+    """Lazy re-export of :func:`serve.create_app` (Flask optional)."""
+    from .serve import create_app as _create_app
+
+    return _create_app(*args, **kwargs)
+
+
 __all__ = [
+    "create_app",
     "view",
     "plan_facts",
     "quoted",

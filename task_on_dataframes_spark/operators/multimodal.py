@@ -5,17 +5,27 @@ a typed metadata struct; decode / feature-extraction / resize /
 frame-sampling run as Arrow-batched Pandas functions over
 ``mapInPandas`` so each executor core processes whole record batches.
 
-The decode kernels themselves are STUBBED: this container ships no
-image/audio codecs, so :func:`decode_image_meta` computes a
-clearly-marked deterministic fake "decode" from the payload bytes
-(making the Spark-side schema/partitioning/batching real and testable),
-and :func:`decode_image_real` raises ``NotImplementedError`` where a
-PIL/ffmpeg call would go.
+Decode kernels: when PIL is importable, ``image/*`` payloads decode
+through the real codec (:func:`decode_image_real`); everything else —
+and every payload in a codec-less container like this one — goes
+through the clearly-marked deterministic fake
+(:func:`_fake_decode`), keeping the Spark-side
+schema/partitioning/batching real and testable and the DuckDB oracles
+exact. The routing is per-row inside the same Arrow batch loop, so
+adding a codec changes zero plan shape.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Optional
+
+try:  # pragma: no cover — container ships no codecs
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -63,29 +73,59 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return (n % 64 + 1, n % 48 + 1, n % 10 + 1)
 
 
-def decode_image_real(payload: bytes):  # pragma: no cover - stub
-    """Where the real codec call would go."""
-    raise NotImplementedError(
-        "media codecs are not available in this container; "
-        "use decode_image_meta (deterministic fake) for plumbing tests"
-    )
+def decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """Real image decode via PIL when available (width, height,
+    n_frames); raises ``NotImplementedError`` in codec-less containers
+    so callers fall back to the deterministic fake explicitly."""
+    if not HAS_PIL:  # pragma: no cover — container ships no codecs
+        raise NotImplementedError(
+            "media codecs are not available in this container; "
+            "use decode_media_meta (deterministic fake routing) for "
+            "plumbing tests"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:  # pragma: no cover
+        return (im.width, im.height, getattr(im, "n_frames", 1))
 
 
-def decode_media_meta(media: DataFrame) -> DataFrame:
+def decode_media_meta(
+    media: DataFrame, use_real_codec: Optional[bool] = None
+) -> DataFrame:
     """Arrow-batched metadata extraction over mapInPandas: one pandas
-    batch per partition chunk, no per-row Python overhead."""
+    batch per partition chunk, no per-row Python overhead.
+
+    ``use_real_codec``: None → auto (PIL if importable); the real codec
+    only ever applies to ``image/*`` rows, with a per-row fallback to
+    the deterministic fake on decode failure, so mixed-modality tables
+    never abort a batch.
+    """
+    real = HAS_PIL if use_real_codec is None else use_real_codec
+
+    def decode_one(payload: bytes, media_type: str):
+        if real and isinstance(media_type, str) and media_type.startswith(
+            "image/"
+        ):  # pragma: no cover — container ships no codecs
+            try:
+                return decode_image_real(payload)
+            except Exception:
+                return _fake_decode(payload)
+        return _fake_decode(payload)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = pdf["payload"].map(_fake_decode)
+            decoded = [
+                decode_one(p, t)
+                for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["payload"].map(len),
-                    "width": decoded.map(lambda t: t[0]),
-                    "height": decoded.map(lambda t: t[1]),
-                    "n_frames": decoded.map(lambda t: t[2]),
+                    "width": [t[0] for t in decoded],
+                    "height": [t[1] for t in decoded],
+                    "n_frames": [t[2] for t in decoded],
                 }
             )
 

@@ -198,3 +198,34 @@ def test_ivf_ann_recall_floor_against_brute_force(spark, sf_dir):
     assert len(hi & exact) / len(exact) >= 0.60
     # more probes must not lose recall
     assert len(hi & exact) >= len(lo & exact)
+
+
+def test_real_codec_routing_gated_on_pil(spark, sf_dir):
+    """When PIL is present, image/* payloads route through the real
+    codec; text/plain always takes the deterministic fake (oracle
+    exactness). Without PIL the auto mode must equal the fake path."""
+    from task_on_dataframes_spark.operators.multimodal import (
+        HAS_PIL,
+        decode_media_meta,
+        make_media_table,
+    )
+
+    media = make_media_table(_docs(spark, sf_dir).limit(50))
+    auto = decode_media_meta(media).collect()
+    fake = decode_media_meta(media, use_real_codec=False).collect()
+    # all payloads here are text/plain → identical regardless of PIL
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, fake))
+
+    if HAS_PIL:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (17, 13)).save(buf, format="PNG")
+        img = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()), "image/png")],
+            "media_id long, payload binary, media_type string",
+        )
+        row = decode_media_meta(img).collect()[0]
+        assert (row["width"], row["height"]) == (17, 13)
