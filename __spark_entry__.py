@@ -586,6 +586,308 @@ def _q18_large_orders(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-shape SQL breadth (round 2): correlated subqueries, scalar
+# subqueries, groupwise-min join-back, disjunctive pushdown. The
+# synthetic tables lack partsupp, so q2/q9/q11/q16/q20-shapes use
+# lineitem as the part-supplier bridge — same plan shapes, same
+# oracle discipline.
+# ---------------------------------------------------------------------------
+
+# column factories (not module constants: building a Column needs an
+# active SparkContext, which doesn't exist at import time)
+def _dec_ep():
+    return F.col("l_extendedprice").cast("decimal(12,2)")
+
+
+def _dec_disc():
+    return F.col("l_discount").cast("decimal(4,2)")
+
+
+def _dec_qty():
+    return F.col("l_quantity").cast("decimal(12,2)")
+
+
+def _q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: groupwise-min + join-back — per qualifying part,
+    the supplier offering the minimum price (scalar-subquery-per-group
+    in SQL; one window rank in Spark, so the fact scans once)."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 10)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    offers = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy("price", "s_suppkey")
+    return (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("p_partkey")
+    )
+
+
+def _q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS — count orders per priority
+    having at least one line shipped after the order date. The EXISTS
+    compiles to a left-semi join (no fan-out, no distinct needed)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sem = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        sem.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: multi-join profit rollup by supplier nation and
+    order year (retail price stands in for supply cost — no partsupp in
+    the synthetic schema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    profit = _dec_ep() * (1 - _dec_disc()) - F.col("p_retailprice").cast(
+        "decimal(12,2)"
+    ) * _dec_qty()
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def _q11_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: per-supplier shipped value above a fraction of
+    the GLOBAL total — the scalar aggregate subquery travels as a
+    broadcast 1-row frame, never a driver collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    sv = li.groupBy("l_suppkey").agg(
+        F.sum(_dec_ep() * (1 - _dec_disc())).alias("val_dec")
+    )
+    total = sv.agg(
+        (F.sum("val_dec") * F.lit(0.002).cast("decimal(8,6)")).alias("cut")
+    )
+    return (
+        sv.join(F.broadcast(total))
+        .filter(F.col("val_dec") > F.col("cut"))
+        .select(
+            "l_suppkey",
+            F.round("val_dec", 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_suppkey")
+    )
+
+
+def _q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13: distribution of orders-per-customer (left join keeps
+    zero-order customers; two keyed aggregations, both map-side
+    partial)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    co = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def _q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: revenue view + MAX scalar subquery — the max
+    travels as a broadcast 1-row frame joined back to the view."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec_ep() * (1 - _dec_disc())).alias("rev_dec")
+    )
+    mx = rev.agg(F.max("rev_dec").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("mx"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("rev_dec", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def _q16_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part descriptor
+    with negated predicates (lineitem is the part-supplier bridge)."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def _q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar AVG subquery — weekly revenue
+    from small-quantity orders of one brand. The per-part threshold is
+    an aggregate joined back (broadcast: one row per qualifying part),
+    computed decimal-exact so the < comparison can't flip between
+    engines."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#15")
+    li = _t(spark, sf_dir, "lineitem")
+    branded = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresh = branded.groupBy("p_partkey").agg(
+        (
+            F.lit(0.2)
+            * F.sum(_dec_qty()).cast("double")
+            / F.count(F.lit(1))
+        ).alias("qty_cut")
+    )
+    return (
+        branded.join(F.broadcast(thresh), on="p_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum(_dec_ep()).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def _q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across join sides — Catalyst still
+    pushes the common join key and per-side implied filters down."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(_dec_ep() * (1 - _dec_disc())), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def _q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: the EXISTS/NOT-EXISTS pair ("another supplier in
+    the order, but no OTHER supplier late") expressed as one per-order
+    aggregation — count distinct suppliers and distinct late suppliers,
+    then keep late lines of the sole late supplier in multi-supplier
+    orders. One pass over the fact instead of three correlated scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    lines = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    waiting = (
+        lines.filter(F.col("late"))
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            on="l_orderkey",
+        )
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def _q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: anti join + scalar AVG subquery — customers
+    with above-average balance and no orders, rolled up by nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    bal_dec = F.col("c_acctbal").cast("decimal(12,2)")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(bal_dec).cast("double") / F.count(F.lit(1))).alias("ab")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(bal_dec), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.8 scalar functions; explode-with-carry (J2/F1)
 # ---------------------------------------------------------------------------
 
@@ -1210,6 +1512,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": _q10_returned_items,
         "q12_priority_lines": _q12_priority_lines,
         "q14_promo_share": _q14_promo_share,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q4_order_priority": _q4_order_priority,
+        "q9_product_profit": _q9_product_profit,
+        "q11_value_concentration": _q11_value_concentration,
+        "q13_order_distribution": _q13_order_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_counts": _q16_supplier_counts,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "q19_disjunctive_filter": _q19_disjunctive_filter,
+        "q21_waiting_supplier": _q21_waiting_supplier,
+        "q22_idle_customers": _q22_idle_customers,
         "q18_large_orders": _q18_large_orders,
         "f1_explode_carry": _f1_explode_carry,
         "p8_unpivot": _p8_unpivot,
@@ -1594,6 +1907,117 @@ def oracle_sql() -> dict[str, str]:
             "round(o_totalprice, 2) AS o_totalprice, sum_qty "
             "FROM big, orders, customer "
             "WHERE o_orderkey = l_orderkey AND o_custkey = c_custkey"
+        ),
+        "q2_min_cost_supplier": (
+            "SELECT p_partkey, p_name, s_suppkey, s_name, price FROM ("
+            "SELECT p_partkey, p_name, s_suppkey, s_name, "
+            "round(l_extendedprice, 2) AS price, "
+            "row_number() OVER (PARTITION BY p_partkey "
+            "ORDER BY round(l_extendedprice, 2), s_suppkey) AS rn "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE p_type = 'LARGE' AND p_size < 10) WHERE rn = 1"
+        ),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-07-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "q9_product_profit": (
+            "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(4,2))) - "
+            "CAST(p_retailprice AS DECIMAL(12,2)) * "
+            "CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS profit "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%gear%' "
+            "GROUP BY n_name, year(o_orderdate)"
+        ),
+        "q11_value_concentration": (
+            "WITH sv AS (SELECT l_suppkey, "
+            "sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS val_dec "
+            "FROM lineitem GROUP BY l_suppkey) "
+            "SELECT l_suppkey, CAST(round(val_dec, 2) AS DOUBLE) AS value "
+            "FROM sv WHERE val_dec > (SELECT sum(val_dec) * 0.002 FROM sv)"
+        ),
+        "q13_order_distribution": (
+            "WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) "
+            "SELECT c_count, count(*) AS custdist FROM co GROUP BY c_count"
+        ),
+        "q15_top_supplier": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, "
+            "CAST(round(rev_dec, 2) AS DOUBLE) AS total_revenue "
+            "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE rev_dec = (SELECT max(rev_dec) FROM rev)"
+        ),
+        "q16_supplier_counts": (
+            "SELECT p_brand, p_type, p_size, "
+            "count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%' "
+            "AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35) "
+            "GROUP BY p_brand, p_type, p_size"
+        ),
+        "q17_small_quantity_revenue": (
+            "WITH branded AS (SELECT p_partkey, l_quantity, l_extendedprice "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand = 'Brand#15'), "
+            "thresh AS (SELECT p_partkey, "
+            "0.2 * CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) "
+            "/ count(*) AS qty_cut FROM branded GROUP BY p_partkey) "
+            "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) "
+            "AS DOUBLE) / 7.0, 2) AS avg_yearly "
+            "FROM branded JOIN thresh USING (p_partkey) "
+            "WHERE l_quantity < qty_cut"
+        ),
+        "q19_disjunctive_filter": (
+            "SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        "q21_waiting_supplier": (
+            "WITH lines AS (SELECT l_orderkey, l_suppkey, "
+            "l_shipdate > o_orderdate + INTERVAL 60 DAY AS late "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+            "per_order AS (SELECT l_orderkey, "
+            "count(DISTINCT l_suppkey) AS n_supp, "
+            "count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp "
+            "FROM lines GROUP BY l_orderkey) "
+            "SELECT s_name, count(*) AS numwait "
+            "FROM lines JOIN per_order USING (l_orderkey) "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE late AND n_supp > 1 AND n_late_supp = 1 "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
+        ),
+        "q22_idle_customers": (
+            "SELECT c_nationkey AS cntrycode, count(*) AS numcust, "
+            "CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) "
+            "AS totacctbal FROM customer "
+            "WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS "
+            "DECIMAL(12,2))) AS DOUBLE) / count(*) FROM customer "
+            "WHERE c_acctbal > 0.0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+            "GROUP BY c_nationkey ORDER BY cntrycode"
         ),
         "f1_explode_carry": (
             "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) "
