@@ -1481,6 +1481,115 @@ def _ann_ivf_topk(spark, sf_dir):
     return ivf_ann_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)
 
 
+def _dedup_keep_canonical(spark, sf_dir):
+    """End-to-end keep-one dedup: simhash pair graph -> pointer-doubling
+    connected components -> drop non-representatives (broadcast
+    left-anti; the corpus never shuffles for the cut). Returns the
+    surviving (doc_id, lang) rows."""
+    from task_on_dataframes_spark.operators.dedup import (
+        keep_canonical,
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(
+        simhash_fingerprints(docs, "doc_id", "text"), max_hamming=3
+    )
+    return keep_canonical(
+        docs.select("doc_id", "lang"), "doc_id", pairs
+    )
+
+
+def _text_pii_redact(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import pii_redact
+
+    return pii_redact(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _text_ngram_counts(spark, sf_dir):
+    from task_on_dataframes_spark.operators.text import ngram_counts
+
+    return ngram_counts(_t(spark, sf_dir, "documents"), "text", n=2, k=100)
+
+
+def _sample_stratified(spark, sf_dir):
+    """Language-rebalancing sample: keep 20% of English, all of the
+    rest — summarized as kept-count per language (a deterministic
+    function of doc_id, so the oracle reproduces it exactly)."""
+    from task_on_dataframes_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.2}, default_fraction=1.0
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def _emb_quantize(spark, sf_dir):
+    from task_on_dataframes_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+def _q20_excess_volume(spark, sf_dir):
+    """q20-shape (adapted: the synthetic schema has no partsupp):
+    suppliers that shipped more than 300 units of 'small'-named parts
+    in 1996, with their nation — the classic semi-join reduction:
+    lineitem aggregates once on (supp, part); the supplier/nation dims
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    small_parts = part.filter(F.col("p_name").startswith("small")).select(
+        "p_partkey"
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(small_parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    return (
+        supp.join(shipped, supp.s_suppkey == shipped.l_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name", "qty")
+    )
+
+
+def _stream_hourly_agg(spark, sf_dir):
+    """Structured Streaming twin of ev_hourly_agg, driven to completion
+    with an availableNow trigger into a memory sink and returned as a
+    batch frame. The decimal-exact sums make stream output bit-identical
+    to the batch plan, so the SAME DuckDB oracle checks a real
+    streaming execution (watermark + tumbling window + state store)."""
+    import tempfile
+    import uuid
+
+    from task_on_dataframes_spark.streaming.events import (
+        events_stream,
+        hourly_counts_stream,
+        run_available_now,
+    )
+
+    name = "stream_hourly_" + uuid.uuid4().hex[:8]
+    stream = hourly_counts_stream(
+        events_stream(spark, f"{sf_dir}/events.parquet")
+    )
+    run_available_now(
+        stream,
+        name,
+        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
+        output_mode="complete",
+    )
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1569,6 +1678,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "sql_exists_subquery": _sql_exists_subquery,
         "ann_ivf_topk": _ann_ivf_topk,
+        "dedup_keep_canonical": _dedup_keep_canonical,
+        "text_pii_redact": _text_pii_redact,
+        "text_ngram_counts": _text_ngram_counts,
+        "sample_stratified": _sample_stratified,
+        "emb_quantize": _emb_quantize,
+        "q20_excess_volume": _q20_excess_volume,
+        "stream_hourly_agg": _stream_hourly_agg,
     }
 
 

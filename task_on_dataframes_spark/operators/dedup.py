@@ -451,6 +451,33 @@ def connected_components(
     return labels.select(F.col("node").alias("member"), F.col("label").alias("rep"))
 
 
+def keep_canonical(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """End-to-end keep-one-per-cluster dedup: given a near-duplicate
+    pair graph (from any of the pair generators above), label each
+    member with its connected component's minimum id and drop every
+    non-representative row from ``df``.
+
+    Scale shape: the removal set is (cluster members - representatives)
+    — only documents that participate in a near-dup pair, which is
+    dimension-sized relative to the corpus under any realistic dup rate
+    — so it broadcasts into a ``left_anti`` join and the corpus never
+    shuffles for the filter. Completes the reference-style pipeline:
+    pair generation (bucketed), clustering (pointer-doubling CC), and
+    the keep-one cut, all lazy until the survivor frame is consumed.
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    removed = cc.filter(F.col("member") != F.col("rep")).select(
+        F.col("member").alias(id_col)
+    )
+    return df.join(F.broadcast(removed), on=id_col, how="left_anti")
+
+
 def embedding_lsh_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -53,3 +53,36 @@ def deterministic_sample(
     return df.filter(
         split_bucket(F.col(key_col), salt) < int(round(fraction * 1000))
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a different stable
+    fraction of rows for each value of ``strata_col`` (the
+    corpus-mixing primitive — e.g. keep 100% of rare languages, 10% of
+    the dominant one). Unlike ``df.sampleBy`` the decision is a pure
+    function of the row key, so reruns, retries, and later incremental
+    loads keep exactly the same rows. Zero shuffle: one hash + one
+    CASE, evaluated in the scan stage."""
+    bucket = split_bucket(F.col(key_col), salt)
+    thresh: Column = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        per_mille = int(round(frac * 1000))
+        thresh = (
+            F.when(cond, per_mille)
+            if thresh is None
+            else thresh.when(cond, per_mille)
+        )
+    thresh = (
+        thresh.otherwise(int(round(default_fraction * 1000)))
+        if thresh is not None
+        else F.lit(int(round(default_fraction * 1000)))
+    )
+    return df.filter(bucket < thresh)

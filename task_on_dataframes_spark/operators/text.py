@@ -354,3 +354,42 @@ def tfidf_top_terms(
             F.col("__rn").alias("rn"),
         )
     )
+
+
+def ngram_counts(
+    docs: DataFrame,
+    text_col: str,
+    n: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-level word n-gram language-model counts: the top-``k``
+    n-grams by occurrence (count desc, gram asc — a total order, so
+    the cut is deterministic).
+
+    Scale shape: grams are generated by array arithmetic inside the
+    scan stage (no join-back), counted with ONE shuffle on the gram key
+    (map-side partial counts), and the top-k compiles to
+    ``TakeOrderedAndProject`` — per-partition heaps merged on the
+    driver, never a global sort. This is the n-gram-LM / contamination
+    -lexicon building block over a 100 TB corpus.
+    """
+    toks = docs.select(
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("ts")
+    )
+    grams = toks.select(
+        F.explode(
+            F.when(
+                F.size("ts") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - n + 1),
+                    lambda i: F.array_join(F.slice("ts", i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )

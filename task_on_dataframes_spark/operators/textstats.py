@@ -110,6 +110,42 @@ def token_count_estimate(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
+#: PII scrub patterns, restricted to the Java-regex/RE2 common subset
+#: so the DuckDB oracle matches byte-for-byte. Order matters: emails
+#: before URLs (an address inside a mailto: URL is redacted as email),
+#: single-char tokens last (they never overlap the others).
+PII_PATTERNS: List[tuple] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("url", r"https?://[^\s]+", "[URL]"),
+    ("phone", r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "[PHONE]"),
+    # live pattern on the synthetic corpus: lone single-letter tokens —
+    # exercises \b word-boundary + replacement on rows that DO match
+    ("single_char", r"\b[a-z]\b", "[TOK]"),
+]
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Training-corpus PII scrub: replace emails / URLs / phone numbers
+    (and, as a live-data control, lone single-char tokens) with typed
+    placeholders, reporting per-document match counts and the redacted
+    length. Pure ``regexp_replace``/``regexp_count`` column expressions
+    — single pass, JVM-side, zero shuffle; at 100 TB this is a
+    map-only stage fused into whatever scan feeds it."""
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = text
+    for _, pat, repl in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return df.select(
+        F.col(id_col),
+        *counts,
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str, text_col: str, shingle: int = 8
 ) -> DataFrame:
