@@ -1552,7 +1552,12 @@ def _q20_excess_volume(spark, sf_dir):
         )
         .join(F.broadcast(small_parts), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey")
-        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+        # decimal-exact sum (repo float policy): partition-order-proof
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("bigint")
+            .alias("qty")
+        )
         .filter(F.col("qty") > 300)
     )
     return (
@@ -1826,6 +1831,25 @@ def _hyperplane_bucket_sql(vec: str, dims: int, planes: int) -> str:
         )
         terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def _pii_redact_oracle() -> str:
+    """Render the PII-scrub oracle from the SAME pattern table the
+    Spark operator uses (single source of truth; the patterns are
+    restricted to the Java-regex/RE2 common subset)."""
+    from task_on_dataframes_spark.operators.textstats import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return (
+        f"SELECT doc_id, {counts}, CAST(length({red}) AS INT) AS redacted_len "
+        "FROM documents"
+    )
 
 
 def _stop_arr(lang: str) -> str:
@@ -2569,5 +2593,75 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT doc_id, tok AS token, round(score, 6) AS tfidf, rn "
             "FROM ranked WHERE rn <= 3"
+        ),
+        "dedup_keep_canonical": (
+            "WITH RECURSIVE pairs AS ({pairs_sql}), "
+            "sym AS (SELECT a AS u, b AS v FROM pairs "
+            "UNION SELECT b AS u, a AS v FROM pairs), "
+            "walk(node, label) AS ("
+            "SELECT DISTINCT u, u FROM sym "
+            "UNION "
+            "SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.node), "
+            "lab AS (SELECT node, min(label) AS rep FROM walk GROUP BY node), "
+            "removed AS (SELECT node FROM lab WHERE rep != node) "
+            "SELECT doc_id, lang FROM documents "
+            "WHERE doc_id NOT IN (SELECT node FROM removed)"
+        ).format(pairs_sql=_simhash_oracle(bits=32, max_hamming=3)),
+        "text_pii_redact": _pii_redact_oracle(),
+        "text_ngram_counts": (
+            "WITH t AS (SELECT string_split_regex(lower(text), '\\s+') AS ts "
+            "FROM documents), "
+            "g AS (SELECT ts[i.i] || ' ' || ts[i.i + 1] AS gram "
+            "FROM t, LATERAL unnest(generate_series(1, len(ts) - 1)) AS i(i) "
+            "WHERE len(ts) >= 2) "
+            "SELECT gram, count(*) AS cnt FROM g GROUP BY gram "
+            "ORDER BY cnt DESC, gram ASC LIMIT 100"
+        ),
+        "sample_stratified": (
+            "WITH b AS (SELECT lang, "
+            "CAST(('0x' || substr(md5(CAST(('strat:' || CAST(doc_id AS VARCHAR)) "
+            "AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket FROM documents) "
+            "SELECT lang, count(*) AS n_kept FROM b "
+            "WHERE bucket < (CASE WHEN lang = 'en' THEN 200 ELSE 1000 END) "
+            "GROUP BY lang"
+        ),
+        "emb_quantize": (
+            "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings), "
+            "m AS (SELECT vec_id, v, "
+            "list_max(list_transform(v, x -> abs(x))) AS amax FROM v), "
+            "q AS (SELECT vec_id, amax / 127.0 AS scale, "
+            "CASE WHEN amax > 0 THEN list_transform(v, "
+            "x -> CAST(round(x / (amax / 127.0)) AS INT)) "
+            "ELSE list_transform(v, x -> 0) END AS qv, "
+            "len(v) AS n_dims FROM m) "
+            "SELECT vec_id, round(scale, 6) AS scale, "
+            "list_min(qv) AS q_min, list_max(qv) AS q_max, "
+            "CAST(list_sum(list_transform(qv, x -> abs(x))) AS INT) AS q_l1, "
+            "CAST(n_dims AS INT) AS n_dims FROM q"
+        ),
+        "q20_excess_volume": (
+            "WITH shipped AS ("
+            "SELECT l_suppkey, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT) AS qty "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_name LIKE 'small%' "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY l_suppkey "
+            "HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT) > 300) "
+            "SELECT s_name, n_name, qty FROM supplier "
+            "JOIN shipped ON s_suppkey = l_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey"
+        ),
+        # the streaming twin is checked against the SAME SQL as the
+        # batch plan — decimal-exact sums make stream output
+        # bit-identical to batch, so a real streaming execution
+        # (watermark + window state) passes an exact oracle
+        "stream_hourly_agg": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
+            "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "
+            "AS sum_value FROM events "
+            "GROUP BY date_trunc('hour', ts), event_type"
         ),
     }

@@ -229,3 +229,103 @@ def test_real_codec_routing_gated_on_pil(spark, sf_dir):
         )
         row = decode_media_meta(img).collect()[0]
         assert (row["width"], row["height"]) == (17, 13)
+
+
+def test_keep_canonical_drops_only_nonreps(spark):
+    from task_on_dataframes_spark.operators.dedup import keep_canonical
+
+    df = spark.createDataFrame(
+        [(i, f"row{i}") for i in range(8)], "id long, v string"
+    )
+    # clusters {0,1,2} (chain) and {5,6}; 3,4,7 untouched
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "a long, b long"
+    )
+    kept = {r["id"] for r in keep_canonical(df, "id", pairs).collect()}
+    assert kept == {0, 3, 4, 5, 7}
+
+
+def test_pii_redact_counts_and_replaces(spark):
+    from task_on_dataframes_spark.operators.textstats import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and https://spark.apache.org/docs now"),
+            (2, "call 555-123-4567 or +1 555.123.4567 ok"),
+            (3, "a plain b text with q single chars"),
+            (4, "nothing to redact here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(df, "doc_id", "text").collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_url"] == 1
+    assert rows[2]["n_phone"] >= 1
+    assert rows[3]["n_single_char"] == 3
+    assert rows[4]["redacted_len"] == len("nothing to redact here")
+    # redaction shrinks/changes length where matches occurred
+    assert rows[1]["redacted_len"] != len(rows[1].asDict().get("text", "") or "x")
+
+
+def test_ngram_counts_topk_deterministic(spark):
+    from task_on_dataframes_spark.operators.text import ngram_counts
+
+    df = spark.createDataFrame(
+        [("a b a b c",), ("a b x",), ("zz",)], "text string"
+    )
+    out = ngram_counts(df, "text", n=2, k=3).collect()
+    assert [(r["gram"], r["cnt"]) for r in out] == [
+        ("a b", 3),
+        ("b a", 1),
+        ("b c", 1),
+    ]
+
+
+def test_stratified_sample_deterministic_and_full_strata(spark, sf_dir):
+    from task_on_dataframes_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    kept1 = stratified_sample(docs, "doc_id", "lang", {"en": 0.2}, 1.0)
+    kept2 = stratified_sample(docs, "doc_id", "lang", {"en": 0.2}, 1.0)
+    ids1 = {r["doc_id"] for r in kept1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in kept2.select("doc_id").collect()}
+    assert ids1 == ids2, "stratified sample must be reproducible"
+    # non-en strata keep everything; en keeps a strict subset
+    tot = docs.groupBy("lang").count().collect()
+    keptc = {r["lang"]: r["count"] for r in kept1.groupBy("lang").count().collect()}
+    for r in tot:
+        if r["lang"] == "en":
+            assert keptc.get("en", 0) < r["count"]
+        else:
+            assert keptc.get(r["lang"], 0) == r["count"]
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    from task_on_dataframes_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    r1 = rows[1]
+    assert r1["q_min"] == -127 and r1["q_max"] == 64  # 1.0/(2/127)=63.5 -> 64
+    assert abs(r1["scale"] - 2.0 / 127.0) < 1e-6
+    r2 = rows[2]
+    assert r2["q_min"] == 0 and r2["q_max"] == 0 and r2["scale"] == 0.0
+
+
+def test_stream_hourly_matches_batch_bit_for_bit(spark, sf_dir):
+    """The streaming plan (watermark + window state) must produce the
+    exact rows of the batch twin — decimal-exact sums make the
+    comparison order-proof."""
+    import __spark_entry__ as e
+
+    stream_rows = {
+        (r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in e.queries()["stream_hourly_agg"](spark, sf_dir).collect()
+    }
+    batch_rows = {
+        (r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in e.queries()["ev_hourly_agg"](spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows

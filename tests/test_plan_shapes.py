@@ -128,3 +128,45 @@ def test_whole_stage_codegen_covers_hot_path(spark, sf_dir, queries):
     assert re.search(r"\*\(\d+\) ColumnarToRow", plan) or re.search(
         r"\*\(\d+\) Filter", plan
     )
+
+
+def test_ngram_counts_topk_is_take_ordered(spark, sf_dir, queries):
+    # corpus n-gram top-k must merge per-partition heaps, never
+    # globally sort the gram table
+    plan = _physical(queries["text_ngram_counts"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_stratified_sample_is_scan_stage_filter(spark, sf_dir, queries):
+    # the per-stratum cut is a pure filter — no shuffle anywhere
+    from task_on_dataframes_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(stratified_sample(docs, "doc_id", "lang", {"en": 0.2}, 1.0))
+    assert "Exchange" not in plan
+
+
+def test_quantize_is_scan_stage_projection(spark, sf_dir):
+    from task_on_dataframes_spark.operators.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _physical(quantize_int8(emb))
+    assert "Exchange" not in plan
+
+
+def test_keep_canonical_cut_is_broadcast_anti_join(spark):
+    from task_on_dataframes_spark.operators.dedup import keep_canonical
+
+    df = spark.createDataFrame([(i, "v") for i in range(20)], "id long, v string")
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "a long, b long")
+    plan = _physical(keep_canonical(df, "id", pairs))
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+
+
+def test_q20_dims_broadcast(spark, sf_dir, queries):
+    plan = _physical(queries["q20_excess_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # lineitem never hash-shuffles for a join: its only Exchange is the
+    # aggregation on l_suppkey
+    assert "SortMergeJoin" not in plan
