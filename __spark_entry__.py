@@ -1595,6 +1595,70 @@ def _stream_hourly_agg(spark, sf_dir):
     return spark.table(name)
 
 
+def _skew_distinct_2phase(spark, sf_dir):
+    """Hot-key-safe COUNT(DISTINCT): phase 1 groups on (key, value) so
+    the value spreads the hot key across reducers; phase 2 counts pairs
+    per key. Same answer as a plain distinct-agg, skew-proof shape."""
+    from task_on_dataframes_spark.operators.skew import distinct_count_2phase
+
+    li = _t(spark, sf_dir, "lineitem")
+    return distinct_count_2phase(
+        li, ["l_returnflag"], "l_partkey", out="n_distinct"
+    )
+
+
+def _skew_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation over a 3-value (maximally skewed)
+    key — content-derived salts, decimal-exact sums, answer identical
+    to the plain aggregate."""
+    from task_on_dataframes_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        exprs_partial=[
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__s"),
+            F.count(F.lit(1)).alias("__c"),
+        ],
+        exprs_final=[
+            F.round(F.sum("__s"), 2).cast("double").alias("sum_qty"),
+            F.sum("__c").alias("n"),
+        ],
+        n_salt=8,
+    )
+
+
+def _skew_salted_join(spark, sf_dir):
+    """Salted skew join (the stream-static / AQE-unavailable shape):
+    orders salted on content hash, customer replicated per salt; the
+    grouped result is identical to the plain join."""
+    from task_on_dataframes_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, on=["o_custkey"], n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _planner_llm_chunks(spark, sf_dir):
+    """Planner-composed LLM pipeline: the goal column
+    ``docs.text.kept.chunks`` makes BFS assemble
+    get_docs -> score_quality -> filter_quality -> chunk_docs, compiled
+    by Catalyst as ONE lazy plan (quality filter pushed into the scan
+    side of the chunk explode)."""
+    from task_on_dataframes_spark.llm_tasks import register_llm_tasks
+    from task_on_dataframes_spark.plans.solve import solve_goal
+
+    reg = register_llm_tasks(spark, sf_dir, min_quality=0.2, chunk_tokens=64)
+    frame = solve_goal([], ["docs.text.kept.chunks"], registry=reg)
+    return frame.select(
+        F.col("`docs.text.kept.chunks`").alias("chunk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1690,6 +1754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": _emb_quantize,
         "q20_excess_volume": _q20_excess_volume,
         "stream_hourly_agg": _stream_hourly_agg,
+        "skew_distinct_2phase": _skew_distinct_2phase,
+        "skew_salted_agg": _skew_salted_agg,
+        "skew_salted_join": _skew_salted_join,
+        "planner_llm_chunks": _planner_llm_chunks,
     }
 
 
@@ -2663,5 +2731,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "
             "AS sum_value FROM events "
             "GROUP BY date_trunc('hour', ts), event_type"
+        ),
+        # the skew-shape plans must give the PLAIN answer — the oracle
+        # is the unsalted formulation
+        "skew_distinct_2phase": (
+            "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "skew_salted_agg": (
+            "SELECT l_returnflag, "
+            "CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) "
+            "AS sum_qty, count(*) AS n "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "skew_salted_join": (
+            "SELECT c_mktsegment, count(*) AS n FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "planner_llm_chunks": (
+            "WITH q AS (SELECT text, "
+            "round(least(len(string_split_regex(lower(text), '\\s+')) / 100.0, "
+            "1.0), 6) AS qs FROM documents), "
+            "k AS (SELECT text FROM q WHERE qs >= 0.2), "
+            "t AS (SELECT string_split_regex(text, '\\s+') AS ts FROM k) "
+            "SELECT array_to_string(ts[i.i * 64 + 1 : i.i * 64 + 64], ' ') "
+            "AS chunk FROM t, LATERAL unnest(generate_series(0, "
+            "CAST(ceil(len(ts) / 64.0) AS INT) - 1)) AS i(i)"
         ),
     }
