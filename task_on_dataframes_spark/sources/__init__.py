@@ -22,4 +22,10 @@ from .readers import (
     literal_source,
     schema_peek,
 )
-from .writers import csv_sink, parquet_sink
+from .writers import (
+    csv_sink,
+    jsonl_sink,
+    orc_sink,
+    parquet_sink,
+    partitioned_parquet_sink,
+)

@@ -19,6 +19,33 @@ def parquet_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def orc_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC output (built-in columnar alternative; same pushdown/pruning
+    story as parquet on the read side)."""
+    df.write.mode(mode).orc(path)
+
+
+def jsonl_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines output — the interchange format most LLM-data tooling
+    consumes. Distributed write, one JSON object per row."""
+    df.write.mode(mode).json(path)
+
+
+def partitioned_parquet_sink(
+    df: DataFrame,
+    path: str,
+    partition_cols: list,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout (``path/col=value/...``) — the
+    data-layout op that makes partition pruning possible: a reader
+    filtering on ``partition_cols`` touches only matching directories
+    (asserted by ``test_partition_pruning_on_partitioned_layout``).
+    Choose low-cardinality columns; at 100 TB a high-cardinality
+    partition column means millions of tiny files."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def to_local_csv(df: DataFrame, max_rows: int = 1_000_000) -> str:
     """Small-result path: collect and render as one CSV string (the
     reference's download endpoint shape). Guarded by ``max_rows``."""

@@ -226,3 +226,40 @@ def test_stream_dedup_bounded_state(spark, tmp_path):
     # run, so the stream result equals the batch distinct; in a live
     # stream, only duplicates within the watermark horizon are dropped
     assert n == n_batch
+
+
+def test_orc_and_jsonl_roundtrip(spark, tmp_path):
+    from task_on_dataframes_spark.sources import jsonl_sink, orc_sink
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    orc = str(tmp_path / "o.orc")
+    orc_sink(df, orc)
+    back = spark.read.orc(orc)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2]
+    assert back.schema == df.schema
+
+    jl = str(tmp_path / "d.jsonl")
+    jsonl_sink(df, jl)
+    back2 = spark.read.schema(df.schema).json(jl)
+    assert sorted((r["id"], r["s"], r["v"]) for r in back2.collect()) == [
+        (1, "a", 1.5),
+        (2, "b", 2.5),
+    ]
+
+
+def test_partitioned_sink_prunes_on_read(spark, tmp_path):
+    from task_on_dataframes_spark.sources import partitioned_parquet_sink
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(10)],
+        "id long, lang string",
+    )
+    out = str(tmp_path / "part")
+    partitioned_parquet_sink(df, out, ["lang"])
+    got = spark.read.parquet(out).filter("lang = 'en'")
+    assert got.count() == 5
+    # pruning: only the lang=en directory is scanned
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
