@@ -1595,6 +1595,20 @@ def _stream_hourly_agg(spark, sf_dir):
     return spark.table(name)
 
 
+def _ann_lsh_multi_topk(spark, sf_dir):
+    """Multi-table LSH ANN (2 tables x 4 planes): candidate union
+    across independent plane sets — the recall lever of LSH search."""
+    from task_on_dataframes_spark.operators.similarity import lsh_ann_topk_multi
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk_multi(
+        emb, queries_df, k=10, dims=64, planes=4, n_tables=2
+    )
+
+
 def _skew_distinct_2phase(spark, sf_dir):
     """Hot-key-safe COUNT(DISTINCT): phase 1 groups on (key, value) so
     the value spreads the hot key across reducers; phase 2 counts pairs
@@ -1754,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": _emb_quantize,
         "q20_excess_volume": _q20_excess_volume,
         "stream_hourly_agg": _stream_hourly_agg,
+        "ann_lsh_multi_topk": _ann_lsh_multi_topk,
         "skew_distinct_2phase": _skew_distinct_2phase,
         "skew_salted_agg": _skew_salted_agg,
         "skew_salted_join": _skew_salted_join,
@@ -1885,16 +1900,19 @@ _COS = (
 )
 
 
-def _hyperplane_bucket_sql(vec: str, dims: int, planes: int) -> str:
+def _hyperplane_bucket_sql(
+    vec: str, dims: int, planes: int, plane_offset: int = 0
+) -> str:
     """SQL twin of operators.similarity.hyperplane_bucket: identical
     sign matrix, identical left-fold addition order, so the FP
-    projections agree bit-for-bit with Spark's."""
+    projections agree bit-for-bit with Spark's. ``plane_offset``
+    selects the independent plane set of a multi-table LSH table."""
     from task_on_dataframes_spark.operators.similarity import _plane_sign
 
     terms = []
     for p in range(planes):
         proj = "0.0" + "".join(
-            f" + {vec}[{d + 1}] * ({float(_plane_sign(p, d))})"
+            f" + {vec}[{d + 1}] * ({float(_plane_sign(plane_offset + p, d))})"
             for d in range(dims)
         )
         terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
@@ -2731,6 +2749,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "
             "AS sum_value FROM events "
             "GROUP BY date_trunc('hour', ts), event_type"
+        ),
+        "ann_lsh_multi_topk": (
+            "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings WHERE vec_id < 10), "
+            "ct AS (SELECT vec_id, 0 AS t, "
+            + _hyperplane_bucket_sql("v", 64, 4, 0)
+            + " AS b FROM c UNION ALL SELECT vec_id, 1 AS t, "
+            + _hyperplane_bucket_sql("v", 64, 4, 4)
+            + " AS b FROM c), "
+            "qt AS (SELECT query_id, 0 AS t, "
+            + _hyperplane_bucket_sql("v", 64, 4, 0)
+            + " AS b FROM q UNION ALL SELECT query_id, 1 AS t, "
+            + _hyperplane_bucket_sql("v", 64, 4, 4)
+            + " AS b FROM q), "
+            "p AS (SELECT DISTINCT qt.query_id, ct.vec_id "
+            "FROM ct JOIN qt ON ct.t = qt.t AND ct.b = qt.b "
+            "WHERE qt.query_id != ct.vec_id), "
+            f"s AS (SELECT p.query_id, p.vec_id, {_COS} AS cos "
+            "FROM p JOIN q ON p.query_id = q.query_id "
+            "JOIN c ON p.vec_id = c.vec_id), "
+            "r AS (SELECT query_id, vec_id, cos, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank "
+            "FROM s) "
+            "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
+            "FROM r WHERE rank <= 10"
         ),
         # the skew-shape plans must give the PLAIN answer — the oracle
         # is the unsalted formulation

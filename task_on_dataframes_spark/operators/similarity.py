@@ -145,11 +145,15 @@ def _plane_sign(plane: int, dim: int) -> int:
     return 1 if v % 2 == 1 else -1
 
 
-def hyperplane_bucket(vec: Column, dims: int, planes: int) -> Column:
-    """LSH bucket id: bit p is the sign of <plane_p, vec>."""
+def hyperplane_bucket(
+    vec: Column, dims: int, planes: int, plane_offset: int = 0
+) -> Column:
+    """LSH bucket id: bit p is the sign of <plane_{offset+p}, vec>.
+    ``plane_offset`` selects an independent plane set, giving the
+    independent hash tables of multi-table LSH."""
     bucket: Column = F.lit(0).cast("bigint")
     for p in range(planes):
-        signs = [_plane_sign(p, d) for d in range(dims)]
+        signs = [_plane_sign(plane_offset + p, d) for d in range(dims)]
         proj: Column = F.lit(0.0)
         for d, s in enumerate(signs):
             proj = proj + F.element_at(vec, d + 1) * F.lit(float(s))
@@ -319,4 +323,80 @@ def quantize_int8(
             F.transform(q, lambda x: F.abs(x)), F.lit(0), lambda a, b: a + b
         ).alias("q_l1"),
         F.size(v).alias("n_dims"),
+    )
+
+
+def lsh_ann_topk_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dims: int = 64,
+    planes: int = 8,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-table LSH ANN: union the candidates of ``n_tables``
+    independent hyperplane tables before scoring — the standard recall
+    lever (a true neighbor is missed only if it hashes away from the
+    query in EVERY table, so miss probability decays exponentially in
+    ``n_tables``) at ~``n_tables``x candidate cost.
+
+    Scale shape: the corpus row fans out once per table (array explode
+    in the scan stage, no join-back), candidates form per (table,
+    bucket) against the broadcast query side, and the pair set is
+    deduplicated on (query, vector) BEFORE scoring so each survivor is
+    scored exactly once. One shuffle on the candidate pair key; the
+    corpus never self-joins.
+    """
+    def tabled(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    hyperplane_bucket(
+                        F.col("__v"), dims, planes, plane_offset=t * planes
+                    ).alias("b"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return (
+            df.select(F.col(idc).alias(out_id), v.alias("__v"))
+            .withColumn("__tb", F.explode(tables))
+            .select(
+                out_id,
+                "__v",
+                F.col("__tb.t").alias("t"),
+                F.col("__tb.b").alias("b"),
+            )
+        )
+
+    ce = tabled(corpus, id_col, "vec_id")
+    qe = tabled(queries, query_id_col, "query_id").withColumnRenamed(
+        "__v", "__vq"
+    )
+    cand = (
+        ce.join(F.broadcast(qe), on=["t", "b"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        # same pair may surface from several tables: dedup BEFORE the
+        # cosine so each candidate is scored once (vectors ride along —
+        # identical for every copy of the pair)
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot(F.col("__vq"), F.col("__v"))
+            / (norm(F.col("__vq")) * norm(F.col("__v"))),
+            5,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
