@@ -1609,6 +1609,38 @@ def _ann_lsh_multi_topk(spark, sf_dir):
     )
 
 
+def _stream_sessionize(spark, sf_dir):
+    """Custom stateful streaming sessionization (applyInPandasWithState,
+    30-min gap, event-time timeout), drained with availableNow.
+
+    Registered WITHOUT an oracle (rows-only check) deliberately: at
+    end-of-stream the watermark stops at the last event, so each user's
+    final open session never times out and is (correctly, per streaming
+    semantics) not emitted — the batch gaps-and-islands twin
+    ``ev_sessionize`` IS the oracle-checked equivalent of the emitted
+    prefix, and the stream==batch prefix parity is pytest-asserted."""
+    import tempfile
+    import uuid
+
+    from task_on_dataframes_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+        sessionize_stream,
+    )
+
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    stream = sessionize_stream(
+        events_stream(spark, f"{sf_dir}/events.parquet")
+    )
+    run_available_now(
+        stream,
+        name,
+        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
 def _skew_distinct_2phase(spark, sf_dir):
     """Hot-key-safe COUNT(DISTINCT): phase 1 groups on (key, value) so
     the value spreads the hot key across reducers; phase 2 counts pairs
@@ -1769,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_volume": _q20_excess_volume,
         "stream_hourly_agg": _stream_hourly_agg,
         "ann_lsh_multi_topk": _ann_lsh_multi_topk,
+        "stream_sessionize": _stream_sessionize,
         "skew_distinct_2phase": _skew_distinct_2phase,
         "skew_salted_agg": _skew_salted_agg,
         "skew_salted_join": _skew_salted_join,

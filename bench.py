@@ -68,6 +68,10 @@ def main() -> None:
         "text_pack",
         "dedup_minhash_lsh",
         "ann_ivf_topk",
+        # round-3 flagships
+        "planner_llm_chunks",
+        "skew_salted_agg",
+        "q20_excess_volume",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}

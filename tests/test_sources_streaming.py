@@ -151,8 +151,23 @@ def test_streaming_sessionize_runs_stateful(spark, tmp_path):
     n_closed = got.count()
     import __spark_entry__ as entrymod
 
-    n_batch = entrymod._ev_sessionize(spark, src).count()
+    batch = entrymod._ev_sessionize(spark, src)
+    n_batch = batch.count()
     assert 0 < n_closed <= n_batch
+    # prefix parity: every CLOSED stream session matches a batch twin
+    # session on (user, event count, cent-rounded value) — the batch
+    # twin keys sessions by sequence number (no start ts) and sums in
+    # decimal where the state fn sums in float, so the 4th decimal can
+    # legitimately differ; boundaries and counts cannot
+    stream_rows = {
+        (r["user_id"], r["n_events"], round(r["session_value"], 2))
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r["user_id"], r["n_events"], round(r["session_value"], 2))
+        for r in batch.collect()
+    }
+    assert stream_rows <= batch_rows, stream_rows - batch_rows
 
 
 def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
