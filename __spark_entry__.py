@@ -1641,6 +1641,29 @@ def _stream_sessionize(spark, sf_dir):
     return spark.table(name)
 
 
+def _sample_topk_per_stratum(spark, sf_dir):
+    """Corpus curation: keep the top-3 documents per language by the
+    length-quality score (desc, doc_id tiebreak) — per-group top-k via
+    a keyed window; WindowGroupLimit pushes the rank cut below the
+    sort, so each group keeps 3 rows per partition before any shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    score = F.round(
+        F.least(
+            F.size(F.split(F.lower(F.col("text")), r"\s+")) / F.lit(100.0),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
 def _skew_distinct_2phase(spark, sf_dir):
     """Hot-key-safe COUNT(DISTINCT): phase 1 groups on (key, value) so
     the value spreads the hot key across reducers; phase 2 counts pairs
@@ -1802,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_agg": _stream_hourly_agg,
         "ann_lsh_multi_topk": _ann_lsh_multi_topk,
         "stream_sessionize": _stream_sessionize,
+        "sample_topk_per_stratum": _sample_topk_per_stratum,
         "skew_distinct_2phase": _skew_distinct_2phase,
         "skew_salted_agg": _skew_salted_agg,
         "skew_salted_join": _skew_salted_join,
@@ -2808,6 +2832,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM s) "
             "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
             "FROM r WHERE rank <= 10"
+        ),
+        "sample_topk_per_stratum": (
+            "WITH s AS (SELECT lang, doc_id, "
+            "round(least(len(string_split_regex(lower(text), '\\s+')) / 100.0, "
+            "1.0), 6) AS score FROM documents), "
+            "r AS (SELECT lang, doc_id, score, row_number() OVER "
+            "(PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rn FROM s) "
+            "SELECT lang, doc_id, score, CAST(rn AS INTEGER) AS rn "
+            "FROM r WHERE rn <= 3"
         ),
         # the skew-shape plans must give the PLAIN answer — the oracle
         # is the unsalted formulation

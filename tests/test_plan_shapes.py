@@ -170,3 +170,14 @@ def test_q20_dims_broadcast(spark, sf_dir, queries):
     # lineitem never hash-shuffles for a join: its only Exchange is the
     # aggregation on l_suppkey
     assert "SortMergeJoin" not in plan
+
+
+def test_planner_pipeline_compiles_to_zero_shuffle_stage(spark, sf_dir, queries):
+    """The 4-task planner pipeline (source -> quality -> filter ->
+    chunk) must compile into ONE Catalyst plan with no Exchange: the
+    quality filter lands in the scan's DataFilters and only `text` is
+    read — planner composition costs nothing at execution."""
+    df = queries["planner_llm_chunks"](spark, sf_dir)
+    plan = _physical(df)
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<text:string>" in plan
