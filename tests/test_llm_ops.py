@@ -365,3 +365,46 @@ def test_multi_table_lsh_raises_recall(spark, sf_dir):
     # near-neighbor structure is weak (measured 0.23 multi vs 0.06
     # single at sf0.001) — the relative gain is the contract
     assert r_multi >= 0.15, r_multi
+
+
+def test_pii_redact_is_idempotent(spark):
+    """Redacting an already-redacted corpus must find nothing: the
+    placeholder tokens are outside every pattern's language."""
+    from task_on_dataframes_spark.operators.textstats import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com at https://a.io or 555-123-4567 a b"),
+            (2, "x yz 123-456-7890 http://h/p q"),
+        ],
+        "doc_id long, text string",
+    )
+    from task_on_dataframes_spark.operators.textstats import PII_PATTERNS
+    from pyspark.sql import functions as FF
+
+    redacted = df.select("doc_id", FF.col("text"))
+    for _, pat, repl in PII_PATTERNS:
+        redacted = redacted.withColumn(
+            "text", FF.regexp_replace("text", pat, repl)
+        )
+    second = pii_redact(redacted, "doc_id", "text")
+    for r in second.collect():
+        assert r["n_email"] == 0 and r["n_url"] == 0 and r["n_phone"] == 0
+        assert r["n_single_char"] == 0
+
+
+def test_quantize_int8_property_bounds(spark):
+    """Quantized values always lie in [-127, 127] and the max-magnitude
+    dimension maps to +-127 exactly."""
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-10, 10) for _ in range(16)]) for i in range(50)
+    ]
+    from task_on_dataframes_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for r in quantize_int8(df).collect():
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        assert max(abs(r["q_min"]), abs(r["q_max"])) == 127
