@@ -1641,6 +1641,16 @@ def _stream_sessionize(spark, sf_dir):
     return spark.table(name)
 
 
+def _text_winnow(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", shingle=8, window=4
+    )
+
+
 def _sample_topk_per_stratum(spark, sf_dir):
     """Corpus curation: keep the top-3 documents per language by the
     length-quality score (desc, doc_id tiebreak) — per-group top-k via
@@ -1826,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multi_topk": _ann_lsh_multi_topk,
         "stream_sessionize": _stream_sessionize,
         "sample_topk_per_stratum": _sample_topk_per_stratum,
+        "text_winnow": _text_winnow,
         "skew_distinct_2phase": _skew_distinct_2phase,
         "skew_salted_agg": _skew_salted_agg,
         "skew_salted_join": _skew_salted_join,
@@ -2002,6 +2013,8 @@ def _stop_arr(lang: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from task_on_dataframes_spark.operators.hashing import hash32_sql
+
     top90 = (
         _TOKEN_CTE
         + 'SELECT c.tok AS top90_token FROM clean c JOIN top ON c.tok = top.tok'
@@ -2832,6 +2845,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM s) "
             "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
             "FROM r WHERE rank <= 10"
+        ),
+        "text_winnow": (
+            "WITH nrm AS (SELECT doc_id, "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n "
+            "FROM documents), "
+            "h AS (SELECT doc_id, "
+            "list_transform(generate_series(1, greatest(length(n) - 7, 1)), "
+            f"i -> {hash32_sql('substr(n, i, 8)')}) AS hs FROM nrm), "
+            "m AS (SELECT doc_id, list_distinct("
+            "list_transform(generate_series(1, greatest(len(hs) - 3, 1)), "
+            "i -> list_min(hs[i:i + 3]))) AS fps FROM h) "
+            "SELECT doc_id, unnest(fps) AS fingerprint FROM m"
         ),
         "sample_topk_per_stratum": (
             "WITH s AS (SELECT lang, doc_id, "

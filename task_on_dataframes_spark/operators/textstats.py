@@ -146,6 +146,50 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (the plagiarism/near-dup fingerprint selection of
+    Schleimer-Wilkerson-Aiken): hash every character ``shingle``-gram,
+    then keep the MINIMUM hash of each sliding ``window`` of
+    consecutive gram hashes; the distinct minima are the document's
+    fingerprints. Guarantees any shared substring of length
+    ``shingle + window - 1`` produces at least one shared fingerprint,
+    while storing ~2/(window+1) of all gram hashes.
+
+    Pure array arithmetic in the scan stage (gram hashes, per-window
+    minima and dedup are all `transform`/`array_distinct` on one row) —
+    zero shuffle; the explode feeds whatever keyed consumer follows
+    (typically a fingerprint-bucket self-join, same shape as LSH)."""
+    norm_ = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.select(F.col(id_col), norm_.alias("__n"))
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length("__n") - shingle + 1, F.lit(1))
+        ),
+        lambda i: F.col("__n").substr(i, F.lit(shingle)),
+    )
+    with_h = base.select(
+        F.col(id_col),
+        F.transform(grams, lambda g: hash32(g)).alias("__h"),
+    )
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("__h") - window + 1, F.lit(1))
+            ),
+            lambda i: F.array_min(F.slice("__h", i, window)),
+        )
+    )
+    return with_h.select(
+        F.col(id_col), F.explode(mins).alias("fingerprint")
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str, text_col: str, shingle: int = 8
 ) -> DataFrame:

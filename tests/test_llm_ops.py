@@ -408,3 +408,28 @@ def test_quantize_int8_property_bounds(spark):
     for r in quantize_int8(df).collect():
         assert -127 <= r["q_min"] <= r["q_max"] <= 127
         assert max(abs(r["q_min"]), abs(r["q_max"])) == 127
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """Winnowing's contract: documents sharing a substring of length
+    >= shingle + window - 1 share at least one fingerprint."""
+    from task_on_dataframes_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "cccc dddd " + shared + " eeee"),
+            (3, "totally unrelated text with zero overlap whatsoever!"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", shingle=8, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    # selection stores a fraction of all gram hashes
+    assert len(by_doc[1]) < len("AAAA " + shared + " BBBB") - 8 + 1
