@@ -1641,6 +1641,50 @@ def _stream_sessionize(spark, sf_dir):
     return spark.table(name)
 
 
+def _j8_upsert(spark, sf_dir):
+    """SCD-1 merge: a deterministic CDC batch (every 10th customer with
+    bumped balance, plus 5 brand-new keys) upserted into customer —
+    anti-join + append, base never shuffles (update keys broadcast)."""
+    from task_on_dataframes_spark.operators.joins import upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    changed = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(12,2)") + 100)
+        .cast("double")
+        .alias("c_acctbal"),
+    )
+    new_rows = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 5)
+        .select(
+            (F.col("n_nationkey") + 1_000_000).alias("c_custkey"),
+            F.concat(F.lit("new customer "), F.col("n_name")).alias("c_name"),
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.lit("BUILDING").alias("c_mktsegment"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    updates = changed.unionByName(new_rows)
+    merged = upsert(
+        cust.select(
+            "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+        ),
+        updates,
+        keys=["c_custkey"],
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+        F.sum((F.col("c_custkey") >= 1_000_000).cast("int")).alias("n_new"),
+    )
+
+
 def _text_winnow(spark, sf_dir):
     from task_on_dataframes_spark.operators.textstats import (
         winnow_fingerprints,
@@ -1837,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _stream_sessionize,
         "sample_topk_per_stratum": _sample_topk_per_stratum,
         "text_winnow": _text_winnow,
+        "j8_upsert": _j8_upsert,
         "skew_distinct_2phase": _skew_distinct_2phase,
         "skew_salted_agg": _skew_salted_agg,
         "skew_salted_join": _skew_salted_join,
@@ -2845,6 +2890,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM s) "
             "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
             "FROM r WHERE rank <= 10"
+        ),
+        "j8_upsert": (
+            "WITH changed AS (SELECT c_custkey, c_name, c_nationkey, "
+            "c_mktsegment, CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 "
+            "AS DOUBLE) AS c_acctbal FROM customer WHERE c_custkey % 10 = 0), "
+            "new_rows AS (SELECT n_nationkey + 1000000 AS c_custkey, "
+            "'new customer ' || n_name AS c_name, "
+            "n_nationkey AS c_nationkey, 'BUILDING' AS c_mktsegment, "
+            "0.0 AS c_acctbal FROM nation WHERE n_nationkey < 5), "
+            "updates AS (SELECT * FROM changed "
+            "UNION ALL SELECT * FROM new_rows), "
+            "surv AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment, "
+            "c_acctbal FROM customer WHERE c_custkey NOT IN "
+            "(SELECT c_custkey FROM updates)), "
+            "merged AS (SELECT * FROM surv UNION ALL SELECT * FROM updates) "
+            "SELECT count(*) AS n_rows, "
+            "CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) "
+            "AS total_bal, "
+            "CAST(sum(CASE WHEN c_custkey >= 1000000 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_new FROM merged"
         ),
         "text_winnow": (
             "WITH nrm AS (SELECT doc_id, "

@@ -112,3 +112,32 @@ def range_join(
     never moves."""
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return big.join(F.broadcast(buckets), cond, how)
+
+
+def upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """SCD-1 merge (the CDC/incremental-load primitive): rows from
+    ``updates`` replace same-key rows of ``base``; new keys append;
+    untouched base rows pass through. Schemas must match by name.
+
+    Built as ``base LEFT ANTI updates  UNION ALL  updates`` — the
+    anti-join is one keyed operation, and when the update batch is
+    small relative to the base (the normal CDC case) it broadcasts, so
+    the base never shuffles: at 100 TB the whole merge is a map-side
+    filter plus an append. (A full-outer-join formulation would shuffle
+    both sides on the key for no benefit.) Last-writer-wins within
+    ``updates`` is the caller's contract — dedup updates first if the
+    batch can contain multiple versions of one key.
+    """
+    keys = list(keys)
+    cols = base.columns
+    if set(cols) != set(updates.columns):
+        raise ValueError(
+            f"upsert: schema mismatch {cols} vs {updates.columns}"
+        )
+    survivors = base.join(F.broadcast(updates.select(*keys)), on=keys,
+                          how="left_anti")
+    return survivors.select(*cols).unionByName(updates.select(*cols))

@@ -200,3 +200,26 @@ def test_tfidf_prefers_rare_terms(spark):
     top = {r["doc_id"]: r["token"] for r in out.collect()}
     # 'common' appears in every doc -> idf = ln(1) = 0
     assert top[1] == "rare1" and top[2] == "rare2"
+
+
+def test_upsert_semantics_and_plan(spark):
+    from task_on_dataframes_spark.operators.joins import upsert
+    import re as _re
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, val double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (9, "new", 90.0)], "k long, name string, val double"
+    )
+    out = {r["k"]: (r["name"], r["val"]) for r in upsert(base, updates, ["k"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 9: ("new", 90.0)}
+    # the base side must not shuffle: anti-join against broadcast keys
+    plan = upsert(base, updates, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+    # schema mismatch is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        upsert(base, updates.drop("val"), ["k"])
