@@ -40,9 +40,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond timestamp (floor, matching DuckDB's ns->us handling)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # integer division: floor(ns/1000.0) goes through a double, and
+    # nanosecond epochs (~1.7e18) exceed float64's exact-integer range,
+    # shifting some timestamps by 1us
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 # ---------------------------------------------------------------------------
@@ -1641,6 +1642,46 @@ def _stream_sessionize(spark, sf_dir):
     return spark.table(name)
 
 
+def _w5_lag_delta(spark, sf_dir):
+    """lead/lag window coverage: per-user inter-event time delta and
+    value change, keyed window (no global sort)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        # microsecond arithmetic: cast-to-seconds would round/truncate
+        # differently across engines on fractional-second timestamps
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+        .alias("gap_us"),
+        F.round(
+            F.col("value").cast("decimal(18,6)")
+            - F.lag(F.col("value").cast("decimal(18,6)")).over(w),
+            4,
+        )
+        .cast("double")
+        .alias("value_delta"),
+    )
+
+
+def _w6_ntile_bins(spark, sf_dir):
+    """ntile quartile binning by document length (curriculum/difficulty
+    bucketing): counts and length ranges per quartile. The ntile window
+    is global by design — it runs over the 1-row-per-doc length table,
+    not the corpus text, and at 100 TB the same cut comes from
+    approx-percentile boundaries instead (a5_percentiles)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    binned = docs.select(
+        "doc_id", "n_chars", F.ntile(4).over(w).alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def _j8_upsert(spark, sf_dir):
     """SCD-1 merge: a deterministic CDC batch (every 10th customer with
     bumped balance, plus 5 brand-new keys) upserted into customer —
@@ -1882,6 +1923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_topk_per_stratum": _sample_topk_per_stratum,
         "text_winnow": _text_winnow,
         "j8_upsert": _j8_upsert,
+        "w5_lag_delta": _w5_lag_delta,
+        "w6_ntile_bins": _w6_ntile_bins,
         "skew_distinct_2phase": _skew_distinct_2phase,
         "skew_salted_agg": _skew_salted_agg,
         "skew_salted_join": _skew_salted_join,
@@ -2890,6 +2933,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM s) "
             "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
             "FROM r WHERE rank <= 10"
+        ),
+        "w5_lag_delta": (
+            "SELECT user_id, event_id, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us, "
+            "CAST(round(CAST(value AS DECIMAL(18,6)) - "
+            "lag(CAST(value AS DECIMAL(18,6))) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), 4) AS DOUBLE) "
+            "AS value_delta FROM events"
+        ),
+        "w6_ntile_bins": (
+            "WITH b AS (SELECT doc_id, n_chars, ntile(4) OVER "
+            "(ORDER BY n_chars ASC, doc_id ASC) AS bin FROM documents) "
+            "SELECT bin, count(*) AS n, min(n_chars) AS min_chars, "
+            "max(n_chars) AS max_chars FROM b GROUP BY bin"
         ),
         "j8_upsert": (
             "WITH changed AS (SELECT c_custkey, c_name, c_nationkey, "

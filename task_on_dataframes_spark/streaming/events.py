@@ -74,9 +74,9 @@ def events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(_as_stream_dir(src))
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # integer division (same arithmetic as the batch reader): a
+    # double-division floor loses 1us on ~1.7e18 nano epochs
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def hourly_counts_stream(
