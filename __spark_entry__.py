@@ -1642,6 +1642,72 @@ def _stream_sessionize(spark, sf_dir):
     return spark.table(name)
 
 
+def _ev_gap_fill(spark, sf_dir):
+    """Zero-filled hourly time series (date-spine gap filling): the
+    spine is sequence(min_hour, max_hour) x distinct event types —
+    both dimension-sized, built without touching the fact table twice
+    (min/max come from one aggregate), joined LEFT against the hourly
+    counts so silent hours surface as n=0. The fact table aggregates
+    once; the spine side broadcasts."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine_hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    spine = spine_hours.crossJoin(F.broadcast(types))
+    return (
+        spine.join(hourly, on=["hour", "event_type"], how="left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("cnt", F.lit(0)).alias("n"),
+        )
+    )
+
+
+def _text_vocab_oov(spark, sf_dir):
+    """Vocabulary build + OOV rate (the LM-preprocessing pair): vocab =
+    top-500 tokens by corpus frequency (count desc, token asc — total
+    order); per-document OOV rate = fraction of tokens outside it.
+    Scale shape: one shuffle builds the vocab (TakeOrdered), the vocab
+    broadcasts into the per-doc membership check, the corpus token
+    table never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(500)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), on="tok", how="left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
 def _w5_lag_delta(spark, sf_dir):
     """lead/lag window coverage: per-user inter-event time delta and
     value change, keyed window (no global sort)."""
@@ -1925,6 +1991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_upsert": _j8_upsert,
         "w5_lag_delta": _w5_lag_delta,
         "w6_ntile_bins": _w6_ntile_bins,
+        "ev_gap_fill": _ev_gap_fill,
+        "text_vocab_oov": _text_vocab_oov,
         "skew_distinct_2phase": _skew_distinct_2phase,
         "skew_salted_agg": _skew_salted_agg,
         "skew_salted_join": _skew_salted_join,
@@ -2933,6 +3001,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM s) "
             "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
             "FROM r WHERE rank <= 10"
+        ),
+        "ev_gap_fill": (
+            "WITH hourly AS (SELECT date_trunc('hour', ts) AS hour, "
+            "event_type, count(*) AS cnt FROM events "
+            "GROUP BY 1, 2), "
+            "bounds AS (SELECT date_trunc('hour', min(ts)) AS lo, "
+            "date_trunc('hour', max(ts)) AS hi FROM events), "
+            "spine_hours AS (SELECT unnest(generate_series(lo, hi, "
+            "INTERVAL 1 HOUR)) AS hour FROM bounds), "
+            "types AS (SELECT DISTINCT event_type FROM events), "
+            "spine AS (SELECT hour, event_type FROM spine_hours, types) "
+            "SELECT s.hour, s.event_type, "
+            "coalesce(h.cnt, 0) AS n "
+            "FROM spine s LEFT JOIN hourly h "
+            "ON s.hour = h.hour AND s.event_type = h.event_type"
+        ),
+        "text_vocab_oov": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '\\s+')) AS tok "
+            "FROM documents), "
+            "nz AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0), "
+            "vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cnt "
+            "FROM nz GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 500)), "
+            "f AS (SELECT nz.doc_id, "
+            "CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov "
+            "FROM nz LEFT JOIN vocab v ON nz.tok = v.tok) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            "CAST(sum(oov) AS BIGINT) AS n_oov, "
+            "round(CAST(sum(oov) AS BIGINT) / count(*), 6) AS oov_rate "
+            "FROM f GROUP BY doc_id"
         ),
         "w5_lag_delta": (
             "SELECT user_id, event_id, "
