@@ -1642,6 +1642,51 @@ def _stream_sessionize(spark, sf_dir):
     return spark.table(name)
 
 
+def _ev_funnel(spark, sf_dir):
+    """Conversion funnel: per user, the first view -> first click after
+    it -> first purchase after that, each within 24h of the previous
+    step; output the per-stage user counts. One aggregation per stage
+    over conditional mins — the fact table shuffles once on user_id
+    (all three stages come from a single groupBy)."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+    )
+    # stage 2/3 join the per-user stage table back onto events on
+    # user_id — per-user aggregates are bounded by user cardinality, so
+    # the join keys on the natural key and AQE broadcasts when small
+    DAY_US = 86400 * 1_000_000
+    ev2 = ev.join(per_user, on="user_id")
+    stage2 = ev2.filter(
+        (F.col("event_type") == "click")
+        & F.col("t_view").isNotNull()
+        & (us > F.col("t_view"))
+        & (us <= F.col("t_view") + F.lit(DAY_US))
+    ).groupBy("user_id").agg(F.min(us).alias("t_click"))
+    ev3 = ev.join(stage2, on="user_id")
+    stage3 = ev3.filter(
+        (F.col("event_type") == "purchase")
+        & (us > F.col("t_click"))
+        & (us <= F.col("t_click") + F.lit(DAY_US))
+    ).groupBy("user_id").agg(F.min(us).alias("t_purchase"))
+    return (
+        per_user.filter(F.col("t_view").isNotNull())
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("1_view").alias("stage"), "n")
+        .unionByName(
+            stage2.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("2_click").alias("stage"), "n"
+            )
+        )
+        .unionByName(
+            stage3.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("3_purchase").alias("stage"), "n"
+            )
+        )
+    )
+
+
 def _ev_gap_fill(spark, sf_dir):
     """Zero-filled hourly time series (date-spine gap filling): the
     spine is sequence(min_hour, max_hour) x distinct event types —
@@ -1992,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_lag_delta": _w5_lag_delta,
         "w6_ntile_bins": _w6_ntile_bins,
         "ev_gap_fill": _ev_gap_fill,
+        "ev_funnel": _ev_funnel,
         "text_vocab_oov": _text_vocab_oov,
         "skew_distinct_2phase": _skew_distinct_2phase,
         "skew_salted_agg": _skew_salted_agg,
@@ -3001,6 +3047,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM s) "
             "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
             "FROM r WHERE rank <= 10"
+        ),
+        "ev_funnel": (
+            "WITH s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' "
+            "THEN epoch_us(ts) END) AS t_view FROM events GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click "
+            "FROM events e JOIN s1 ON e.user_id = s1.user_id "
+            "WHERE e.event_type = 'click' AND s1.t_view IS NOT NULL "
+            "AND epoch_us(e.ts) > s1.t_view "
+            "AND epoch_us(e.ts) <= s1.t_view + 86400000000 "
+            "GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase "
+            "FROM events e JOIN s2 ON e.user_id = s2.user_id "
+            "WHERE e.event_type = 'purchase' "
+            "AND epoch_us(e.ts) > s2.t_click "
+            "AND epoch_us(e.ts) <= s2.t_click + 86400000000 "
+            "GROUP BY e.user_id) "
+            "SELECT '1_view' AS stage, count(*) AS n FROM s1 "
+            "WHERE t_view IS NOT NULL "
+            "UNION ALL SELECT '2_click', count(*) FROM s2 "
+            "UNION ALL SELECT '3_purchase', count(*) FROM s3"
         ),
         "ev_gap_fill": (
             "WITH hourly AS (SELECT date_trunc('hour', ts) AS hour, "

@@ -181,3 +181,18 @@ def test_planner_pipeline_compiles_to_zero_shuffle_stage(spark, sf_dir, queries)
     plan = _physical(df)
     assert "Exchange" not in plan
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir, queries):
+    # the corpus token table must meet the vocab via broadcast, and the
+    # vocab cut must be a TakeOrdered, not a global sort
+    plan = _physical(queries["text_vocab_oov"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gap_fill_spine_broadcasts(spark, sf_dir, queries):
+    # the dimension-sized spine joins the hourly aggregate via
+    # broadcast; the fact table aggregates exactly once
+    plan = _physical(queries["ev_gap_fill"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
