@@ -177,7 +177,12 @@ def minhash_lsh_pairs(
     # pays (MEMORY_AND_DISK, spills instead of recomputing)
     toks = toks.persist()
     sigs = minhash_signatures(toks, num_perm)
-    keys = lsh_band_keys(sigs, num_perm, bands)
+    # the band-key frame feeds BOTH sides of the candidate self-join,
+    # and Catalyst does not reuse the aliased subplans (no
+    # ReusedExchange) — without the persist the 16-min signature
+    # aggregation runs twice. The frame is docs x bands rows (id, band,
+    # md5 key): document-scale, bounded, far smaller than the shingles.
+    keys = lsh_band_keys(sigs, num_perm, bands).persist()
     ka = keys.select(F.col("did").alias("a"), "band", "key")
     kb = keys.select(F.col("did").alias("b"), "band", "key")
     candidates = (
@@ -261,6 +266,10 @@ def simhash_pairs(
     hits buckets, never the full cross product."""
     width = bits // chunks
     mask = (1 << width) - 1
+    # both sides of the chunk-bucket self-join read the fingerprints;
+    # persist so the 32-bit-sum aggregation behind them runs once
+    # (doc-scale frame: id + one bigint)
+    fps = fps.persist()
     chunked = fps.select(
         "did",
         "simhash",
