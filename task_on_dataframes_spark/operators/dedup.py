@@ -508,7 +508,11 @@ def embedding_lsh_pairs(
     v = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("v"), dims, planes))
+    ).withColumn("bucket", hyperplane_bucket("v", dims, planes))
+    # both self-join sides read the bucketed frame; persist so the
+    # hyperplane projection scan runs once (the staging step of any
+    # bucketed self-join — MEMORY_AND_DISK, spills instead of recompute)
+    v = v.persist()
     a = v.select(
         F.col("id").alias("a"), F.col("v").alias("va"), "bucket"
     )
