@@ -1642,6 +1642,48 @@ def _stream_sessionize(spark, sf_dir):
     return spark.table(name)
 
 
+def _ev_zscore_anomalies(spark, sf_dir):
+    """Group-wise standardization: per event_type mean/std of value
+    from DECIMAL-exact moment sums (sum, sum of squares) so the
+    statistics are partition-order-proof, then the count of |z| > 2
+    anomalies per type. One shuffle (the moments aggregate); the
+    z-score pass joins the tiny per-type stats back broadcast."""
+    ev = _events(spark, sf_dir)
+    vdec = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).alias("s1"),
+        F.sum(vdec * vdec).alias("s2"),
+    )
+    # moments -> mean/std: cast the EXACT decimal sums to double first,
+    # then do identical scalar double ops on both engines (decimal
+    # division scale/rounding rules differ between engines; double
+    # arithmetic on identical inputs does not)
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    stats = stats.select(
+        "event_type",
+        "n",
+        (s1d / F.col("n")).alias("mean"),
+        F.sqrt(
+            (s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    flagged = ev.join(F.broadcast(stats), on="event_type").filter(
+        F.abs((F.col("value") - F.col("mean")) / F.col("std")) > 2
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_anomalies"))
+        .join(stats.select("event_type", "n"), on="event_type")
+        .select(
+            "event_type",
+            "n_anomalies",
+            F.round(F.col("n_anomalies") / F.col("n"), 6).alias("rate"),
+        )
+    )
+
+
 def _ev_funnel(spark, sf_dir):
     """Conversion funnel: per user, the first view -> first click after
     it -> first purchase after that, each within 24h of the previous
@@ -2038,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_ntile_bins": _w6_ntile_bins,
         "ev_gap_fill": _ev_gap_fill,
         "ev_funnel": _ev_funnel,
+        "ev_zscore_anomalies": _ev_zscore_anomalies,
         "text_vocab_oov": _text_vocab_oov,
         "skew_distinct_2phase": _skew_distinct_2phase,
         "skew_salted_agg": _skew_salted_agg,
@@ -3047,6 +3090,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM s) "
             "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
             "FROM r WHERE rank <= 10"
+        ),
+        "ev_zscore_anomalies": (
+            "WITH stats AS (SELECT event_type, count(*) AS n, "
+            "sum(CAST(value AS DECIMAL(18,6))) AS s1, "
+            "sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) "
+            "AS s2 FROM events GROUP BY event_type), "
+            "st AS (SELECT event_type, n, "
+            "CAST(s1 AS DOUBLE) / n AS mean, "
+            "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * "
+            "CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std FROM stats), "
+            "fl AS (SELECT e.event_type FROM events e "
+            "JOIN st ON e.event_type = st.event_type "
+            "WHERE abs((e.value - st.mean) / st.std) > 2) "
+            "SELECT f.event_type, count(*) AS n_anomalies, "
+            "round(count(*) / st.n, 6) AS rate "
+            "FROM fl f JOIN st ON f.event_type = st.event_type "
+            "GROUP BY f.event_type, st.n"
         ),
         "ev_funnel": (
             "WITH s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' "
