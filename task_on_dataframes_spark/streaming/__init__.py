@@ -15,5 +15,6 @@ from .events import (
     hourly_counts_stream,
     sliding_counts_stream,
     sessionize_stream,
+    stream_stream_window_join,
     run_available_now,
 )

@@ -262,3 +262,45 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_window_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: match right-side events
+    that occur within ``within`` AFTER the left event, per key.
+
+    Both sides carry watermarks and the join has a time-range bound, so
+    Spark can evict buffered state once the watermark passes — the
+    configuration stream-stream joins REQUIRE to keep state bounded at
+    any throughput (an unbounded-time join would buffer both streams
+    forever). Output columns: key, l_event_id, l_ts, r_event_id, r_ts.
+    """
+    l = (
+        left.withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias("l_key"),
+            F.col("event_id").alias("l_event_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias("r_key"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL {within}"
+        ),
+    ).select(
+        F.col("l_key").alias(key), "l_event_id", "l_ts", "r_event_id", "r_ts"
+    )

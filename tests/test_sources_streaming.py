@@ -278,3 +278,49 @@ def test_partitioned_sink_prunes_on_read(spark, tmp_path):
     # pruning: only the lang=en directory is scanned
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join (click -> purchase within 1h per
+    user) drains to the same pair set as the batch join."""
+    from pyspark.sql import functions as F
+
+    from task_on_dataframes_spark.streaming import (
+        events_stream,
+        run_available_now,
+        stream_stream_window_join,
+    )
+
+    src = "/root/testdata/sf0.001"
+    ev = events_stream(spark, f"{src}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_window_join(clicks, buys, within="1 hour")
+    run_available_now(
+        joined, "ss_join_mem", str(tmp_path / "ck_ss"), output_mode="append"
+    )
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM ss_join_mem").collect()
+    }
+
+    import __spark_entry__ as entrymod
+
+    bev = entrymod._events(spark, src)
+    bc = bev.filter("event_type = 'click'").selectExpr(
+        "user_id AS l_key", "event_id AS l_event_id", "ts AS l_ts"
+    )
+    bp = bev.filter("event_type = 'purchase'").selectExpr(
+        "user_id AS r_key", "event_id AS r_event_id", "ts AS r_ts"
+    )
+    want = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in bc.join(
+            bp,
+            F.expr(
+                "l_key = r_key AND r_ts > l_ts "
+                "AND r_ts <= l_ts + INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
