@@ -1879,6 +1879,15 @@ def _j8_upsert(spark, sf_dir):
     )
 
 
+def _dedup_winnow(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        shingle=8, window=4, threshold=0.5, max_df=50,
+    )
+
+
 def _text_winnow(spark, sf_dir):
     from task_on_dataframes_spark.operators.textstats import (
         winnow_fingerprints,
@@ -2075,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _stream_sessionize,
         "sample_topk_per_stratum": _sample_topk_per_stratum,
         "text_winnow": _text_winnow,
+        "dedup_winnow": _dedup_winnow,
         "j8_upsert": _j8_upsert,
         "w5_lag_delta": _w5_lag_delta,
         "w6_ntile_bins": _w6_ntile_bins,
@@ -2230,6 +2240,45 @@ def _hyperplane_bucket_sql(
         )
         terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def _winnow_pairs_oracle(
+    shingle: int = 8, window: int = 4, threshold: float = 0.5, max_df: int = 50
+) -> str:
+    from task_on_dataframes_spark.operators.hashing import hash32_sql
+
+    return f"""
+WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+             FROM documents),
+h AS (SELECT doc_id, list_transform(
+        generate_series(1, greatest(length(n) - {shingle - 1}, 1)),
+        i -> {hash32_sql(f"substr(n, i, {shingle})")}) AS hs FROM nrm),
+m AS (SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(hs) - {window - 1}, 1)),
+        i -> list_min(hs[i:i + {window - 1}]))) AS fps FROM h),
+fp AS (SELECT doc_id AS did, unnest(fps) AS fingerprint FROM m),
+rare AS (SELECT fingerprint FROM
+         (SELECT fingerprint, count(*) AS df FROM fp GROUP BY fingerprint)
+         WHERE df <= {max_df}),
+ff AS (SELECT fp.did, fp.fingerprint FROM fp JOIN rare USING (fingerprint)),
+cand AS (SELECT DISTINCT x.did AS a, y.did AS b
+         FROM ff x JOIN ff y ON x.fingerprint = y.fingerprint
+         WHERE x.did < y.did),
+t AS (SELECT doc_id AS did, string_split_regex(lower(text), '\\s+') AS ts
+      FROM documents),
+g AS (SELECT DISTINCT did, ts[i.i] || ' ' || ts[i.i + 1] AS tok
+      FROM t, LATERAL unnest(generate_series(1, len(ts) - 1)) AS i(i)
+      WHERE len(ts) >= 2),
+sz AS (SELECT did, count(*) AS sz FROM g GROUP BY did),
+inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+          JOIN g ga ON ga.did = c.a
+          JOIN g gb ON gb.did = c.b AND gb.tok = ga.tok
+          GROUP BY c.a, c.b)
+SELECT i.a AS a, i.b AS b,
+       round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sz sa ON i.a = sa.did JOIN sz sb ON i.b = sb.did
+WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
+"""
 
 
 def _pii_redact_oracle() -> str:
@@ -3173,6 +3222,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT bin, count(*) AS n, min(n_chars) AS min_chars, "
             "max(n_chars) AS max_chars FROM b GROUP BY bin"
         ),
+        "dedup_winnow": _winnow_pairs_oracle(8, 4, 0.5, 50),
         "j8_upsert": (
             "WITH changed AS (SELECT c_custkey, c_name, c_nationkey, "
             "c_mktsegment, CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 "

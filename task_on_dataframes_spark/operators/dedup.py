@@ -527,3 +527,48 @@ def embedding_lsh_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle: int = 8,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs via winnowing fingerprints: documents
+    sharing a selected fingerprint become candidates (winnowing
+    guarantees any shared substring of length shingle+window-1
+    produces a shared fingerprint — substring-level recall MinHash's
+    bag-of-shingles model can't promise), then exact word-bigram
+    Jaccard verifies. ``max_df`` drops fingerprints present in more
+    than that many documents (ubiquitous boilerplate fingerprints pair
+    everything with everything and carry no signal — same frequency
+    cut as :func:`ngram_jaccard_pairs`).
+
+    Scale shape: fingerprint selection is scan-stage array arithmetic;
+    candidates form on the fingerprint key (one shuffle); verification
+    touches candidates only. No all-pairs stage.
+    """
+    from .textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, id_col, text_col, shingle, window).persist()
+    rare = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fingerprint")
+    )
+    filtered = fps.join(F.broadcast(rare), on="fingerprint")
+    fa = filtered.select(F.col(id_col).alias("a"), "fingerprint")
+    fb = filtered.select(F.col(id_col).alias("b"), "fingerprint")
+    candidates = (
+        fa.join(fb, on="fingerprint")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    grams = _word_ngrams(df, id_col, text_col, 2).persist()
+    return jaccard_verify(candidates, grams, threshold)
