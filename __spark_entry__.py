@@ -1985,6 +1985,124 @@ def _planner_llm_chunks(spark, sf_dir):
     )
 
 
+def _a8_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations
+    in one shuffle (Expand feeds a single hash aggregate — no union of
+    four scans). Subtotal NULL keys coalesce to 'ALL'."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 4
+            )
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+def _ev_retention(spark, sf_dir):
+    """Cohort retention: users cohorted by first-event date, then
+    distinct-user counts per (cohort_day, weeks-since-first). Two keyed
+    aggregations on user_id plus one join back; the per-user first-day
+    frame is user-cardinality-sized so AQE broadcasts it and the fact
+    table shuffles once for the cohort count."""
+    ev = _events(spark, sf_dir)
+    # day-truncated TIMESTAMP (not DATE) so both engines serialize the
+    # cohort key identically — the ev_hourly_agg-proven pattern
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date("cohort_day")) / 7
+    ).alias("week_offset")
+    return (
+        ev.join(first, on="user_id")
+        .select("user_id", "cohort_day", week)
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_BM25_TERMS = ("hash", "join", "vector")
+
+
+def _text_bm25(spark, sf_dir):
+    """BM25 document ranking for a fixed 3-term query (k1=1.2, b=0.75,
+    Lucene-style idf = ln(1 + (N - df + .5)/(df + .5))). Doc-length and
+    df frames are dimension-sized and broadcast; per-term partial
+    scores pivot into fixed columns so the final score is a fixed-order
+    scalar add — bit-identical across engines, no float
+    summation-order hazard. Top-20 via TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            F.regexp_replace("tok", r"^\W+|\W+$", "").alias("tok"),
+        )
+        .filter(F.length("tok") >= 2)
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_avg = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_avg))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    s = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    pivoted = (
+        scored.select("doc_id", "tok", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("tok") == t, F.col("s"))).alias(f"s_{t}")
+                for t in _BM25_TERMS
+            ]
+        )
+    )
+    score = (
+        F.coalesce(F.col(f"s_{_BM25_TERMS[0]}"), F.lit(0.0))
+        + F.coalesce(F.col(f"s_{_BM25_TERMS[1]}"), F.lit(0.0))
+        + F.coalesce(F.col(f"s_{_BM25_TERMS[2]}"), F.lit(0.0))
+    )
+    return (
+        pivoted.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2091,6 +2209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_gap_fill": _ev_gap_fill,
         "ev_funnel": _ev_funnel,
         "ev_zscore_anomalies": _ev_zscore_anomalies,
+        "ev_retention": _ev_retention,
+        "a8_cube": _a8_cube,
+        "text_bm25": _text_bm25,
         "text_vocab_oov": _text_vocab_oov,
         "skew_distinct_2phase": _skew_distinct_2phase,
         "skew_salted_agg": _skew_salted_agg,
@@ -3289,5 +3410,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT array_to_string(ts[i.i * 64 + 1 : i.i * 64 + 64], ' ') "
             "AS chunk FROM t, LATERAL unnest(generate_series(0, "
             "CAST(ceil(len(ts) / 64.0) AS INT) - 1)) AS i(i)"
+        ),
+        "a8_cube": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS flag, "
+            "coalesce(l_linestatus, 'ALL') AS status, count(*) AS n, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) "
+            "AS DOUBLE) AS sum_price "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "ev_retention": (
+            "WITH first AS (SELECT user_id, min(date_trunc('day', ts)) AS "
+            "cohort_day FROM events GROUP BY user_id) "
+            "SELECT f.cohort_day, CAST(floor(date_diff('day', "
+            "CAST(f.cohort_day AS DATE), CAST(e.ts AS DATE)) / 7) AS BIGINT) "
+            "AS week_offset, count(DISTINCT e.user_id) AS n_users "
+            "FROM events e JOIN first f ON e.user_id = f.user_id "
+            "GROUP BY 1, 2"
+        ),
+        "text_bm25": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_replace(t.tok, '^\\W+|\\W+$', '') AS tok "
+            "FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '\\s+')) AS tok "
+            "FROM documents) t), "
+            "clean AS (SELECT doc_id, tok FROM toks WHERE length(tok) >= 2), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM clean GROUP BY doc_id), "
+            "navg AS (SELECT count(*) AS n_docs, "
+            "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM clean "
+            "WHERE tok IN ('hash', 'join', 'vector') GROUP BY doc_id, tok), "
+            "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+            "scored AS (SELECT tf.doc_id, tf.tok, "
+            "ln((navg.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) "
+            "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / "
+            "navg.avgdl)) AS s "
+            "FROM tf JOIN dfreq ON tf.tok = dfreq.tok "
+            "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN navg), "
+            "piv AS (SELECT doc_id, "
+            "max(CASE WHEN tok = 'hash' THEN s END) AS s_hash, "
+            "max(CASE WHEN tok = 'join' THEN s END) AS s_join, "
+            "max(CASE WHEN tok = 'vector' THEN s END) AS s_vector "
+            "FROM scored GROUP BY doc_id) "
+            "SELECT doc_id, round(coalesce(s_hash, 0.0) + "
+            "coalesce(s_join, 0.0) + coalesce(s_vector, 0.0), 6) AS score "
+            "FROM piv ORDER BY score DESC, doc_id LIMIT 20"
         ),
     }
