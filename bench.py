@@ -87,6 +87,13 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
+        # drop this query's persisted frames before the next block —
+        # cross-query cache residue (minhash shingles, LSH sign
+        # matrices, IVF centroids) otherwise accumulates executor
+        # memory pressure and inflates later queries' timings. The
+        # warm run inside each block still populates that query's own
+        # persist entries, so timed runs measure steady state.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -306,9 +306,24 @@ def simhash_pairs(
     )
 
 
-def dot(x: Column, y: Column) -> Column:
+def _dot_sql(x: str, y: str) -> str:
+    return (
+        f"aggregate(zip_with(`{x}`, `{y}`, (p, q) -> p * q), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def dot(x, y) -> Column:
     """Sequential-fold dot product — bit-identical with DuckDB's
-    list_dot_product on DOUBLE[]."""
+    list_dot_product on DOUBLE[].
+
+    Pass COLUMN NAMES (str) on hot paths: the expression then renders
+    as one ``F.expr`` SQL string (one py4j call) instead of the
+    Python-lambda higher-order build, which costs ~10 py4j round
+    trips per call on the driver (SCALE.md §9a). Same expression tree
+    either way."""
+    if isinstance(x, str) and isinstance(y, str):
+        return F.expr(_dot_sql(x, y))
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: p * q),
         F.lit(0.0),
@@ -316,16 +331,24 @@ def dot(x: Column, y: Column) -> Column:
     )
 
 
-def norm(v: Column) -> Column:
+def norm(v) -> Column:
+    if isinstance(v, str):
+        return F.expr(f"sqrt({_dot_sql(v, v)})")
     return F.sqrt(dot(v, v))
 
 
-def cosine(va: Column, vb: Column) -> Column:
-    """Double-precision cosine similarity of two array<double> columns.
+def cosine(va, vb) -> Column:
+    """Double-precision cosine similarity of two array<double> columns
+    (Column or column-name args — see :func:`dot`).
     In pairwise operators prefer precomputing :func:`norm` per ROW and
     using ``dot(va,vb)/(na*nb)`` — same arithmetic (so oracle results
     are bit-identical), but each vector's own norm is computed once
     instead of once per pair."""
+    if isinstance(va, str) and isinstance(vb, str):
+        return F.expr(
+            f"{_dot_sql(va, vb)} / (sqrt({_dot_sql(va, va)}) * "
+            f"sqrt({_dot_sql(vb, vb)}))"
+        )
     return dot(va, vb) / (norm(va) * norm(vb))
 
 
@@ -356,18 +379,18 @@ def embedding_cosine_pairs(
     a = emb.select(
         F.col(id_col).alias("a"),
         F.col(vec_col).cast("array<double>").alias("va"),
-    ).withColumn("na", norm(F.col("va")))
+    ).withColumn("na", norm("va"))
     b = emb.select(
         F.col(id_col).alias("b"),
         F.col(vec_col).cast("array<double>").alias("vb"),
-    ).withColumn("nb", norm(F.col("vb")))
+    ).withColumn("nb", norm("vb"))
     return (
         a.join(b, F.col("a") < F.col("b"))
         .select(
             "a",
             "b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 5
+                dot("va", "vb") / (F.col("na") * F.col("nb")), 5
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
@@ -523,7 +546,7 @@ def embedding_lsh_pairs(
         a.join(b, on="bucket")
         .filter(F.col("a") < F.col("b"))
         .select(
-            "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 5).alias("cos")
+            "a", "b", F.round(cosine("va", "vb"), 5).alias("cos")
         )
         .filter(F.col("cos") >= threshold)
     )

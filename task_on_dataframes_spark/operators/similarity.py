@@ -38,18 +38,18 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vc"),
-    ).withColumn("nc", norm(F.col("vc")))
+    ).withColumn("nc", norm("vc"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("vq"),
-    ).withColumn("nq", norm(F.col("vq")))
+    ).withColumn("nq", norm("vq"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             "vec_id",
             F.round(
-                dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc")), 5
+                dot("vq", "vc") / (F.col("nq") * F.col("nc")), 5
             ).alias("cos"),
         )
     )
@@ -200,13 +200,13 @@ def lsh_ann_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vc"),
     ).withColumn("bucket", hyperplane_bucket("vc", dims, planes)).withColumn(
-        "nc", norm(F.col("vc"))
+        "nc", norm("vc")
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("vq"),
     ).withColumn("bucket", hyperplane_bucket("vq", dims, planes)).withColumn(
-        "nq", norm(F.col("vq"))
+        "nq", norm("vq")
     )
     scored = (
         c.join(F.broadcast(q), on="bucket")
@@ -215,7 +215,7 @@ def lsh_ann_topk(
             "query_id",
             "vec_id",
             F.round(
-                dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc")), 5
+                dot("vq", "vc") / (F.col("nq") * F.col("nc")), 5
             ).alias("cos"),
         )
     )
@@ -250,11 +250,15 @@ def ivf_ann_topk(
     stratum — shuffle volume is n_partitions x n_centroids rows, never
     the corpus. Assignment scores every vector against the broadcast
     centroid set, then collapses to the argmax with a map-side partial
-    ``max(struct(sim, -cid))`` — shuffle volume stays at corpus size,
-    not corpus x centroids. The probed-cluster pairs are broadcast, so
-    the corpus-sized member table never shuffles for the candidate
-    join; only candidates (corpus/n_centroids x n_probe per query)
-    reach the per-query top-k window.
+    ``max(struct(sim, -cid))`` — the x n_centroids fan-out collapses
+    back to corpus size INSIDE the scan stage, so shuffle volume stays
+    at corpus size. (A zero-shuffle higher-order ``aggregate`` argmax
+    over a broadcast centroid array was measured SLOWER: lambda folds
+    are interpreted, not whole-stage-codegen'd, and lose more than the
+    shuffle saves.) The probed-cluster pairs are broadcast, so the
+    member table never shuffles for the candidate join; only
+    candidates (corpus/n_centroids x n_probe per query) reach the
+    per-query top-k window.
     """
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -276,7 +280,7 @@ def ivf_ann_topk(
         "vec_id",
         "vc",
         "cid",
-        F.round(cosine(F.col("vc"), F.col("cv")), 5).alias("sim"),
+        F.round(cosine("vc", "cv"), 5).alias("sim"),
     )
     member = assigned.groupBy("vec_id").agg(
         F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("m"),
@@ -294,21 +298,21 @@ def ivf_ann_topk(
             "query_id",
             "vq",
             "cid",
-            F.round(cosine(F.col("vq"), F.col("cv")), 5).alias("qsim"),
+            F.round(cosine("vq", "cv"), 5).alias("qsim"),
         )
         .withColumn("pr", F.row_number().over(wq))
         .filter(F.col("pr") <= n_probe)
         .select("query_id", "vq", "cid")
     )
     scored = (
-        member.withColumn("nc", norm(F.col("vc")))
-        .join(F.broadcast(probes.withColumn("nq", norm(F.col("vq")))), on="cid")
+        member.withColumn("nc", norm("vc"))
+        .join(F.broadcast(probes.withColumn("nq", norm("vq"))), on="cid")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             "vec_id",
             F.round(
-                dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc")), 5
+                dot("vq", "vc") / (F.col("nq") * F.col("nc")), 5
             ).alias("cos"),
         )
     )
@@ -417,8 +421,8 @@ def lsh_ann_topk_multi(
         "query_id",
         "vec_id",
         F.round(
-            dot(F.col("__vq"), F.col("__v"))
-            / (norm(F.col("__vq")) * norm(F.col("__v"))),
+            dot("__vq", "__v")
+            / (norm("__vq") * norm("__v")),
             5,
         ).alias("cos"),
     )
