@@ -220,3 +220,110 @@ def doc_fingerprint(
         F.first(F.md5(F.col("norm"))).alias("digest"),
         F.min(hash32(F.col("gram"))).alias("min_shingle_hash"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top2_threshold: float = 0.20,
+    dup3_threshold: float = 0.18,
+) -> DataFrame:
+    """Gopher-style within-document repetition measures (Rae et al.
+    2021, "Scaling Language Models", Table A1 analogs) — the filters a
+    pretraining pipeline applies before dedup:
+
+    * ``dup_line_frac`` — fraction of newline-separated lines that are
+      repeats of an earlier line;
+    * ``dup_token_frac`` — fraction of whitespace tokens that are
+      repeats;
+    * ``top_2gram_frac`` — share of the most frequent token bigram
+      among all bigrams;
+    * ``dup_2gram_frac`` / ``dup_3gram_frac`` — fraction of n-grams
+      that are repeats of an earlier identical n-gram;
+    * ``is_repetitive`` — the filter verdict at the given thresholds
+      (token-fraction analogs of Gopher's 0.20 top-2-gram / 0.18
+      duplicate-3-gram character fractions).
+
+    Everything is per-row array arithmetic in the scan stage — zero
+    shuffle, zero UDF. The top-bigram count folds over the SORTED gram
+    array (longest equal-run), so no explode/groupBy is needed; at
+    100 TB this operator fuses into the document scan like the other
+    textstats.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda l: F.trim(l) != ""
+    )
+
+    def grams(n: int) -> Column:
+        parts = lambda i: [F.element_at(F.col("toks"), i + j) for j in range(n)]
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - n + 1),
+                lambda i: F.concat_ws(" ", *parts(i)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(arr: Column) -> Column:
+        total = F.size(arr)
+        return F.when(
+            total > 0,
+            F.round((total - F.size(F.array_distinct(arr))) / total, 6),
+        ).otherwise(F.lit(0.0))
+
+    # longest equal-run of the sorted bigram array == max bigram count
+    def top_count(arr: Column) -> Column:
+        return F.aggregate(
+            F.sort_array(arr),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, g: F.struct(
+                g.alias("prev"),
+                F.when(g == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1)
+                    ),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+
+    staged = df.select(
+        F.col(id_col),
+        toks.alias("toks"),
+        lines.alias("lines"),
+    ).select(
+        F.col(id_col),
+        F.col("toks"),
+        F.col("lines"),
+        grams(2).alias("g2"),
+        grams(3).alias("g3"),
+    )
+    out = staged.select(
+        F.col(id_col),
+        F.size("toks").alias("n_tokens"),
+        dup_frac(F.col("lines")).alias("dup_line_frac"),
+        dup_frac(F.col("toks")).alias("dup_token_frac"),
+        F.when(
+            F.size("g2") > 0,
+            F.round(top_count(F.col("g2")) / F.size("g2"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_frac"),
+        dup_frac(F.col("g2")).alias("dup_2gram_frac"),
+        dup_frac(F.col("g3")).alias("dup_3gram_frac"),
+    )
+    return out.withColumn(
+        "is_repetitive",
+        (F.col("top_2gram_frac") > top2_threshold)
+        | (F.col("dup_3gram_frac") > dup3_threshold),
+    )

@@ -433,3 +433,58 @@ def test_winnowing_guarantee_shared_substring(spark):
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
     # selection stores a fraction of all gram hashes
     assert len(by_doc[1]) < len("AAAA " + shared + " BBBB") - 8 + 1
+
+
+def test_repetition_stats_flags_repetitive_docs(spark):
+    from task_on_dataframes_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # "a b" bigram dominates: toks = a b a b a b -> bigrams
+            # [a b, b a, a b, b a, a b]: top count 3 of 5
+            (1, "a b a b a b"),
+            # all-distinct tokens, nothing repeats
+            (2, "one two three four five six seven eight nine ten"),
+            # duplicated lines (2 of 4 lines are repeats)
+            (3, "x y\nz w\nx y\nz w"),
+            # shorter than a trigram
+            (4, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_stats(df, "doc_id", "text").collect()
+    }
+    assert abs(rows[1]["top_2gram_frac"] - 3 / 5) < 1e-9
+    assert rows[1]["is_repetitive"]
+    assert rows[1]["dup_3gram_frac"] > 0.18  # "a b a"/"b a b" repeat
+
+    assert rows[2]["dup_token_frac"] == 0.0
+    assert abs(rows[2]["top_2gram_frac"] - 1 / 9) < 1e-6  # 9 distinct bigrams
+    assert not rows[2]["is_repetitive"]
+
+    assert abs(rows[3]["dup_line_frac"] - 0.5) < 1e-9
+
+    assert rows[4]["n_tokens"] == 1
+    assert rows[4]["top_2gram_frac"] == 0.0
+    assert rows[4]["dup_3gram_frac"] == 0.0
+    assert not rows[4]["is_repetitive"]
+
+
+def test_kmeans_assignments_partition_and_improve(spark, sf_dir):
+    from task_on_dataframes_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    a3 = kmeans_assignments(emb, k=8, iters=3).collect()
+    assert len(a3) == n  # every vector assigned exactly once
+    assert {r["cluster"] for r in a3} <= set(range(8))
+    assert all(-1.0 <= r["cos"] <= 1.0 for r in a3)
+    # Lloyd objective (mean within-cluster similarity) must not degrade
+    a1 = kmeans_assignments(emb, k=8, iters=1).collect()
+    m1 = sum(r["cos"] for r in a1) / n
+    m3 = sum(r["cos"] for r in a3) / n
+    assert m3 >= m1 - 1e-6, f"iterating degraded the objective: {m1} -> {m3}"

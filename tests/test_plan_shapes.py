@@ -155,6 +155,15 @@ def test_quantize_is_scan_stage_projection(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_repetition_stats_is_scan_stage_projection(spark, sf_dir):
+    # per-document array arithmetic only — fuses into the scan at scale
+    from task_on_dataframes_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(repetition_stats(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
+
+
 def test_keep_canonical_cut_is_broadcast_anti_join(spark):
     from task_on_dataframes_spark.operators.dedup import keep_canonical
 
