@@ -1,0 +1,113 @@
+"""Embedding clustering: distributed spherical k-means.
+
+The corpus-organization primitive a training-data pipeline runs after
+embedding: topic bucketing, domain discovery, cluster-balanced
+sampling all start from a k-means assignment. Design mirrors
+:func:`..operators.similarity.ivf_ann_topk` (same init, same argmax
+assignment shape) so every piece is already oracle-proven:
+
+* **init** — deterministic hash-stratified pick: vectors hash into k
+  strata (portable md5 :func:`..operators.hashing.hash32`) and the
+  min-hash row per stratum seeds that cluster. Reproducible on any
+  engine, uncorrelated with ingest order.
+* **assign** — score every vector against the BROADCAST centroid set
+  (k rows), collapse to the argmax with a map-side partial
+  ``max(struct(sim, -cluster))``: shuffle volume stays at corpus
+  size, never corpus x k. Cosine similarity (spherical k-means — the
+  standard for embeddings), rounded to 5 decimals with ties to the
+  smallest cluster id, so assignment is engine-deterministic.
+* **update** — new centroid = per-dimension mean of members, computed
+  as ``dims`` explicit ``sum(CAST(element_at(v, i) AS
+  DECIMAL(28,12)))`` aggregates: map-side partial aggregation makes
+  the shuffle k x n_partitions rows, and DECIMAL sums are exact, so
+  the mean is independent of both partitioning and summation order —
+  the property that keeps Lloyd iterations bit-identical between
+  Spark and the DuckDB oracle. Means are rounded to 6 decimals and
+  cast back to double before the next iteration.
+
+Iteration count is FIXED (no convergence test): deterministic plan
+depth, deterministic output, and the oracle replays the exact same
+number of Lloyd steps. Each iteration's centroid frame (k rows) is
+persisted — it feeds a broadcast and Catalyst will not reuse the
+aliased subplan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import cosine
+from .hashing import hash32
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, cos) after ``iters`` Lloyd iterations of
+    spherical k-means — ``cos`` is the similarity to the centroid that
+    claimed the vector in the final assignment."""
+    c = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    h = hash32(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string")))
+    cents = (
+        c.withColumn("h", h)
+        .withColumn("cl", F.col("h") % k)
+        .groupBy("cl")
+        .agg(F.min(F.struct("h", "vec_id", "v")).alias("m"))
+        .select("cl", F.col("m.v").alias("cv"))
+        .persist()
+    )
+
+    mean_aggs = [
+        F.expr(
+            f"round(CAST(sum(CAST(element_at(v, {i + 1}) AS "
+            f"DECIMAL(28,12))) AS DOUBLE) / count(1), 6)"
+        ).alias(f"s{i}")
+        for i in range(dims)
+    ]
+
+    assign = None
+    for it in range(iters):
+        scored = c.join(F.broadcast(cents)).select(
+            "vec_id",
+            "v",
+            "cl",
+            F.round(cosine("v", "cv"), 5).alias("sim"),
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("sim"), (-F.col("cl")).alias("ncl"))
+                ).alias("m"),
+                F.first("v").alias("v"),
+            )
+            .select(
+                "vec_id",
+                "v",
+                (-F.col("m.ncl")).alias("cl"),
+                F.col("m.sim").alias("sim"),
+            )
+        )
+        if it < iters - 1:  # the last assignment needs no update step
+            cents = (
+                assign.groupBy("cl")
+                .agg(*mean_aggs)
+                .select(
+                    "cl",
+                    F.array(
+                        *[F.col(f"s{i}") for i in range(dims)]
+                    ).alias("cv"),
+                )
+                .persist()
+            )
+    return assign.select(
+        "vec_id", F.col("cl").alias("cluster"), F.col("sim").alias("cos")
+    )
