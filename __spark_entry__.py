@@ -1176,6 +1176,12 @@ def _text_quality(spark, sf_dir):
     return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _text_repetition(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def _text_langid(spark, sf_dir):
     from task_on_dataframes_spark.operators.textstats import lang_id
 
@@ -1480,6 +1486,61 @@ def _ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_ann_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)
+
+
+def _emb_kmeans(spark, sf_dir):
+    """Spherical k-means over the embeddings table: 8 clusters, 3
+    fixed Lloyd iterations (deterministic — the DuckDB oracle replays
+    the identical steps)."""
+    from task_on_dataframes_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    return kmeans_assignments(_t(spark, sf_dir, "embeddings"), k=8, iters=3)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dims: int = 64) -> str:
+    """Generate the Lloyd-iteration CTE chain: init pick, then
+    (assign_i, cent_{i+1}) per iteration — decimal-exact per-dimension
+    means rounded to 6, cosine rounded to 5, ties to the smallest
+    cluster id, mirroring operators/clustering.py bit for bit."""
+    cos = (
+        "round(list_dot_product(c.v, {t}.cv) / "
+        "(sqrt(list_dot_product(c.v, c.v)) * "
+        "sqrt(list_dot_product({t}.cv, {t}.cv))), 5)"
+    )
+    means = ", ".join(
+        f"round(CAST(sum(CAST(v[{i + 1}] AS DECIMAL(28,12))) AS DOUBLE)"
+        f" / count(1), 6)"
+        for i in range(dims)
+    )
+    parts = [
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings), "
+        "ch AS (SELECT vec_id, v, CAST(('0x' || substr(md5(CAST("
+        "'kmeans:' || CAST(vec_id AS VARCHAR) AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) AS h FROM c), "
+        f"cent0 AS (SELECT h % {k} AS cl, v AS cv FROM "
+        "(SELECT h, v, row_number() OVER (PARTITION BY h % "
+        f"{k} ORDER BY h, vec_id) AS rn FROM ch) WHERE rn = 1)"
+    ]
+    for it in range(iters):
+        parts.append(
+            f"sc{it} AS (SELECT c.vec_id, c.v, cent{it}.cl, "
+            f"{cos.format(t=f'cent{it}')} AS sim FROM c, cent{it}), "
+            f"as{it} AS (SELECT vec_id, v, cl, sim FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, "
+            f"cl ASC) AS rn FROM sc{it}) WHERE rn = 1)"
+        )
+        if it < iters - 1:
+            parts.append(
+                f"cent{it + 1} AS (SELECT cl, list_value({means}) AS cv "
+                f"FROM as{it} GROUP BY cl)"
+            )
+    return (
+        ", ".join(parts)
+        + f" SELECT vec_id, cl AS cluster, sim AS cos FROM as{iters - 1}"
+    )
 
 
 def _dedup_keep_canonical(spark, sf_dir):
@@ -1985,6 +2046,290 @@ def _planner_llm_chunks(spark, sf_dir):
     )
 
 
+def _q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join with a correlated inequality
+    (order has at least one line shipped after the order date) —
+    compiles to one LeftSemi hash join, never materializing the
+    matches."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q11_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: scalar-subquery HAVING — keep parts whose
+    revenue exceeds 1.5x the average part revenue. The share test is
+    division-free (`2 * v * n_parts > 3 * total`) over exact DECIMALs
+    so it is SF-invariant and engine-exact; the 1-row total broadcasts
+    (never a driver collect)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("v")
+    )
+    total = pv.agg(
+        F.sum("v").alias("tot"), F.count(F.lit(1)).alias("np")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(2 * F.col("v") * F.col("np") > 3 * F.col("tot"))
+        .select(
+            "l_partkey",
+            F.round("v", 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+def _q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left-outer join + double aggregation — the
+    zero-order customers survive into the distribution."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def _q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: per-supplier quarterly revenue, max-revenue
+    scalar subquery, equality on the EXACT decimal (rounded only for
+    display) — ties would all surface, deterministically."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (1 - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("rev")
+    )
+    mx = rev.agg(F.max("rev").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("rev", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def _q16_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier count per part group with an
+    excluded brand (lineitem stands in for partsupp). The distinct is
+    a two-phase aggregate; part broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def _q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part average as a join against
+    the part-keyed aggregate. The `qty < 0.2 * avg(qty)` test is
+    rewritten division-free as `qty * 5 * n < sum` over exact
+    decimals, so no engine's AVG/rounding rules are in play."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sq"),
+        F.count(F.lit(1)).alias("nq"),
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(pa.withColumnRenamed("l_partkey", "pk"),
+              F.col("l_partkey") == F.col("pk"))
+        .filter(
+            F.col("l_quantity").cast("decimal(12,2)") * 5 * F.col("nq")
+            < F.col("sq")
+        )
+    )
+    return joined.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            / 7.0,
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+def _q19_bracket_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brackets across the
+    join — Catalyst pushes the common `p_partkey` equi-key into the
+    hash join and the OR brackets into the post-join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def _q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: the sole-late-supplier hunt — orders with >= 2
+    suppliers where EXACTLY ONE supplier shipped late. Expressed as
+    one order-keyed aggregation (distinct suppliers, distinct late
+    suppliers) joined back to the late lines: two shuffles on
+    l_orderkey, no correlated EXISTS/NOT-EXISTS rescans of
+    lineitem."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ).alias("late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    guilty = (
+        lines.filter("late")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+            ),
+            on="l_orderkey",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        guilty.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def _q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: wealthy low-activity customers — balance above
+    the global positive average (division-free `bal * n > sum` over
+    exact decimals, broadcast scalar) with at most 5 orders. (The
+    classic NO-orders anti join is structurally empty on this data —
+    every customer has orders — so the threshold keeps the check
+    populated while preserving the shape: per-customer order counts +
+    scalar-subquery filter + dim join.)"""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    oc = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast("decimal(12,2)") * F.col("n") > F.col("s"))
+        .join(oc, cust.c_custkey == oc.o_custkey, "left")
+        .filter(F.coalesce(F.col("n_orders"), F.lit(0)) <= 5)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _ev_json_props(spark, sf_dir):
+    """Semi-structured extraction: parse the events `props` JSON
+    column, bucket the numeric field, aggregate per bucket. The JSON
+    path evaluates inside the scan stage (no UDF); sums are
+    decimal-exact."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(F.floor(k / 10).cast("int").alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")), 4
+            )
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
 def _a8_cube(spark, sf_dir):
     """CUBE over (returnflag, linestatus): all 2^2 grouping combinations
     in one shuffle (Expand feeds a single hash aggregate — no union of
@@ -2167,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "text_token_stats": _text_token_stats,
         "text_quality": _text_quality,
+        "text_repetition": _text_repetition,
         "text_langid": _text_langid,
         "text_token_count": _text_token_count,
         "text_fingerprint": _text_fingerprint,
@@ -2191,12 +2537,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "sql_exists_subquery": _sql_exists_subquery,
         "ann_ivf_topk": _ann_ivf_topk,
+        "emb_kmeans": _emb_kmeans,
         "dedup_keep_canonical": _dedup_keep_canonical,
         "text_pii_redact": _text_pii_redact,
         "text_ngram_counts": _text_ngram_counts,
         "sample_stratified": _sample_stratified,
         "emb_quantize": _emb_quantize,
         "q20_excess_volume": _q20_excess_volume,
+        "q4_order_priority": _q4_order_priority,
+        "q11_value_concentration": _q11_value_concentration,
+        "q13_order_distribution": _q13_order_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_counts": _q16_supplier_counts,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
+        "q19_bracket_predicates": _q19_bracket_predicates,
+        "q21_waiting_supplier": _q21_waiting_supplier,
+        "q22_idle_customers": _q22_idle_customers,
+        "ev_json_props": _ev_json_props,
         "stream_hourly_agg": _stream_hourly_agg,
         "ann_lsh_multi_topk": _ann_lsh_multi_topk,
         "stream_sessionize": _stream_sessionize,
@@ -3454,5 +3811,152 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(coalesce(s_hash, 0.0) + "
             "coalesce(s_join, 0.0) + coalesce(s_vector, 0.0), 6) AS score "
             "FROM piv ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, count(*) AS order_count "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01' "
+            "AND o_orderdate < TIMESTAMP '1996-10-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem WHERE "
+            "l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "q11_value_concentration": (
+            "WITH pv AS (SELECT l_partkey, "
+            "sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS v "
+            "FROM lineitem GROUP BY l_partkey), "
+            "t AS (SELECT sum(v) AS tot, count(*) AS np FROM pv) "
+            "SELECT l_partkey, CAST(round(v, 2) AS DOUBLE) AS value "
+            "FROM pv, t WHERE 2 * v * np > 3 * tot "
+            "ORDER BY value DESC, l_partkey"
+        ),
+        "q13_order_distribution": (
+            "WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) "
+            "SELECT c_count, count(*) AS custdist FROM pc "
+            "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        "q15_top_supplier": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey), "
+            "m AS (SELECT max(rev) AS mx FROM rev) "
+            "SELECT s_suppkey, s_name, "
+            "CAST(round(rev, 2) AS DOUBLE) AS total_revenue "
+            "FROM rev, m JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE rev = mx ORDER BY s_suppkey"
+        ),
+        "q16_supplier_counts": (
+            "SELECT p_brand, p_type, p_size, "
+            "count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#3' "
+            "AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49) "
+            "GROUP BY p_brand, p_type, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "q17_small_qty_revenue": (
+            "WITH pa AS (SELECT l_partkey AS pk, "
+            "sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq, "
+            "count(*) AS nq FROM lineitem GROUP BY l_partkey) "
+            "SELECT round(CAST(sum(CAST(l_extendedprice AS "
+            "DECIMAL(12,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN pa ON l_partkey = pk "
+            "WHERE p_brand = 'Brand#2' "
+            "AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * nq < sq"
+        ),
+        "q19_bracket_predicates": (
+            "SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) "
+            "AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        "q21_waiting_supplier": (
+            "WITH lines AS (SELECT l_orderkey, l_suppkey, "
+            "l_shipdate > o_orderdate + INTERVAL 30 DAY AS late "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'F'), "
+            "po AS (SELECT l_orderkey, "
+            "count(DISTINCT l_suppkey) AS n_supp, "
+            "count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late "
+            "FROM lines GROUP BY l_orderkey) "
+            "SELECT s_name, count(*) AS numwait FROM "
+            "(SELECT DISTINCT l_orderkey, l_suppkey FROM lines "
+            "WHERE late) g "
+            "JOIN po ON g.l_orderkey = po.l_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE n_supp >= 2 AND n_late = 1 "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
+        ),
+        "q22_idle_customers": (
+            "WITH p AS (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) "
+            "AS s, count(*) AS n FROM customer WHERE c_acctbal > 0), "
+            "oc AS (SELECT o_custkey, count(*) AS n_orders FROM orders "
+            "GROUP BY o_custkey) "
+            "SELECT n_name, count(*) AS numcust, "
+            "CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) "
+            "AS DOUBLE) AS totacctbal "
+            "FROM customer "
+            "LEFT JOIN oc ON c_custkey = o_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE CAST(c_acctbal AS DECIMAL(12,2)) * (SELECT n FROM p) "
+            "> (SELECT s FROM p) "
+            "AND coalesce(n_orders, 0) <= 5 "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "ev_json_props": (
+            "SELECT CAST(floor(CAST(json_extract_string(props, '$.k') "
+            "AS INT) / 10) AS INT) AS k_bucket, count(*) AS n, "
+            "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "
+            "AS sum_value FROM events GROUP BY 1 ORDER BY k_bucket"
+        ),
+        "emb_kmeans": _kmeans_oracle_sql(),
+        "text_repetition": (
+            "WITH base AS (SELECT doc_id, "
+            "string_split_regex(lower(text), '\\s+') AS toks, "
+            "list_filter(string_split(text, chr(10)), "
+            "l -> trim(l) <> '') AS lines FROM documents), "
+            "g AS (SELECT doc_id, toks, lines, "
+            "CASE WHEN len(toks) >= 2 THEN list_transform("
+            "range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
+            "ELSE CAST([] AS VARCHAR[]) END AS g2, "
+            "CASE WHEN len(toks) >= 3 THEN list_transform("
+            "range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] "
+            "|| ' ' || toks[i+2]) ELSE CAST([] AS VARCHAR[]) END AS g3 "
+            "FROM base), "
+            "top2 AS (SELECT doc_id, max(c) AS topc FROM "
+            "(SELECT doc_id, gram, count(*) AS c FROM "
+            "(SELECT doc_id, unnest(g2) AS gram FROM g) "
+            "GROUP BY doc_id, gram) GROUP BY doc_id) "
+            "SELECT g.doc_id, CAST(len(toks) AS INT) AS n_tokens, "
+            "CASE WHEN len(lines) > 0 THEN round((len(lines) - "
+            "len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE), 6) "
+            "ELSE 0.0 END AS dup_line_frac, "
+            "CASE WHEN len(toks) > 0 THEN round((len(toks) - "
+            "len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE), 6) "
+            "ELSE 0.0 END AS dup_token_frac, "
+            "CASE WHEN len(g2) > 0 THEN round(coalesce(top2.topc, 0) / "
+            "CAST(len(g2) AS DOUBLE), 6) ELSE 0.0 END AS top_2gram_frac, "
+            "CASE WHEN len(g2) > 0 THEN round((len(g2) - "
+            "len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE), 6) "
+            "ELSE 0.0 END AS dup_2gram_frac, "
+            "CASE WHEN len(g3) > 0 THEN round((len(g3) - "
+            "len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 6) "
+            "ELSE 0.0 END AS dup_3gram_frac, "
+            "(CASE WHEN len(g2) > 0 THEN round(coalesce(top2.topc, 0) / "
+            "CAST(len(g2) AS DOUBLE), 6) ELSE 0.0 END > 0.20 OR "
+            "CASE WHEN len(g3) > 0 THEN round((len(g3) - "
+            "len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 6) "
+            "ELSE 0.0 END > 0.18) AS is_repetitive "
+            "FROM g LEFT JOIN top2 ON g.doc_id = top2.doc_id"
         ),
     }
