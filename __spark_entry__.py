@@ -682,28 +682,6 @@ def _q9_product_profit(spark, sf_dir):
     )
 
 
-def _q11_value_concentration(spark, sf_dir):
-    """TPC-H Q11 shape: per-supplier shipped value above a fraction of
-    the GLOBAL total — the scalar aggregate subquery travels as a
-    broadcast 1-row frame, never a driver collect."""
-    li = _t(spark, sf_dir, "lineitem")
-    sv = li.groupBy("l_suppkey").agg(
-        F.sum(_dec_ep() * (1 - _dec_disc())).alias("val_dec")
-    )
-    total = sv.agg(
-        (F.sum("val_dec") * F.lit(0.002).cast("decimal(8,6)")).alias("cut")
-    )
-    return (
-        sv.join(F.broadcast(total))
-        .filter(F.col("val_dec") > F.col("cut"))
-        .select(
-            "l_suppkey",
-            F.round("val_dec", 2).cast("double").alias("value"),
-        )
-        .orderBy(F.desc("value"), "l_suppkey")
-    )
-
-
 def _q13_order_distribution(spark, sf_dir):
     """TPC-H Q13: distribution of orders-per-customer (left join keeps
     zero-order customers; two keyed aggregations, both map-side
@@ -865,32 +843,6 @@ def _q21_waiting_supplier(spark, sf_dir):
         .limit(20)
     )
 
-
-def _q22_idle_customers(spark, sf_dir):
-    """TPC-H Q22 shape: anti join + scalar AVG subquery — customers
-    with above-average balance and no orders, rolled up by nation."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    bal_dec = F.col("c_acctbal").cast("decimal(12,2)")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        (F.sum(bal_dec).cast("double") / F.count(F.lit(1))).alias("ab")
-    )
-    return (
-        cust.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("ab"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .groupBy(F.col("c_nationkey").alias("cntrycode"))
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum(bal_dec), 2).cast("double").alias("totacctbal"),
-        )
-        .orderBy("cntrycode")
-    )
-
-
-# ---------------------------------------------------------------------------
-# §2.8 scalar functions; explode-with-carry (J2/F1)
-# ---------------------------------------------------------------------------
 
 def _f1_explode_carry(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -2046,26 +1998,63 @@ def _planner_llm_chunks(spark, sf_dir):
     )
 
 
-def _q4_order_priority(spark, sf_dir):
-    """TPC-H Q4 shape: EXISTS semi-join with a correlated inequality
-    (order has at least one line shipped after the order date) —
-    compiles to one LeftSemi hash join, never materializing the
-    matches."""
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-07-01"))
-        & (F.col("o_orderdate") < F.lit("1996-10-01"))
-    )
+def _dedup_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup verification over minhash-LSH candidates
+    (never all pairs) — `levenshtein` evaluates JVM-side in the join
+    projection; the relative threshold is an integer cross-product
+    test, exact on both engines."""
+    from task_on_dataframes_spark.operators.dedup import levenshtein_pairs
+
+    return levenshtein_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _a9_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (sort-based `percentile`, identical
+    interpolation formula to DuckDB's quantile_cont)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
-        orders.join(
-            li,
-            (orders.o_orderkey == li.l_orderkey)
-            & (li.l_shipdate > orders.o_orderdate),
-            "left_semi",
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("q50"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+            F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("q95"),
         )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
+        .orderBy("l_returnflag")
+    )
+
+
+def _a10_pivot(spark, sf_dir):
+    """Pivot: per-day event counts spread into one column per event
+    type (explicit value list keeps the schema static — at scale an
+    implicit pivot would scan once just to discover the columns)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("day")
+    )
+
+
+def _w7_percent_rank(spark, sf_dir):
+    """percent_rank + cume_dist windows per return flag over one ship
+    week — (rank-1)/(n-1) on identical operands is engine-exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01"))
+        & (F.col("l_shipdate") < F.lit("1996-06-08"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 
@@ -2090,186 +2079,6 @@ def _q11_value_concentration(spark, sf_dir):
             F.round("v", 2).cast("double").alias("value"),
         )
         .orderBy(F.desc("value"), "l_partkey")
-    )
-
-
-def _q13_order_distribution(spark, sf_dir):
-    """TPC-H Q13 shape: left-outer join + double aggregation — the
-    zero-order customers survive into the distribution."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "1-URGENT"
-    )
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return (
-        per_cust.groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
-    )
-
-
-def _q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15 shape: per-supplier quarterly revenue, max-revenue
-    scalar subquery, equality on the EXACT decimal (rounded only for
-    display) — ties would all surface, deterministically."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01"))
-    )
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(12,2)")
-            * (1 - F.col("l_discount").cast("decimal(4,2)"))
-        ).alias("rev")
-    )
-    mx = rev.agg(F.max("rev").alias("mx"))
-    supp = _t(spark, sf_dir, "supplier")
-    return (
-        rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("rev") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .select(
-            "s_suppkey",
-            "s_name",
-            F.round("rev", 2).cast("double").alias("total_revenue"),
-        )
-        .orderBy("s_suppkey")
-    )
-
-
-def _q16_supplier_counts(spark, sf_dir):
-    """TPC-H Q16 shape: distinct supplier count per part group with an
-    excluded brand (lineitem stands in for partsupp). The distinct is
-    a two-phase aggregate; part broadcasts."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#3")
-        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
-    )
-    return (
-        li.select("l_partkey", "l_suppkey")
-        .distinct()
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(
-            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
-        )
-    )
-
-
-def _q17_small_qty_revenue(spark, sf_dir):
-    """TPC-H Q17 shape: correlated per-part average as a join against
-    the part-keyed aggregate. The `qty < 0.2 * avg(qty)` test is
-    rewritten division-free as `qty * 5 * n < sum` over exact
-    decimals, so no engine's AVG/rounding rules are in play."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
-    pa = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sq"),
-        F.count(F.lit(1)).alias("nq"),
-    )
-    joined = (
-        li.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
-        .join(pa.withColumnRenamed("l_partkey", "pk"),
-              F.col("l_partkey") == F.col("pk"))
-        .filter(
-            F.col("l_quantity").cast("decimal(12,2)") * 5 * F.col("nq")
-            < F.col("sq")
-        )
-    )
-    return joined.agg(
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
-            .cast("double")
-            / 7.0,
-            2,
-        ).alias("avg_yearly")
-    )
-
-
-def _q19_bracket_predicates(spark, sf_dir):
-    """TPC-H Q19 shape: disjunction of conjunctive brackets across the
-    join — Catalyst pushes the common `p_partkey` equi-key into the
-    hash join and the OR brackets into the post-join filter."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
-    b1 = (
-        (F.col("p_brand") == "Brand#12")
-        & F.col("p_size").between(1, 5)
-        & F.col("l_quantity").between(1, 11)
-    )
-    b2 = (
-        (F.col("p_brand") == "Brand#23")
-        & F.col("p_size").between(1, 10)
-        & F.col("l_quantity").between(10, 20)
-    )
-    b3 = (
-        (F.col("p_brand") == "Brand#34")
-        & F.col("p_size").between(1, 15)
-        & F.col("l_quantity").between(20, 30)
-    )
-    return j.filter(b1 | b2 | b3).agg(
-        F.round(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * (1 - F.col("l_discount").cast("decimal(4,2)"))
-            ),
-            2,
-        )
-        .cast("double")
-        .alias("revenue")
-    )
-
-
-def _q21_waiting_supplier(spark, sf_dir):
-    """TPC-H Q21 shape: the sole-late-supplier hunt — orders with >= 2
-    suppliers where EXACTLY ONE supplier shipped late. Expressed as
-    one order-keyed aggregation (distinct suppliers, distinct late
-    suppliers) joined back to the late lines: two shuffles on
-    l_orderkey, no correlated EXISTS/NOT-EXISTS rescans of
-    lineitem."""
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
-        ).alias("late"),
-    )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late"),
-    )
-    guilty = (
-        lines.filter("late")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.filter(
-                (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
-            ),
-            on="l_orderkey",
-        )
-    )
-    supp = _t(spark, sf_dir, "supplier")
-    return (
-        guilty.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.desc("numwait"), "s_name")
-        .limit(20)
     )
 
 
@@ -2544,16 +2353,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _sample_stratified,
         "emb_quantize": _emb_quantize,
         "q20_excess_volume": _q20_excess_volume,
-        "q4_order_priority": _q4_order_priority,
-        "q11_value_concentration": _q11_value_concentration,
-        "q13_order_distribution": _q13_order_distribution,
-        "q15_top_supplier": _q15_top_supplier,
-        "q16_supplier_counts": _q16_supplier_counts,
-        "q17_small_qty_revenue": _q17_small_qty_revenue,
-        "q19_bracket_predicates": _q19_bracket_predicates,
-        "q21_waiting_supplier": _q21_waiting_supplier,
-        "q22_idle_customers": _q22_idle_customers,
         "ev_json_props": _ev_json_props,
+        "dedup_levenshtein": _dedup_levenshtein,
+        "a9_quantiles": _a9_quantiles,
+        "a10_pivot": _a10_pivot,
+        "w7_percent_rank": _w7_percent_rank,
         "stream_hourly_agg": _stream_hourly_agg,
         "ann_lsh_multi_topk": _ann_lsh_multi_topk,
         "stream_sessionize": _stream_sessionize,
@@ -2600,7 +2404,10 @@ WITH toks AS (
 """
 
 
-def _minhash_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _lsh_cand_ctes(num_perm: int = 16, bands: int = 4) -> str:
+    """Shared WITH-body through the `cand` CTE: shingle, hash, minhash
+    signature, band keys, candidate pairs — mirrors
+    operators/dedup.py:lsh_candidates."""
     from task_on_dataframes_spark.operators.hashing import (
         hash32_sql,
         perm_hash_sql,
@@ -2630,7 +2437,11 @@ sig AS (SELECT did, {sig_cols} FROM h GROUP BY did),
 bands AS ({band_selects}),
 cand AS (SELECT DISTINCT x.did AS a, y.did AS b
          FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
-         WHERE x.did < y.did),
+         WHERE x.did < y.did)"""
+
+
+def _minhash_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    return f"""{_lsh_cand_ctes(num_perm, bands)},
 sz AS (SELECT did, count(*) AS sz FROM g GROUP BY did),
 inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
           JOIN g ga ON ga.did = c.a
@@ -2640,6 +2451,23 @@ SELECT i.a AS a, i.b AS b,
        round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
 FROM inter i JOIN sz sa ON i.a = sa.did JOIN sz sb ON i.b = sb.did
 WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
+"""
+
+
+def _levenshtein_oracle(
+    num_perm: int = 16,
+    bands: int = 4,
+    max_rel_num: int = 3,
+    max_rel_den: int = 10,
+) -> str:
+    return f"""{_lsh_cand_ctes(num_perm, bands)}
+SELECT c.a AS a, c.b AS b,
+       CAST(levenshtein(da.text, db.text) AS INT) AS dist
+FROM cand c
+JOIN documents da ON da.doc_id = c.a
+JOIN documents db ON db.doc_id = c.b
+WHERE levenshtein(da.text, db.text) * {max_rel_den}
+      <= {max_rel_num} * greatest(len(da.text), len(db.text))
 """
 
 
@@ -3007,14 +2835,6 @@ def oracle_sql() -> dict[str, str]:
             "WHERE p_name LIKE '%gear%' "
             "GROUP BY n_name, year(o_orderdate)"
         ),
-        "q11_value_concentration": (
-            "WITH sv AS (SELECT l_suppkey, "
-            "sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
-            "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS val_dec "
-            "FROM lineitem GROUP BY l_suppkey) "
-            "SELECT l_suppkey, CAST(round(val_dec, 2) AS DOUBLE) AS value "
-            "FROM sv WHERE val_dec > (SELECT sum(val_dec) * 0.002 FROM sv)"
-        ),
         "q13_order_distribution": (
             "WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count "
             "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
@@ -3076,16 +2896,6 @@ def oracle_sql() -> dict[str, str]:
             "JOIN supplier ON l_suppkey = s_suppkey "
             "WHERE late AND n_supp > 1 AND n_late_supp = 1 "
             "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
-        ),
-        "q22_idle_customers": (
-            "SELECT c_nationkey AS cntrycode, count(*) AS numcust, "
-            "CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) "
-            "AS totacctbal FROM customer "
-            "WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS "
-            "DECIMAL(12,2))) AS DOUBLE) / count(*) FROM customer "
-            "WHERE c_acctbal > 0.0) "
-            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
-            "GROUP BY c_nationkey ORDER BY cntrycode"
         ),
         "f1_explode_carry": (
             "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) "
@@ -3812,14 +3622,6 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(s_join, 0.0) + coalesce(s_vector, 0.0), 6) AS score "
             "FROM piv ORDER BY score DESC, doc_id LIMIT 20"
         ),
-        "q4_order_priority": (
-            "SELECT o_orderpriority, count(*) AS order_count "
-            "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01' "
-            "AND o_orderdate < TIMESTAMP '1996-10-01' "
-            "AND EXISTS (SELECT 1 FROM lineitem WHERE "
-            "l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
-            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
-        ),
         "q11_value_concentration": (
             "WITH pv AS (SELECT l_partkey, "
             "sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS v "
@@ -3828,74 +3630,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_partkey, CAST(round(v, 2) AS DOUBLE) AS value "
             "FROM pv, t WHERE 2 * v * np > 3 * tot "
             "ORDER BY value DESC, l_partkey"
-        ),
-        "q13_order_distribution": (
-            "WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count "
-            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
-            "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) "
-            "SELECT c_count, count(*) AS custdist FROM pc "
-            "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
-        ),
-        "q15_top_supplier": (
-            "WITH rev AS (SELECT l_suppkey, "
-            "sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
-            "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev "
-            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
-            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey), "
-            "m AS (SELECT max(rev) AS mx FROM rev) "
-            "SELECT s_suppkey, s_name, "
-            "CAST(round(rev, 2) AS DOUBLE) AS total_revenue "
-            "FROM rev, m JOIN supplier ON l_suppkey = s_suppkey "
-            "WHERE rev = mx ORDER BY s_suppkey"
-        ),
-        "q16_supplier_counts": (
-            "SELECT p_brand, p_type, p_size, "
-            "count(DISTINCT l_suppkey) AS supplier_cnt "
-            "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps "
-            "JOIN part ON l_partkey = p_partkey "
-            "WHERE p_brand <> 'Brand#3' "
-            "AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49) "
-            "GROUP BY p_brand, p_type, p_size "
-            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
-        ),
-        "q17_small_qty_revenue": (
-            "WITH pa AS (SELECT l_partkey AS pk, "
-            "sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq, "
-            "count(*) AS nq FROM lineitem GROUP BY l_partkey) "
-            "SELECT round(CAST(sum(CAST(l_extendedprice AS "
-            "DECIMAL(12,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly "
-            "FROM lineitem JOIN part ON l_partkey = p_partkey "
-            "JOIN pa ON l_partkey = pk "
-            "WHERE p_brand = 'Brand#2' "
-            "AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * nq < sq"
-        ),
-        "q19_bracket_predicates": (
-            "SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
-            "* (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) "
-            "AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey "
-            "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
-            "AND l_quantity BETWEEN 1 AND 11) "
-            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
-            "AND l_quantity BETWEEN 10 AND 20) "
-            "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
-            "AND l_quantity BETWEEN 20 AND 30)"
-        ),
-        "q21_waiting_supplier": (
-            "WITH lines AS (SELECT l_orderkey, l_suppkey, "
-            "l_shipdate > o_orderdate + INTERVAL 30 DAY AS late "
-            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-            "WHERE o_orderstatus = 'F'), "
-            "po AS (SELECT l_orderkey, "
-            "count(DISTINCT l_suppkey) AS n_supp, "
-            "count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late "
-            "FROM lines GROUP BY l_orderkey) "
-            "SELECT s_name, count(*) AS numwait FROM "
-            "(SELECT DISTINCT l_orderkey, l_suppkey FROM lines "
-            "WHERE late) g "
-            "JOIN po ON g.l_orderkey = po.l_orderkey "
-            "JOIN supplier ON l_suppkey = s_suppkey "
-            "WHERE n_supp >= 2 AND n_late = 1 "
-            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
         ),
         "q22_idle_customers": (
             "WITH p AS (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) "
@@ -3920,6 +3654,33 @@ def oracle_sql() -> dict[str, str]:
             "AS sum_value FROM events GROUP BY 1 ORDER BY k_bucket"
         ),
         "emb_kmeans": _kmeans_oracle_sql(),
+        "dedup_levenshtein": _levenshtein_oracle(),
+        "a9_quantiles": (
+            "SELECT l_returnflag, count(*) AS n, "
+            "round(quantile_cont(l_quantity, 0.25), 6) AS q25, "
+            "round(quantile_cont(l_quantity, 0.5), 6) AS q50, "
+            "round(quantile_cont(l_quantity, 0.75), 6) AS q75, "
+            "round(quantile_cont(l_quantity, 0.95), 6) AS q95 "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "a10_pivot": (
+            "SELECT date_trunc('day', ts) AS day, "
+            "count(CASE WHEN event_type = 'click' THEN 1 END) AS click, "
+            "count(CASE WHEN event_type = 'error' THEN 1 END) AS error, "
+            "count(CASE WHEN event_type = 'purchase' THEN 1 END) "
+            "AS purchase, "
+            "count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup, "
+            "count(CASE WHEN event_type = 'view' THEN 1 END) AS view "
+            "FROM events GROUP BY 1 ORDER BY day"
+        ),
+        "w7_percent_rank": (
+            "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, "
+            "round(percent_rank() OVER w, 6) AS pct_rank, "
+            "round(cume_dist() OVER w, 6) AS cume "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-06-01' "
+            "AND l_shipdate < TIMESTAMP '1996-06-08' "
+            "WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)"
+        ),
         "text_repetition": (
             "WITH base AS (SELECT doc_id, "
             "string_split_regex(lower(text), '\\s+') AS toks, "

@@ -167,14 +167,32 @@ def minhash_lsh_pairs(
     LSH candidate generation: only documents agreeing on at least one
     band slice are compared. Shingles default to word bigrams — unigram
     sets saturate on small vocabularies and stop discriminating."""
+    candidates, toks = lsh_candidates(
+        df, id_col, text_col, num_perm, bands, shingle_n
+    )
+    return jaccard_verify(candidates, toks, threshold)
+
+
+def lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> tuple:
+    """Minhash-LSH candidate pairs (a < b) plus the persisted shingle
+    table they were derived from — the shared front end of every
+    verified near-dup strategy (Jaccard, edit distance, ...)."""
     if shingle_n > 1:
         toks = _word_ngrams(df, id_col, text_col, shingle_n)
     else:
         toks = _tokens(df, id_col, text_col)
-    # the shingle table has four consumers (signatures, both sides of
-    # the verification join, sizes): persist it so the corpus is
-    # shingled once — the staging step every large-scale dedup pipeline
-    # pays (MEMORY_AND_DISK, spills instead of recomputing)
+    # the shingle table has several consumers (signatures, and in the
+    # Jaccard path both sides of the verification join plus sizes):
+    # persist it so the corpus is shingled once — the staging step
+    # every large-scale dedup pipeline pays (MEMORY_AND_DISK, spills
+    # instead of recomputing)
     toks = toks.persist()
     sigs = minhash_signatures(toks, num_perm)
     # the band-key frame feeds BOTH sides of the candidate self-join,
@@ -191,7 +209,58 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    return jaccard_verify(candidates, toks, threshold)
+    return candidates, toks
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    max_rel_num: int = 3,
+    max_rel_den: int = 10,
+) -> DataFrame:
+    """Edit-distance-verified near-duplicate pairs: minhash-LSH
+    candidate generation (never all pairs), then exact ``levenshtein``
+    on the ORIGINAL texts for the surviving candidates only — the
+    verification a plagiarism/contamination pipeline wants when token
+    sets are too coarse (Jaccard is blind to ordering; edit distance
+    is not).
+
+    Keeps pairs with ``dist <= (max_rel_num/max_rel_den) * max(len_a,
+    len_b)`` — evaluated as the integer cross-product test ``dist *
+    den <= num * max_len`` so the threshold is exact on any engine.
+    Levenshtein is O(len_a x len_b) per pair; at scale the LSH front
+    end keeps the pair count linear-ish, and each distance is one
+    JVM-side evaluation in the join projection (no UDF)."""
+    candidates, _ = lsh_candidates(
+        df, id_col, text_col, num_perm, bands, shingle_n
+    )
+    texts = df.select(
+        F.col(id_col).alias("did"), F.col(text_col).alias("txt")
+    )
+    ta = texts.select(F.col("did").alias("a"), F.col("txt").alias("txt_a"))
+    tb = texts.select(F.col("did").alias("b"), F.col("txt").alias("txt_b"))
+    scored = (
+        candidates.join(ta, on="a")
+        .join(tb, on="b")
+        .select(
+            "a",
+            "b",
+            F.levenshtein("txt_a", "txt_b").alias("dist"),
+            F.greatest(
+                F.length("txt_a"), F.length("txt_b")
+            ).alias("max_len"),
+        )
+    )
+    return (
+        scored.filter(
+            F.col("dist") * max_rel_den <= max_rel_num * F.col("max_len")
+        )
+        .select("a", "b", "dist")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -488,3 +488,33 @@ def test_kmeans_assignments_partition_and_improve(spark, sf_dir):
     m1 = sum(r["cos"] for r in a1) / n
     m3 = sum(r["cos"] for r in a3) / n
     assert m3 >= m1 - 1e-6, f"iterating degraded the objective: {m1} -> {m3}"
+
+
+def test_approx_sketches_within_error_bounds(spark, sf_dir):
+    from task_on_dataframes_spark.operators.sketches import (
+        approx_distinct,
+        approx_quantiles,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.agg(
+        F.count_distinct("l_orderkey").alias("ok"),
+        F.count_distinct("l_partkey").alias("pk"),
+    ).collect()[0]
+    approx = approx_distinct(li, ["l_orderkey", "l_partkey"], rsd=0.02).collect()[0]
+    for e, a in [(exact["ok"], approx["l_orderkey_approx"]),
+                 (exact["pk"], approx["l_partkey_approx"])]:
+        assert abs(a - e) / e < 0.1, f"HLL estimate {a} too far from {e}"
+
+    # GK sketch: returned value must be an actual data value whose rank
+    # is within 1/accuracy * n of the target rank
+    n = li.count()
+    med = approx_quantiles(li, "l_quantity", probs=(0.5,), accuracy=1000) \
+        .collect()[0]["q50"]
+    below = li.filter(F.col("l_quantity") <= med).count()
+    assert abs(below / n - 0.5) < 0.05, f"median rank off: {below}/{n}"
+
+    per_group = approx_quantiles(
+        li, "l_quantity", probs=(0.5,), group_by=["l_returnflag"]
+    )
+    assert per_group.count() == 3
