@@ -803,10 +803,12 @@ def _q19_disjunctive_filter(spark, sf_dir):
 
 def _q21_waiting_supplier(spark, sf_dir):
     """TPC-H Q21 shape: the EXISTS/NOT-EXISTS pair ("another supplier in
-    the order, but no OTHER supplier late") expressed as one per-order
-    aggregation — count distinct suppliers and distinct late suppliers,
-    then keep late lines of the sole late supplier in multi-supplier
-    orders. One pass over the fact instead of three correlated scans."""
+    the order, but no OTHER supplier late") expressed as window
+    aggregates over the order key — count distinct suppliers and
+    distinct late suppliers per order, then keep late lines of the sole
+    late supplier in multi-supplier orders. ONE scan of lineitem/orders
+    and one order-key shuffle instead of the agg+self-join formulation
+    (which scans the fact twice) or three correlated scans."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supp = _t(spark, sf_dir, "supplier")
@@ -820,19 +822,23 @@ def _q21_waiting_supplier(spark, sf_dir):
             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("late"),
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-    )
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        lines.filter(F.col("late"))
-        .join(
-            per_order.filter(
-                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        lines.withColumn(
+            "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+        )
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(w)
             ),
-            on="l_orderkey",
+        )
+        .filter(
+            F.col("late")
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
         )
         .join(supp, F.col("l_suppkey") == supp.s_suppkey)
     )
