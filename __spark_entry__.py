@@ -1521,6 +1521,40 @@ def _dedup_keep_canonical(spark, sf_dir):
     )
 
 
+#: demo weight table for the hashed linear classifier: 16 buckets,
+#: fixed-point 1e-4 units, mixed signs — deterministic and shared with
+#: the oracle SQL verbatim
+_CLS_WEIGHTS_FP = [(i - 8) * 1250 for i in range(16)]
+
+
+def _text_classifier(spark, sf_dir):
+    """Model-based quality filter: score each document with a
+    fasttext-style hashed linear classifier (16 md5 buckets, integer
+    fixed-point weights, exact int64 fold inside the scan — zero
+    shuffle)."""
+    from task_on_dataframes_spark.operators.textstats import (
+        hashed_classifier_score,
+    )
+
+    return hashed_classifier_score(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        _CLS_WEIGHTS_FP,
+    )
+
+
+def _dedup_spans(spark, sf_dir):
+    """C4/RefinedWeb-style span-level corpus dedup: 10-token
+    non-overlapping spans, keep the globally first occurrence of each
+    distinct span, rebuild documents from surviving spans. Two keyed
+    shuffles (span text, then doc id) — no cross join, no driver
+    state."""
+    from task_on_dataframes_spark.operators.dedup import span_dedup
+
+    return span_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def _text_pii_redact(spark, sf_dir):
     from task_on_dataframes_spark.operators.textstats import pii_redact
 
@@ -1544,6 +1578,25 @@ def _sample_stratified(spark, sf_dir):
         docs, "doc_id", "lang", {"en": 0.2}, default_fraction=1.0
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def _sample_weighted(spark, sf_dir):
+    """Quality-weighted importance resampling (the corpus-mixing move
+    in DCLM/FineWeb-style pipelines): weight_pm = min(1000, 5 *
+    n_tokens), so documents of >=200 tokens always survive and shorter
+    ones survive with proportionally lower probability. The keep
+    decision is a pure function of doc_id, so the oracle replays the
+    exact sample; zero shuffle — one hash compare in the scan stage."""
+    from task_on_dataframes_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    weighted = docs.withColumn(
+        "weight_pm",
+        F.least(F.lit(1000), F.lit(5) * n_tokens).cast("bigint"),
+    )
+    kept = weighted_sample(weighted, "doc_id", F.col("weight_pm"))
+    return kept.select("doc_id", "lang", "weight_pm")
 
 
 def _emb_quantize(spark, sf_dir):
@@ -2354,9 +2407,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "emb_kmeans": _emb_kmeans,
         "dedup_keep_canonical": _dedup_keep_canonical,
+        "dedup_spans": _dedup_spans,
+        "text_classifier": _text_classifier,
         "text_pii_redact": _text_pii_redact,
         "text_ngram_counts": _text_ngram_counts,
         "sample_stratified": _sample_stratified,
+        "sample_weighted": _sample_weighted,
         "emb_quantize": _emb_quantize,
         "q20_excess_volume": _q20_excess_volume,
         "ev_json_props": _ev_json_props,
@@ -3351,6 +3407,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "WHERE doc_id NOT IN (SELECT node FROM removed)"
         ).format(pairs_sql=_simhash_oracle(bits=32, max_hamming=3)),
+        "text_classifier": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '\\s+')) AS tok "
+            "FROM documents), "
+            "b AS (SELECT doc_id, "
+            "(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16) AS bkt "
+            "FROM t), "
+            "z AS (SELECT doc_id, CAST(sum("
+            f"({_CLS_WEIGHTS_FP})[bkt + 1]"
+            ") AS BIGINT) AS z_fp FROM b GROUP BY doc_id) "
+            "SELECT doc_id, z_fp, z_fp / 10000.0 AS score, "
+            "z_fp > 0 AS is_positive FROM z"
+        ),
+        "dedup_spans": (
+            "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts "
+            "FROM documents), "
+            "c AS (SELECT doc_id, i.i AS idx, "
+            "array_to_string(ts[(i.i * 10 + 1):(i.i * 10 + 10)], ' ') AS span "
+            "FROM t, LATERAL unnest(generate_series(0, "
+            "CAST(greatest(ceil(len(ts) / 10.0), 1) AS INT) - 1)) AS i(i)), "
+            "r AS (SELECT doc_id, idx, span, "
+            "row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn "
+            "FROM c) "
+            "SELECT doc_id, count(*) AS n_spans, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_spans_kept, "
+            "coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' "
+            "ORDER BY idx), '') AS text_deduped "
+            "FROM r GROUP BY doc_id"
+        ),
         "text_pii_redact": _pii_redact_oracle(),
         "text_ngram_counts": (
             "WITH t AS (SELECT string_split_regex(lower(text), '\\s+') AS ts "
@@ -3368,6 +3454,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS n_kept FROM b "
             "WHERE bucket < (CASE WHEN lang = 'en' THEN 200 ELSE 1000 END) "
             "GROUP BY lang"
+        ),
+        "sample_weighted": (
+            "WITH w AS (SELECT doc_id, lang, "
+            "least(1000, 5 * len(string_split_regex(lower(text), '\\s+'))) "
+            "AS weight_pm, "
+            "CAST(('0x' || substr(md5(CAST(('wsamp:' || CAST(doc_id AS VARCHAR)) "
+            "AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket FROM documents) "
+            "SELECT doc_id, lang, weight_pm FROM w WHERE bucket < weight_pm"
         ),
         "emb_quantize": (
             "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v "

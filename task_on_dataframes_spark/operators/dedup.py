@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import hash32, perm_hash
@@ -664,3 +664,64 @@ def winnow_pairs(
     )
     grams = _word_ngrams(df, id_col, text_col, 2).persist()
     return jaccard_verify(candidates, grams, threshold)
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Span-level exact corpus dedup (the C4/RefinedWeb "remove
+    duplicated lines/spans across the corpus" move, at fixed token
+    granularity): chop every document into non-overlapping
+    ``span_tokens``-token spans, keep only the globally FIRST
+    occurrence of each distinct span (ordered by id then position),
+    and rebuild each document from its surviving spans.
+
+    Scale shape: two keyed shuffles — one on the span text for the
+    first-occurrence window, one on the id for reassembly. No
+    cross join, no driver state; span cardinality <= token count.
+    Returns (id, n_spans, n_spans_kept, text_deduped); documents whose
+    every span was seen earlier come back with empty text, ready for a
+    length filter."""
+    toks = F.split(F.col(text_col), r"\s+")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int"), F.lit(1)
+    )
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice(toks, i * span_tokens + 1, span_tokens), " "
+                ),
+            )
+        ).alias("idx", "span"),
+    )
+    first = Window.partitionBy("span").orderBy(id_col, "idx")
+    kept = spans.withColumn("rn", F.row_number().over(first))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_spans_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct("idx", "span"),
+                            )
+                        )
+                    ),
+                    lambda s: s.span,
+                ),
+                " ",
+            ).alias("text_deduped"),
+        )
+    )

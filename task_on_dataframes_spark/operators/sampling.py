@@ -55,6 +55,21 @@ def deterministic_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_pm: Column, salt: str = "wsamp"
+) -> DataFrame:
+    """Importance resampling: keep each row with probability
+    ``weight_pm``/1000 (a per-row per-mille integer weight), decided by
+    the stable key hash — the primitive behind quality-weighted corpus
+    mixing, where high-quality documents survive with higher
+    probability than low-quality ones. Unlike ``rand() < w`` the
+    decision is a pure function of (key, salt): task retries, reruns,
+    and incremental loads keep exactly the same rows, and the expected
+    kept mass is sum(weight_pm)/1000 regardless of partitioning.
+    Integer-exact, zero shuffle, evaluated in the scan stage."""
+    return df.filter(split_bucket(F.col(key_col), salt) < weight_pm)
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

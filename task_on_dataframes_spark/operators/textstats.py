@@ -327,3 +327,47 @@ def repetition_stats(
         (F.col("top_2gram_frac") > top2_threshold)
         | (F.col("dup_3gram_frac") > dup3_threshold),
     )
+
+
+#: fixed-point scale for classifier weights — integer 1e-4 units keep
+#: the feature fold in exact int64 arithmetic on every engine
+FP_SCALE = 10_000
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights_fp: Sequence[int],
+    intercept_fp: int = 0,
+) -> DataFrame:
+    """Fasttext-style linear classifier over hashed bag-of-words
+    features — the model-based quality filter pattern (score every
+    document with a tiny linear model, keep what clears a threshold).
+
+    Each token hashes (portable md5) into one of ``len(weights_fp)``
+    buckets; the document logit is ``intercept + sum(weights[bucket])``
+    over tokens with multiplicity. Weights are integer fixed-point
+    (1e-4 units) so the per-document fold is exact int64 arithmetic —
+    bit-identical at any parallelism and replayable by a SQL oracle.
+
+    Scale shape: zero shuffle — the fold runs inside the scan via a
+    higher-order ``aggregate`` over the token array; the weight vector
+    is an array literal (broadcast with the plan). Real models with
+    2**20-dim weight tables would broadcast a lookup DataFrame instead;
+    the hash/fold plumbing is identical."""
+    d = len(weights_fp)
+    warr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights_fp])
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    z = F.aggregate(
+        toks,
+        F.lit(int(intercept_fp)).cast("bigint"),
+        lambda acc, t: acc
+        + F.element_at(warr, (hash32(t) % d).cast("int") + F.lit(1)),
+    )
+    return df.select(
+        F.col(id_col),
+        z.alias("z_fp"),
+        (z / F.lit(float(FP_SCALE))).alias("score"),
+        (z > 0).alias("is_positive"),
+    )

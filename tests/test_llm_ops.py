@@ -299,6 +299,71 @@ def test_stratified_sample_deterministic_and_full_strata(spark, sf_dir):
             assert keptc.get(r["lang"], 0) == r["count"]
 
 
+def test_weighted_sample_extremes_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from task_on_dataframes_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    # weight 1000 keeps everything, weight 0 keeps nothing
+    assert weighted_sample(docs, "doc_id", F.lit(1000)).count() == n
+    assert weighted_sample(docs, "doc_id", F.lit(0)).count() == 0
+    # mid weights are reproducible and keep a proper subset
+    k1 = {r["doc_id"] for r in weighted_sample(docs, "doc_id", F.lit(400)).collect()}
+    k2 = {r["doc_id"] for r in weighted_sample(docs, "doc_id", F.lit(400)).collect()}
+    assert k1 == k2 and 0 < len(k1) < n
+    # per-row weights: a kept row with weight w stays kept at weight w+1
+    # (monotone in the weight, since the bucket is fixed per key)
+    k_hi = {r["doc_id"] for r in weighted_sample(docs, "doc_id", F.lit(600)).collect()}
+    assert k1 <= k_hi
+
+
+def test_span_dedup_keeps_first_occurrence_and_rebuilds(spark):
+    from task_on_dataframes_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4"),  # spans: "w1 w2", "w3 w4"
+            (2, "w3 w4 x y"),  # "w3 w4" already seen in doc 1
+            (3, "w1 w2"),  # entirely duplicated
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in span_dedup(df, "doc_id", "text", span_tokens=2).collect()
+    }
+    assert rows[1]["n_spans_kept"] == 2
+    assert rows[1]["text_deduped"] == "w1 w2 w3 w4"
+    assert rows[2]["n_spans_kept"] == 1
+    assert rows[2]["text_deduped"] == "x y"
+    assert rows[3]["n_spans_kept"] == 0
+    assert rows[3]["text_deduped"] == ""
+
+
+def test_hashed_classifier_exact_fold(spark):
+    from task_on_dataframes_spark.operators.textstats import (
+        hashed_classifier_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a")], "doc_id long, text string"
+    )
+    # single bucket: every token adds the same weight
+    rows = {
+        r["doc_id"]: r
+        for r in hashed_classifier_score(
+            df, "doc_id", "text", [10_000], intercept_fp=-15_000
+        ).collect()
+    }
+    assert rows[1]["z_fp"] == 3 * 10_000 - 15_000
+    assert rows[1]["is_positive"] is True
+    assert rows[2]["z_fp"] == 10_000 - 15_000
+    assert rows[2]["is_positive"] is False
+    assert abs(rows[1]["score"] - 1.5) < 1e-12
+
+
 def test_quantize_int8_bounds_and_zero_vector(spark):
     from task_on_dataframes_spark.operators.similarity import quantize_int8
 
