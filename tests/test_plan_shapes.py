@@ -205,3 +205,35 @@ def test_gap_fill_spine_broadcasts(spark, sf_dir, queries):
     # broadcast; the fact table aggregates exactly once
     plan = _physical(queries["ev_gap_fill"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+def test_weighted_sample_is_scan_stage_filter(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from task_on_dataframes_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(weighted_sample(docs, "doc_id", F.lit(400)))
+    assert "Exchange" not in plan
+
+
+def test_classifier_score_is_scan_stage_projection(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import (
+        hashed_classifier_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(
+        hashed_classifier_score(docs, "doc_id", "text", [1, -1] * 8)
+    )
+    assert "Exchange" not in plan
+
+
+def test_span_dedup_is_two_keyed_shuffles(spark, sf_dir):
+    # one hash-shuffle on the span text (first-occurrence window), one
+    # on the doc id (reassembly) — and nothing else
+    from task_on_dataframes_spark.operators.dedup import span_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(span_dedup(docs, "doc_id", "text"))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
