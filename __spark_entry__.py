@@ -35,15 +35,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which the
-    Spark parquet reader rejects; read nanos as long and rebuild a
-    microsecond timestamp (floor, matching DuckDB's ns->us handling)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer division: floor(ns/1000.0) goes through a double, and
-    # nanosecond epochs (~1.7e18) exceed float64's exact-integer range,
-    # shifting some timestamps by 1us
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """events.parquet's ``ts`` physical type has changed across testdata
+    generations (TIMESTAMP(NANOS)-as-long, now TIMESTAMP_MICROS/NTZ);
+    the shared reader branches on the actual dtype and never mutates
+    session conf unless the legacy nanos layout is present."""
+    from task_on_dataframes_spark.sources.readers import read_events
+
+    return read_events(spark, f"{sf_dir}/events.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -1684,34 +1682,32 @@ def _ann_lsh_multi_topk(spark, sf_dir):
 
 def _stream_sessionize(spark, sf_dir):
     """Custom stateful streaming sessionization (applyInPandasWithState,
-    30-min gap, event-time timeout), drained with availableNow.
-
-    Registered WITHOUT an oracle (rows-only check) deliberately: at
-    end-of-stream the watermark stops at the last event, so each user's
-    final open session never times out and is (correctly, per streaming
-    semantics) not emitted — the batch gaps-and-islands twin
-    ``ev_sessionize`` IS the oracle-checked equivalent of the emitted
-    prefix, and the stream==batch prefix parity is pytest-asserted."""
+    30-min gap, event-time timeout), drained to COMPLETION: two
+    far-future sentinel micro-batches advance the watermark past every
+    real session's timeout so open sessions at end-of-input are emitted
+    too (see streaming.events.stage_with_sentinels). The result is the
+    full session set, checked against the SAME gaps-and-islands DuckDB
+    oracle as the batch twin ``ev_sessionize`` — session_seq is
+    recovered per user by ordering emitted sessions on start time."""
     import tempfile
     import uuid
 
-    from task_on_dataframes_spark.streaming.events import (
-        events_stream,
-        run_available_now,
-        sessionize_stream,
-    )
+    from task_on_dataframes_spark.streaming.events import sessionize_drain_all
 
     name = "stream_sess_" + uuid.uuid4().hex[:8]
-    stream = sessionize_stream(
-        events_stream(spark, f"{sf_dir}/events.parquet")
-    )
-    run_available_now(
-        stream,
-        name,
+    sessions = sessionize_drain_all(
+        spark,
+        f"{sf_dir}/events.parquet",
         checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
-        output_mode="append",
+        query_name=name,
     )
-    return spark.table(name)
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return sessions.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_seq"),
+        "n_events",
+        "session_value",
+    )
 
 
 def _ev_zscore_anomalies(spark, sf_dir):
@@ -3501,6 +3497,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "
             "AS sum_value FROM events "
             "GROUP BY date_trunc('hour', ts), event_type"
+        ),
+        # drained-to-completion stream (sentinel watermark advance)
+        # emits the full session set -> same oracle as the batch twin;
+        # session_value tolerance: the stream sums doubles sequentially
+        # in event order, the oracle decimal-exactly — both round to 4
+        # decimals, and the comparator re-rounds at 6, so they agree
+        "stream_sessionize": (
+            "WITH g AS (SELECT user_id, event_id, value, ts, "
+            "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR epoch(ts) - lag(epoch(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+            "THEN 1 ELSE 0 END AS new_sess FROM events), "
+            "s AS (SELECT user_id, value, sum(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq "
+            "FROM g) "
+            "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
+            "count(*) AS n_events, "
+            "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "
+            "AS session_value FROM s "
+            "GROUP BY user_id, session_seq"
         ),
         "ann_lsh_multi_topk": (
             "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "

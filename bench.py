@@ -49,8 +49,9 @@ def main() -> None:
         "region nation customer supplier part orders lineitem documents"
     ).split():
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    from task_on_dataframes_spark.sources.readers import read_events
+
+    read_events(spark, f"{sf_dir}/events.parquet").count()
 
     headline = [
         "q1_pricing_summary",
@@ -128,31 +129,34 @@ def main() -> None:
 
 
 def _latest_anchor() -> dict:
-    """Newest BENCH_r{N}.json beside this file, tagged with its name."""
+    """Newest *usable* BENCH_r{N}.json beside this file, tagged with its
+    name. Crash artifacts (rc!=0, parsed:null, no per-query timings —
+    e.g. BENCH_r02) are skipped, falling back to the newest round that
+    actually carries a ``queries`` dict, so deltas keep being computed
+    against a real anchor."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best, best_n = None, -1
+    rounds = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if not m:
+        if m:
+            rounds.append((int(m.group(1)), p))
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
             continue
-        n = int(m.group(1))
-        if n > best_n:
-            best, best_n = p, n
-    if not best:
-        return {}
-    try:
-        with open(best) as f:
-            data = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return {}
-    # the driver wraps the bench line under "parsed"
-    if "queries" not in data and isinstance(data.get("parsed"), dict):
-        data = data["parsed"]
-    data["_file"] = os.path.basename(best)
-    return data
+        # the driver wraps the bench line under "parsed"
+        if "queries" not in data and isinstance(data.get("parsed"), dict):
+            data = data["parsed"] or {}
+        if not isinstance(data.get("queries"), dict) or not data["queries"]:
+            continue
+        data["_file"] = os.path.basename(path)
+        return data
+    return {}
 
 
 if __name__ == "__main__":

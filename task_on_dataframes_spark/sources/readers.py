@@ -67,6 +67,45 @@ def parquet_source(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP regardless of the
+    physical parquet layout the testdata generation used:
+
+    * INT64 TIMESTAMP_MICROS with ``isAdjustedToUTC=0`` (current): Spark
+      reads TIMESTAMP_NTZ; cast to TIMESTAMP so windowing/watermark ops
+      work and the wall clock round-trips identically to DuckDB's naive
+      reading (NTZ -> TIMESTAMP -> collect is wall-clock identity in any
+      single-timezone process).
+    * INT64 TIMESTAMP(NANOS) (older): arrives as BIGINT via
+      ``nanosAsLong``; rebuild microsecond timestamps with integer
+      division (a floor through float64 loses 1us at ~1.7e18 nanos).
+    * plain TIMESTAMP: already right.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-faithful read of the events table. Only mutates the
+    session conf (``nanosAsLong``) when the legacy TIMESTAMP(NANOS)
+    layout is actually present — Spark's reader rejects that type, so
+    the retry is the detection."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Events reader: raw read + ``ts`` normalization to TIMESTAMP."""
+    return normalize_events_ts(read_events_raw(spark, path))
+
+
 def json_source(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 

@@ -8,9 +8,10 @@
   canonical custom stateful operator (the batch equivalent is the
   gaps-and-islands window query ``ev_sessionize``).
 
-The driver's events table stores nanosecond parquet timestamps, which
-Spark's reader rejects; the stream reader takes them as longs and
-rebuilds microsecond timestamps, same as the batch path.
+The stream reader derives its schema from a batch peek of the source
+(file footers only) and normalizes ``ts`` with the same dtype branch
+as the batch path — robust to the testdata's parquet timestamp layout
+(TIMESTAMP_MICROS today, TIMESTAMP(NANOS)-as-long historically).
 """
 
 from __future__ import annotations
@@ -24,21 +25,15 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
     TimestampType,
 )
 
-EVENTS_LONG_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos read as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
+from ..sources.readers import (
+    normalize_events_ts,
+    read_events,
+    read_events_raw,
 )
 
 
@@ -65,18 +60,17 @@ def _as_stream_dir(path: str) -> str:
 def events_stream(
     spark: SparkSession, src: str, max_files_per_trigger: Optional[int] = None
 ) -> DataFrame:
-    """File-stream over the events parquet directory (or single file)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = (
-        spark.readStream.schema(EVENTS_LONG_SCHEMA)
-        .format("parquet")
-    )
+    """File-stream over the events parquet directory (or single file).
+
+    The schema comes from a batch footer peek of ``src`` (a hard-coded
+    schema silently misreads micros as nanos when the physical layout
+    changes — the worst failure class); ``ts`` is then normalized with
+    the exact dtype branch the batch reader uses."""
+    schema = read_events_raw(spark, src).schema
+    reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.load(_as_stream_dir(src))
-    # integer division (same arithmetic as the batch reader): a
-    # double-division floor loses 1us on ~1.7e18 nano epochs
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(reader.load(_as_stream_dir(src)))
 
 
 def hourly_counts_stream(
@@ -214,6 +208,81 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stage_with_sentinels(spark: SparkSession, src: str) -> str:
+    """Stage the events source into a fresh temp directory together with
+    two tiny far-future "sentinel" batches, so a drained sessionization
+    emits EVERY session, including those still open at end-of-input.
+
+    Why two sentinels: state timeouts fire during a *data* micro-batch
+    using the watermark computed from the *previous* batch, and an
+    availableNow drain is not guaranteed a trailing no-data batch.
+    Sentinel #1 (max_ts + 30d) advances the watermark past every real
+    session's timeout; sentinel #2's batch (max_ts + 60d) then runs
+    with that watermark and fires all the timeouts. Sentinel rows carry
+    ``user_id = -1`` so callers can filter them out.
+
+    At cluster scale this is O(1) extra data: two 1-row parquet files.
+    """
+    import datetime
+    import os
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    max_ts = (
+        read_events(spark, src).agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+    )
+    d = tempfile.mkdtemp(prefix="tada_sess_src_")
+    os.symlink(os.path.abspath(src), os.path.join(d, "00_events.parquet"))
+
+    # physical schema of a sentinel must match the real file byte-level
+    # (the stream reader's schema is the batch peek of this directory)
+    raw_schema = pq.read_schema(src)
+    schema = pa.schema([raw_schema.field(i) for i in range(len(raw_schema))])
+    now = time.time()
+    for i, days in enumerate((30, 60), start=1):
+        ts_val = max_ts + datetime.timedelta(days=days)
+        cols = {}
+        for field in schema:
+            if field.name == "ts":
+                if pa.types.is_timestamp(field.type):
+                    cols[field.name] = pa.array([ts_val], type=field.type)
+                else:  # legacy nanos-as-long layout
+                    cols[field.name] = pa.array(
+                        [int(ts_val.timestamp() * 1_000_000) * 1000],
+                        type=field.type,
+                    )
+            elif field.name in ("event_id", "user_id"):
+                cols[field.name] = pa.array([-1], type=field.type)
+            elif field.name == "value":
+                cols[field.name] = pa.array([0.0], type=field.type)
+            else:
+                cols[field.name] = pa.array([None], type=field.type)
+        path = os.path.join(d, f"{i:02d}_sentinel.parquet")
+        pq.write_table(pa.table(cols, schema=schema), path)
+        # FileStreamSource picks files oldest-first by mtime: force the
+        # order events -> sentinel1 -> sentinel2
+        os.utime(path, (now + i, now + i))
+    return d
+
+
+def sessionize_drain_all(
+    spark: SparkSession, src: str, checkpoint: str, query_name: str
+) -> DataFrame:
+    """Run the stateful sessionizer over ``src`` to completion and emit
+    ALL sessions (closed-by-gap and open-at-end-of-input alike) by
+    draining through :func:`stage_with_sentinels` one file per
+    micro-batch. Returns the memory-sink table, sentinels filtered."""
+    staged = stage_with_sentinels(spark, src)
+    stream = sessionize_stream(
+        events_stream(spark, staged, max_files_per_trigger=1)
+    )
+    run_available_now(stream, query_name, checkpoint, output_mode="append")
+    return spark.table(query_name).filter(F.col("user_id") >= 0)
 
 
 def dedup_stream(
