@@ -2318,6 +2318,74 @@ def _text_bm25(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- driver-validation window: the driver correctness gate
+        # checks the FIRST 50 entries in dict order. Lead with the
+        # queries that have no green driver row yet (r02 failures
+        # first, then never-driver-checked); long-green sentinels sit
+        # in the tail. Re-rotate each round as rows come back green.
+        "f_json_extract": _f_json_extract,
+        "ev_hourly_agg": _ev_hourly_agg,
+        "ev_sliding_agg": _ev_sliding_agg,
+        "ev_sessionize": _ev_sessionize,
+        "text_repetition": _text_repetition,
+        "j6_asof_join": _j6_asof_join,
+        "j7_range_join": _j7_range_join,
+        "w4_moving_avg": _w4_moving_avg,
+        "a3_distinct_agg": _a3_distinct_agg,
+        "a4_rollup": _a4_rollup,
+        "a5_percentiles": _a5_percentiles,
+        "a6_stats": _a6_stats,
+        "a7_grouping_sets": _a7_grouping_sets,
+        "p7_pivot": _p7_pivot,
+        "text_tfidf": _text_tfidf,
+        "text_chunk": _text_chunk,
+        "text_pack": _text_pack,
+        "decontaminate": _decontaminate,
+        "sql_exists_subquery": _sql_exists_subquery,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "emb_kmeans": _emb_kmeans,
+        "dedup_keep_canonical": _dedup_keep_canonical,
+        "dedup_spans": _dedup_spans,
+        "text_classifier": _text_classifier,
+        "text_pii_redact": _text_pii_redact,
+        "text_ngram_counts": _text_ngram_counts,
+        "sample_stratified": _sample_stratified,
+        "sample_weighted": _sample_weighted,
+        "q20_excess_volume": _q20_excess_volume,
+        "ev_json_props": _ev_json_props,
+        "dedup_levenshtein": _dedup_levenshtein,
+        "a10_pivot": _a10_pivot,
+        "w7_percent_rank": _w7_percent_rank,
+        "stream_hourly_agg": _stream_hourly_agg,
+        "ann_lsh_multi_topk": _ann_lsh_multi_topk,
+        "stream_sessionize": _stream_sessionize,
+        "sample_topk_per_stratum": _sample_topk_per_stratum,
+        "dedup_winnow": _dedup_winnow,
+        "w5_lag_delta": _w5_lag_delta,
+        "ev_gap_fill": _ev_gap_fill,
+        "ev_funnel": _ev_funnel,
+        "ev_zscore_anomalies": _ev_zscore_anomalies,
+        "ev_retention": _ev_retention,
+        "a8_cube": _a8_cube,
+        "text_bm25": _text_bm25,
+        "text_vocab_oov": _text_vocab_oov,
+        "skew_distinct_2phase": _skew_distinct_2phase,
+        "skew_salted_agg": _skew_salted_agg,
+        "skew_salted_join": _skew_salted_join,
+        "planner_llm_chunks": _planner_llm_chunks,
+        # --- below this line: past the driver's 50-row window ---
+        "mm_decode_meta": _mm_decode_meta,
+        "mm_frame_sample": _mm_frame_sample,
+        "set_ops": _set_ops,
+        "f_posexplode": _f_posexplode,
+        "w3_ranking": _w3_ranking,
+        "w6_ntile_bins": _w6_ntile_bins,
+        "j8_upsert": _j8_upsert,
+        "a9_quantiles": _a9_quantiles,
+        "text_winnow": _text_winnow,
+        "emb_quantize": _emb_quantize,
+        "sample_split": _sample_split,
+        # --- long-green sentinels (driver rows in r01/r02) ---
         "planner_top90_tokens": _planner_top90,
         "a1_value_counts": _a1_value_counts,
         "a2_scalar_sum": _a2_scalar_sum,
@@ -2361,10 +2429,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_array_funcs": _f_array_funcs,
         "f2_word_boundary_split": _f2_word_boundary_split,
         "f_string_funcs": _f_string_funcs,
-        "f_json_extract": _f_json_extract,
-        "ev_hourly_agg": _ev_hourly_agg,
-        "ev_sliding_agg": _ev_sliding_agg,
-        "ev_sessionize": _ev_sessionize,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -2376,66 +2440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "text_token_stats": _text_token_stats,
         "text_quality": _text_quality,
-        "text_repetition": _text_repetition,
         "text_langid": _text_langid,
         "text_token_count": _text_token_count,
         "text_fingerprint": _text_fingerprint,
-        "mm_decode_meta": _mm_decode_meta,
-        "mm_frame_sample": _mm_frame_sample,
-        "j6_asof_join": _j6_asof_join,
-        "j7_range_join": _j7_range_join,
-        "w3_ranking": _w3_ranking,
-        "w4_moving_avg": _w4_moving_avg,
-        "set_ops": _set_ops,
-        "a3_distinct_agg": _a3_distinct_agg,
-        "a4_rollup": _a4_rollup,
-        "a5_percentiles": _a5_percentiles,
-        "a6_stats": _a6_stats,
-        "a7_grouping_sets": _a7_grouping_sets,
-        "f_posexplode": _f_posexplode,
-        "p7_pivot": _p7_pivot,
-        "text_tfidf": _text_tfidf,
-        "text_chunk": _text_chunk,
-        "text_pack": _text_pack,
-        "sample_split": _sample_split,
-        "decontaminate": _decontaminate,
-        "sql_exists_subquery": _sql_exists_subquery,
-        "ann_ivf_topk": _ann_ivf_topk,
-        "emb_kmeans": _emb_kmeans,
-        "dedup_keep_canonical": _dedup_keep_canonical,
-        "dedup_spans": _dedup_spans,
-        "text_classifier": _text_classifier,
-        "text_pii_redact": _text_pii_redact,
-        "text_ngram_counts": _text_ngram_counts,
-        "sample_stratified": _sample_stratified,
-        "sample_weighted": _sample_weighted,
-        "emb_quantize": _emb_quantize,
-        "q20_excess_volume": _q20_excess_volume,
-        "ev_json_props": _ev_json_props,
-        "dedup_levenshtein": _dedup_levenshtein,
-        "a9_quantiles": _a9_quantiles,
-        "a10_pivot": _a10_pivot,
-        "w7_percent_rank": _w7_percent_rank,
-        "stream_hourly_agg": _stream_hourly_agg,
-        "ann_lsh_multi_topk": _ann_lsh_multi_topk,
-        "stream_sessionize": _stream_sessionize,
-        "sample_topk_per_stratum": _sample_topk_per_stratum,
-        "text_winnow": _text_winnow,
-        "dedup_winnow": _dedup_winnow,
-        "j8_upsert": _j8_upsert,
-        "w5_lag_delta": _w5_lag_delta,
-        "w6_ntile_bins": _w6_ntile_bins,
-        "ev_gap_fill": _ev_gap_fill,
-        "ev_funnel": _ev_funnel,
-        "ev_zscore_anomalies": _ev_zscore_anomalies,
-        "ev_retention": _ev_retention,
-        "a8_cube": _a8_cube,
-        "text_bm25": _text_bm25,
-        "text_vocab_oov": _text_vocab_oov,
-        "skew_distinct_2phase": _skew_distinct_2phase,
-        "skew_salted_agg": _skew_salted_agg,
-        "skew_salted_join": _skew_salted_join,
-        "planner_llm_chunks": _planner_llm_chunks,
     }
 
 
@@ -3773,6 +3780,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_kmeans": _kmeans_oracle_sql(),
         "dedup_levenshtein": _levenshtein_oracle(),
+        # ORACLE POLICY for approximate sketches: the HLL++ and
+        # Greenwald-Khanna operators (operators/sketches.py) have NO
+        # entry here ON PURPOSE — two engines' sketches legitimately
+        # return different estimates for the same data, so a value-hash
+        # oracle cannot exist. They are validated by error-bound
+        # property tests against exact counts (tests/test_llm_ops.py),
+        # which is the strongest check an approximate answer admits.
+        # a9_quantiles below is the EXACT-quantile twin and does carry
+        # a full value oracle.
         "a9_quantiles": (
             "SELECT l_returnflag, count(*) AS n, "
             "round(quantile_cont(l_quantity, 0.25), 6) AS q25, "
