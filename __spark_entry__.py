@@ -1710,6 +1710,230 @@ def _stream_sessionize(spark, sf_dir):
     )
 
 
+def _stream_dedup(spark, sf_dir):
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type), drained with availableNow. In a single-drain
+    run every key stays in state (the watermark never passes it), so
+    the emitted key set equals batch DISTINCT — an exact oracle for the
+    streaming dedup plumbing. At production throughput the same plan
+    holds with bounded state: key state is evicted once the watermark
+    passes (the unbounded-state trap of plain dropDuplicates on a
+    stream does not exist here)."""
+    import tempfile
+    import uuid
+
+    from task_on_dataframes_spark.streaming.events import (
+        dedup_stream,
+        events_stream,
+        run_available_now,
+    )
+
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    st = dedup_stream(
+        events_stream(spark, f"{sf_dir}/events.parquet"),
+        ["user_id", "event_type"],
+        watermark="96 hours",
+    )
+    run_available_now(
+        st.select("user_id", "event_type"),
+        name,
+        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
+def _stream_enrich(spark, sf_dir):
+    """Stream-static enrichment: the event stream joins a small static
+    dimension (user -> segment) broadcast into every micro-batch — the
+    static side never shuffles the stream, the canonical dimension-join
+    shape for streaming pipelines. The drained sink is aggregated per
+    (segment, event_type) with decimal-exact sums so a value oracle
+    checks the whole stream-join path."""
+    import tempfile
+    import uuid
+
+    from task_on_dataframes_spark.streaming.events import (
+        enrich_stream,
+        events_stream,
+        run_available_now,
+    )
+
+    dim = (
+        _events(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", F.pmod(F.col("user_id"), F.lit(7)))
+    )
+    st = enrich_stream(
+        events_stream(spark, f"{sf_dir}/events.parquet"), dim, on="user_id"
+    )
+    name = "stream_enrich_" + uuid.uuid4().hex[:8]
+    run_available_now(
+        st.select("segment", "event_type", "value"),
+        name,
+        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
+        output_mode="append",
+    )
+    return (
+        spark.table(name)
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def _stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join: purchases within 1 hour
+    AFTER a view by the same user. Both sides carry watermarks and the
+    join has a time-range bound, so buffered state is evicted as the
+    watermark advances — the configuration stream-stream joins REQUIRE
+    for bounded state at any throughput. The drained pair stream is
+    aggregated per view-hour and checked against the batch self-join
+    oracle."""
+    import tempfile
+    import uuid
+
+    from task_on_dataframes_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+        stream_stream_window_join,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    views = events_stream(spark, src).filter(F.col("event_type") == "view")
+    buys = events_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_window_join(
+        views, buys, key="user_id", within="1 hour", watermark="96 hours"
+    )
+    name = "stream_ssj_" + uuid.uuid4().hex[:8]
+    run_available_now(
+        joined,
+        name,
+        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
+        output_mode="append",
+    )
+    return (
+        spark.table(name)
+        .groupBy(F.date_trunc("hour", F.col("l_ts")).alias("view_hour"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _emb_label_centroids(spark, sf_dir):
+    """Per-label mean embedding: ONE keyed shuffle of n x d exploded
+    rows with map-side partial DECIMAL sums (partition-order-proof,
+    exact oracle)."""
+    from task_on_dataframes_spark.operators.linalg import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+def _emb_gram(spark, sf_dir):
+    """Distributed Gram matrix: per-partition NumPy X^T X partials via
+    mapInPandas, one d(d+1)/2-key shuffle of partials — the corpus is
+    never shuffled (the covariance/PCA front end at 100 TB)."""
+    from task_on_dataframes_spark.operators.linalg import gram_matrix
+
+    return gram_matrix(_t(spark, sf_dir, "embeddings"))
+
+
+def _emb_pca_top(spark, sf_dir):
+    """Top principal direction: distributed Gram reduction, then a
+    deterministic driver-side power iteration on the d x d result
+    (fixed all-ones init, 8 steps, sign-normalized). The oracle
+    replays the identical iteration in SQL from the same rounded
+    Gram."""
+    from task_on_dataframes_spark.operators.linalg import (
+        gram_matrix,
+        pca_power_top,
+    )
+
+    gram = gram_matrix(_t(spark, sf_dir, "embeddings"))
+    return pca_power_top(spark, gram)
+
+
+def _shard_assign(spark, sf_dir):
+    """Deterministic balanced shard assignment for training-data
+    export: shard = portable_hash(doc_id) % 16. Zero shuffle on the
+    corpus (the hash is a scan-stage projection); only the 16-row
+    summary aggregates. Same stable-hash discipline as sampling — a
+    retry or a different cluster produces identical shards."""
+    from task_on_dataframes_spark.operators.hashing import hash32
+
+    docs = _t(spark, sf_dir, "documents")
+    shard = F.pmod(
+        hash32(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+        F.lit(16),
+    )
+    return (
+        docs.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def _s9_orc_roundtrip(spark, sf_dir):
+    """ORC sink + source: write a pruned, filtered projection to ORC,
+    read it back, aggregate. Proves the ORC connector end-to-end (the
+    same predicate-pushdown/column-pruning machinery as parquet); the
+    oracle computes the identical aggregate from the original
+    parquet."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="tada_orc_") + "/li"
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 10)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    )
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def _s10_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines sink + source round-trip with the same aggregate
+    check as the ORC twin (Spark writes shortest-round-trip doubles,
+    so numeric fidelity survives the text format)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="tada_jsonl_") + "/li"
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 10)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    )
+    li.write.mode("overwrite").json(out)
+    back = spark.read.json(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
 def _ev_zscore_anomalies(spark, sf_dir):
     """Group-wise standardization: per event_type mean/std of value
     from DECIMAL-exact moment sums (sum, sum of squares) so the
@@ -2374,6 +2598,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": _skew_salted_join,
         "planner_llm_chunks": _planner_llm_chunks,
         # --- below this line: past the driver's 50-row window ---
+        "stream_dedup": _stream_dedup,
+        "stream_enrich": _stream_enrich,
+        "stream_stream_join": _stream_stream_join,
+        "emb_label_centroids": _emb_label_centroids,
+        "emb_gram": _emb_gram,
+        "emb_pca_top": _emb_pca_top,
+        "shard_assign": _shard_assign,
+        "s9_orc_roundtrip": _s9_orc_roundtrip,
+        "s10_jsonl_roundtrip": _s10_jsonl_roundtrip,
         "mm_decode_meta": _mm_decode_meta,
         "mm_frame_sample": _mm_frame_sample,
         "set_ops": _set_ops,
@@ -2675,6 +2908,46 @@ def _stop_arr(lang: str) -> str:
     from task_on_dataframes_spark.operators.textstats import STOPWORDS
 
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _pca_oracle_sql(dims: int = 64, iters: int = 8) -> str:
+    """DuckDB replay of operators.linalg.pca_power_top: the SAME
+    rounded Gram (round 6 — identical inputs on both engines), the
+    same all-ones start, ``iters`` matvec+normalize steps as chained
+    CTEs, the same largest-|loading|-positive sign rule, loadings
+    rounded to 5."""
+    # AS MATERIALIZED everywhere: inlined CTEs re-evaluate per
+    # reference, which cascades exponentially through the iteration
+    # chain (v8 -> m8 -> g0 + v7 -> ...)
+    sql = (
+        f"WITH p AS (SELECT unnest(generate_series(1, {dims})) AS pos), "
+        "e AS MATERIALIZED (SELECT vec_id, p.pos, "
+        "CAST(embedding[p.pos] AS DOUBLE) AS x FROM embeddings, p), "
+        "g0 AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j, "
+        "round(sum(a.x * b.x), 6) "
+        "AS v FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2), "
+        "v0 AS (SELECT pos, 1.0 AS x FROM p), "
+    )
+    prev = "v0"
+    for k in range(1, iters + 1):
+        sql += (
+            f"m{k} AS MATERIALIZED (SELECT g0.i AS pos, "
+            f"sum(g0.v * {prev}.x) AS y "
+            f"FROM g0 JOIN {prev} ON g0.j = {prev}.pos GROUP BY 1), "
+            f"n{k} AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nrm "
+            f"FROM m{k}), "
+            f"v{k} AS MATERIALIZED (SELECT pos, y / n{k}.nrm AS x "
+            f"FROM m{k}, n{k}), "
+        )
+        prev = f"v{k}"
+    sql += (
+        f"sg AS (SELECT CASE WHEN (SELECT x FROM {prev} "
+        "ORDER BY abs(round(x, 12)) DESC, pos LIMIT 1) < 0 "
+        "THEN -1.0 ELSE 1.0 END AS s) "
+        f"SELECT {prev}.pos, round({prev}.x * sg.s, 5) AS loading "
+        f"FROM {prev}, sg"
+    )
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3526,6 +3799,63 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "
             "AS session_value FROM s "
             "GROUP BY user_id, session_seq"
+        ),
+        # single-drain streaming dedup keeps every key in state (the
+        # watermark never passes it), so the emitted keys == DISTINCT
+        "stream_dedup": (
+            "SELECT DISTINCT user_id, event_type FROM events"
+        ),
+        "stream_enrich": (
+            "SELECT user_id % 7 AS segment, event_type, count(*) AS n, "
+            "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "
+            "AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "stream_stream_join": (
+            "SELECT date_trunc('hour', l.ts) AS view_hour, count(*) AS n_pairs "
+            "FROM events l JOIN events r ON l.user_id = r.user_id "
+            "AND l.event_type = 'view' AND r.event_type = 'purchase' "
+            "AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR "
+            "GROUP BY 1"
+        ),
+        "emb_label_centroids": (
+            "WITH p AS (SELECT unnest(generate_series(1, 64)) AS pos) "
+            "SELECT label, p.pos, "
+            "round(CAST(sum(CAST(CAST(embedding[p.pos] AS DOUBLE) "
+            "AS DECIMAL(28,12))) AS DOUBLE) / count(1), 6) AS mean "
+            "FROM embeddings, p GROUP BY 1, 2"
+        ),
+        "emb_gram": (
+            "WITH p AS (SELECT unnest(generate_series(1, 64)) AS pos), "
+            "e AS (SELECT vec_id, p.pos, "
+            "CAST(embedding[p.pos] AS DOUBLE) AS x FROM embeddings, p) "
+            "SELECT a.pos AS i, b.pos AS j, round(sum(a.x * b.x), 6) AS v "
+            "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos "
+            "GROUP BY 1, 2"
+        ),
+        "emb_pca_top": _pca_oracle_sql(dims=64, iters=8),
+        "shard_assign": (
+            "SELECT CAST(('0x' || substr(md5('shard:' "
+            "|| CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard, "
+            "count(*) AS n_docs, sum(n_chars) AS total_chars "
+            "FROM documents GROUP BY 1"
+        ),
+        # round-trip oracles read the ORIGINAL parquet: equality proves
+        # the ORC/JSONL write+read cycle preserved the data
+        "s9_orc_roundtrip": (
+            "SELECT l_returnflag, count(*) AS n, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+            "AS sum_qty, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) "
+            "AS DOUBLE) AS sum_price "
+            "FROM lineitem WHERE l_quantity <= 10 GROUP BY 1"
+        ),
+        "s10_jsonl_roundtrip": (
+            "SELECT l_returnflag, count(*) AS n, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+            "AS sum_qty, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) "
+            "AS DOUBLE) AS sum_price "
+            "FROM lineitem WHERE l_quantity <= 10 GROUP BY 1"
         ),
         "ann_lsh_multi_topk": (
             "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
