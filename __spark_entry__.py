@@ -1934,6 +1934,136 @@ def _s10_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def _pipeline_c4_curation(spark, sf_dir):
+    """Flagship curation pass: language gate -> length gate ->
+    stopword gate -> Gopher repetition gate -> exact-dup keep-one, as
+    ONE scan + ONE digest-window shuffle
+    (operators/textstats.py:curation_verdicts). The per-doc verdict
+    carries the first failing gate as the reason."""
+    from task_on_dataframes_spark.operators.textstats import (
+        curation_verdicts,
+    )
+
+    return curation_verdicts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _j9_full_outer(spark, sf_dir):
+    """Full outer join with both-side-only rows (disjoint key filters
+    guarantee unmatched rows in each direction). Shuffle-keyed on the
+    join key; AQE handles the residual skew."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    oag = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 5 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = cust.join(oag, cust.c_custkey == oag.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_acctbal"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+def _w8_first_last(spark, sf_dir):
+    """first_value / last_value / nth_value over the full-partition
+    frame (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING) — the frame
+    spec last_value silently gets wrong with the default frame."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_quantity").over(w).alias("first_qty"),
+        F.last("l_quantity").over(w).alias("last_qty"),
+        F.nth_value("l_quantity", 2).over(w).alias("second_qty"),
+    )
+
+
+def _profile_table(spark, sf_dir):
+    """Data-quality profile of the orders table: per column null count,
+    exact distinct count, numeric min/max and string min/max. ONE
+    global aggregate (map-side partials), then a driver-free stack to
+    long format — profiling 100 TB is a single pass."""
+    o = _t(spark, sf_dir, "orders")
+    num_cols = ["o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in num_cols + str_cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"mns_{c}"), F.max(c).alias(f"mxs_{c}")]
+    one = o.agg(*aggs)
+    # stack() requires identical struct field names across rows — the
+    # CASTs anonymize the per-column aliases into uniform colN names
+    # stack() takes a FLAT argument list (n rows x 7 columns each);
+    # the CASTs keep every column slot the same type across rows
+    parts = []
+    for c in num_cols:
+        parts.append(
+            f"'{c}', CAST(nn_{c} AS BIGINT), CAST(nd_{c} AS BIGINT), "
+            f"CAST(mn_{c} AS DOUBLE), CAST(mx_{c} AS DOUBLE), "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in str_cols:
+        parts.append(
+            f"'{c}', CAST(nn_{c} AS BIGINT), CAST(nd_{c} AS BIGINT), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            f"CAST(mns_{c} AS STRING), CAST(mxs_{c} AS STRING)"
+        )
+    stack = (
+        f"stack({len(parts)}, "
+        + ", ".join(parts)
+        + ") AS (col_name, n_nulls, n_distinct, min_num, max_num, "
+        "min_str, max_str)"
+    )
+    return one.select(F.expr(stack))
+
+
+def _scd2_history(spark, sf_dir):
+    """SCD-2 interval build from a change stream: per user, each
+    event_type change opens a validity interval [valid_from, valid_to)
+    closed by the next change (NULL = current). Gaps-and-islands via
+    windows + one keyed aggregation — no correlated rescans."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = (prev.isNull() | (F.col("event_type") != prev)).cast("int")
+    grp = F.sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = ev.withColumn("grp", grp)
+    iv = islands.groupBy("user_id", "grp", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return iv.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
 def _ev_zscore_anomalies(spark, sf_dir):
     """Group-wise standardization: per event_type mean/std of value
     from DECIMAL-exact moment sums (sum, sum of squares) so the
@@ -2607,6 +2737,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": _shard_assign,
         "s9_orc_roundtrip": _s9_orc_roundtrip,
         "s10_jsonl_roundtrip": _s10_jsonl_roundtrip,
+        "pipeline_c4_curation": _pipeline_c4_curation,
+        "j9_full_outer": _j9_full_outer,
+        "w8_first_last": _w8_first_last,
+        "profile_table": _profile_table,
+        "scd2_history": _scd2_history,
         "mm_decode_meta": _mm_decode_meta,
         "mm_frame_sample": _mm_frame_sample,
         "set_ops": _set_ops,
@@ -2908,6 +3043,64 @@ def _stop_arr(lang: str) -> str:
     from task_on_dataframes_spark.operators.textstats import STOPWORDS
 
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _curation_oracle_sql(
+    min_tokens: int = 20,
+    min_stop: float = 0.015,
+    top2_thr: float = 0.20,
+    dup3_thr: float = 0.18,
+) -> str:
+    """DuckDB twin of textstats.curation_verdicts: same lexicons, same
+    argmax tie order, same rounded signals, same gate priority."""
+    lex = {
+        "en": "['the','a','of','and','to','in','is','it','for','on']",
+        "de": "['der','die','das','und','ist','ein','zu','mit','von','auf']",
+        "fr": "['le','la','les','et','est','un','une','de','pour','dans']",
+        "es": "['el','la','los','las','y','es','un','una','de','para']",
+    }
+    scores = ", ".join(
+        f"len(list_filter(ts, t -> list_contains({w}, t))) AS score_{lang}"
+        for lang, w in lex.items()
+    )
+    return (
+        "WITH b AS (SELECT doc_id, "
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest, "
+        "string_split_regex(lower(text), '\\s+') AS ts FROM documents), "
+        f"sc AS (SELECT doc_id, digest, ts, len(ts) AS n_tokens, {scores}, "
+        "CASE WHEN len(ts) >= 2 THEN list_transform(range(1, len(ts)), "
+        "i -> ts[i] || ' ' || ts[i+1]) ELSE CAST([] AS VARCHAR[]) END AS g2, "
+        "CASE WHEN len(ts) >= 3 THEN list_transform(range(1, len(ts) - 1), "
+        "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) "
+        "ELSE CAST([] AS VARCHAR[]) END AS g3 FROM b), "
+        "top2 AS (SELECT doc_id, max(c) AS topc FROM "
+        "(SELECT doc_id, gram, count(*) AS c FROM "
+        "(SELECT doc_id, unnest(g2) AS gram FROM sc) GROUP BY 1, 2) "
+        "GROUP BY 1), "
+        "sig AS (SELECT sc.doc_id, digest, n_tokens, "
+        "CASE WHEN score_en >= score_de AND score_en >= score_fr "
+        "AND score_en >= score_es THEN 'en' "
+        "WHEN score_de >= score_fr AND score_de >= score_es THEN 'de' "
+        "WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS pred_lang, "
+        "round(score_en / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio, "
+        "CASE WHEN len(g2) > 0 THEN "
+        "round(coalesce(topc, 0) / CAST(len(g2) AS DOUBLE), 6) "
+        "ELSE 0.0 END AS top2, "
+        "CASE WHEN len(g3) > 0 THEN "
+        "round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 6) "
+        "ELSE 0.0 END AS dup3, "
+        "min(sc.doc_id) OVER (PARTITION BY digest) AS rep_id "
+        "FROM sc LEFT JOIN top2 ON sc.doc_id = top2.doc_id), "
+        "r AS (SELECT doc_id, pred_lang, CAST(n_tokens AS INT) AS n_tokens, "
+        "CASE WHEN pred_lang <> 'en' THEN 'lang' "
+        f"WHEN n_tokens < {min_tokens} THEN 'too_short' "
+        f"WHEN stopword_ratio < {min_stop} THEN 'low_stopword' "
+        f"WHEN top2 > {top2_thr} OR dup3 > {dup3_thr} THEN 'repetitive' "
+        "WHEN rep_id <> doc_id THEN 'duplicate' ELSE 'kept' END AS reason "
+        "FROM sig) "
+        "SELECT doc_id, pred_lang, n_tokens, reason, "
+        "reason = 'kept' AS kept FROM r"
+    )
 
 
 def _pca_oracle_sql(dims: int = 64, iters: int = 8) -> str:
@@ -3833,6 +4026,64 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2"
         ),
         "emb_pca_top": _pca_oracle_sql(dims=64, iters=8),
+        "pipeline_c4_curation": _curation_oracle_sql(),
+        "j9_full_outer": (
+            "SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, "
+            "c.c_acctbal, coalesce(o.n_orders, 0) AS n_orders "
+            "FROM (SELECT c_custkey, c_acctbal FROM customer "
+            "WHERE c_custkey % 3 = 0) c "
+            "FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders "
+            "FROM orders WHERE o_custkey % 5 = 0 GROUP BY 1) o "
+            "ON c.c_custkey = o.o_custkey"
+        ),
+        "w8_first_last": (
+            "SELECT l_orderkey, l_linenumber, "
+            "first_value(l_quantity) OVER w AS first_qty, "
+            "last_value(l_quantity) OVER w AS last_qty, "
+            "nth_value(l_quantity, 2) OVER w AS second_qty "
+            "FROM lineitem WHERE l_orderkey < 200 "
+            "WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ),
+        "profile_table": (
+            "SELECT 'o_custkey' AS col_name, "
+            "count(*) - count(o_custkey) AS n_nulls, "
+            "count(DISTINCT o_custkey) AS n_distinct, "
+            "CAST(min(o_custkey) AS DOUBLE) AS min_num, "
+            "CAST(max(o_custkey) AS DOUBLE) AS max_num, "
+            "CAST(NULL AS VARCHAR) AS min_str, "
+            "CAST(NULL AS VARCHAR) AS max_str FROM orders "
+            "UNION ALL SELECT 'o_totalprice', "
+            "count(*) - count(o_totalprice), count(DISTINCT o_totalprice), "
+            "CAST(min(o_totalprice) AS DOUBLE), "
+            "CAST(max(o_totalprice) AS DOUBLE), NULL, NULL FROM orders "
+            "UNION ALL SELECT 'o_orderstatus', "
+            "count(*) - count(o_orderstatus), "
+            "count(DISTINCT o_orderstatus), NULL, NULL, "
+            "min(o_orderstatus), max(o_orderstatus) FROM orders "
+            "UNION ALL SELECT 'o_orderpriority', "
+            "count(*) - count(o_orderpriority), "
+            "count(DISTINCT o_orderpriority), NULL, NULL, "
+            "min(o_orderpriority), max(o_orderpriority) FROM orders"
+        ),
+        "scd2_history": (
+            "WITH c AS (SELECT user_id, event_id, event_type, ts, "
+            "CASE WHEN lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR event_type <> lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) "
+            "THEN 1 ELSE 0 END AS chg FROM events), "
+            "g AS (SELECT user_id, event_type, ts, sum(chg) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp "
+            "FROM c), "
+            "iv AS (SELECT user_id, grp, event_type, min(ts) AS valid_from, "
+            "count(*) AS n_events FROM g GROUP BY 1, 2, 3) "
+            "SELECT user_id, event_type, valid_from, "
+            "lead(valid_from) OVER "
+            "(PARTITION BY user_id ORDER BY valid_from) AS valid_to, "
+            "n_events FROM iv"
+        ),
         "shard_assign": (
             "SELECT CAST(('0x' || substr(md5('shard:' "
             "|| CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard, "

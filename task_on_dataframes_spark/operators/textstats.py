@@ -222,6 +222,51 @@ def doc_fingerprint(
     )
 
 
+def _grams(toks: Column, n: int) -> Column:
+    """Token n-grams as a per-row array (no explode)."""
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", *parts(i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_frac(arr: Column) -> Column:
+    total = F.size(arr)
+    return F.when(
+        total > 0,
+        F.round((total - F.size(F.array_distinct(arr))) / total, 6),
+    ).otherwise(F.lit(0.0))
+
+
+def _top_count(arr: Column) -> Column:
+    """Longest equal-run of the sorted array == max element count."""
+    return F.aggregate(
+        F.sort_array(arr),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str,
@@ -256,46 +301,9 @@ def repetition_stats(
         F.split(F.col(text_col), r"\n"), lambda l: F.trim(l) != ""
     )
 
-    def grams(n: int) -> Column:
-        parts = lambda i: [F.element_at(F.col("toks"), i + j) for j in range(n)]
-        return F.when(
-            F.size("toks") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - n + 1),
-                lambda i: F.concat_ws(" ", *parts(i)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    def dup_frac(arr: Column) -> Column:
-        total = F.size(arr)
-        return F.when(
-            total > 0,
-            F.round((total - F.size(F.array_distinct(arr))) / total, 6),
-        ).otherwise(F.lit(0.0))
-
-    # longest equal-run of the sorted bigram array == max bigram count
-    def top_count(arr: Column) -> Column:
-        return F.aggregate(
-            F.sort_array(arr),
-            F.struct(
-                F.lit("").alias("prev"),
-                F.lit(0).alias("run"),
-                F.lit(0).alias("best"),
-            ),
-            lambda acc, g: F.struct(
-                g.alias("prev"),
-                F.when(g == acc["prev"], acc["run"] + 1)
-                .otherwise(F.lit(1))
-                .alias("run"),
-                F.greatest(
-                    acc["best"],
-                    F.when(g == acc["prev"], acc["run"] + 1).otherwise(
-                        F.lit(1)
-                    ),
-                ).alias("best"),
-            ),
-            lambda acc: acc["best"],
-        )
+    grams = lambda n: _grams(F.col("toks"), n)
+    dup_frac = _dup_frac
+    top_count = _top_count
 
     staged = df.select(
         F.col(id_col),
@@ -370,4 +378,102 @@ def hashed_classifier_score(
         z.alias("z_fp"),
         (z / F.lit(float(FP_SCALE))).alias("score"),
         (z > 0).alias("is_positive"),
+    )
+
+
+def curation_verdicts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.015,
+    top2_threshold: float = 0.20,
+    dup3_threshold: float = 0.18,
+) -> DataFrame:
+    """End-to-end C4/Gopher-style curation verdict in ONE scan + ONE
+    shuffle: language gate (stopword-lexicon argmax), length gate,
+    stopword-ratio gate, repetition gate (Gopher top-2-gram /
+    duplicate-3-gram), and exact-duplicate gate (keep the min-id doc
+    per normalized-text digest). Returns (id, pred_lang, n_tokens,
+    reason, kept) where ``reason`` is the FIRST failing gate in that
+    priority order, or 'kept'.
+
+    The component operators (:func:`lang_id`, :func:`quality_score`,
+    :func:`repetition_stats`) each project the same scan; joining
+    their outputs would shuffle the corpus three times, so this
+    pipeline recomputes the signals inside a single projection — the
+    only shuffle is the duplicate window on the digest. That is the
+    shape a 100 TB curation pass must have.
+    """
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    toks = F.split(F.lower(text), r"\s+")
+    digest = F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+    score_cols = []
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        score_cols.append(
+            F.size(
+                F.filter(F.col("toks"), lambda t: F.array_contains(arr, t))
+            ).alias(f"score_{lang}")
+        )
+    staged = df.select(
+        F.col(id_col), digest.alias("digest"), toks.alias("toks")
+    ).select(
+        F.col(id_col),
+        "digest",
+        F.size("toks").alias("n_tokens"),
+        *score_cols,
+        _grams(F.col("toks"), 2).alias("g2"),
+        _grams(F.col("toks"), 3).alias("g3"),
+    )
+
+    # argmax with the same tie order as lang_id
+    langs = list(STOPWORDS)
+    pred: Column = F.lit(langs[-1])
+    best: Column = F.col(f"score_{langs[-1]}")
+    for lang in reversed(langs[:-1]):
+        cond = F.col(f"score_{lang}") >= best
+        best = F.when(cond, F.col(f"score_{lang}")).otherwise(best)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+
+    sig = staged.select(
+        F.col(id_col),
+        "digest",
+        "n_tokens",
+        pred.alias("pred_lang"),
+        F.round(F.col("score_en") / F.col("n_tokens"), 6).alias(
+            "stopword_ratio"
+        ),
+        F.when(
+            F.size("g2") > 0,
+            F.round(_top_count(F.col("g2")) / F.size("g2"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top2"),
+        _dup_frac(F.col("g3")).alias("dup3"),
+    ).withColumn(
+        "rep_id", F.min(id_col).over(Window.partitionBy("digest"))
+    )
+    reason = (
+        F.when(F.col("pred_lang") != "en", F.lit("lang"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(
+            F.col("stopword_ratio") < min_stopword_ratio,
+            F.lit("low_stopword"),
+        )
+        .when(
+            (F.col("top2") > top2_threshold)
+            | (F.col("dup3") > dup3_threshold),
+            F.lit("repetitive"),
+        )
+        .when(F.col("rep_id") != F.col(id_col), F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        sig.withColumn("reason", reason)
+        .withColumn("kept", F.col("reason") == "kept")
+        .select(id_col, "pred_lang", "n_tokens", "reason", "kept")
     )
