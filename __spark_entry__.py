@@ -2064,6 +2064,52 @@ def _scd2_history(spark, sf_dir):
     )
 
 
+def _graph_pagerank(spark, sf_dir):
+    """PageRank over the customer-nation -> supplier-nation trade
+    graph (edge weight = lineitem count). Edge list stays distributed;
+    the 25-row rank vector broadcasts per iteration — one keyed
+    shuffle per step at any scale."""
+    from task_on_dataframes_spark.operators.graph import pagerank
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    return pagerank(edges, nodes, iters=5, damping=0.85)
+
+
+def _s11_partition_prune(spark, sf_dir):
+    """Hive-style partitioned layout: write events partitioned by
+    event date, read back filtered to the earliest date — the scan
+    lists only matching directories (partition pruning,
+    plan-asserted); the oracle filters the original parquet."""
+    import tempfile
+
+    ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+    out = tempfile.mkdtemp(prefix="tada_part_") + "/events"
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    d = ev.agg(F.min("event_date")).collect()[0][0]
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("event_date") == F.lit(d))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _ev_zscore_anomalies(spark, sf_dir):
     """Group-wise standardization: per event_type mean/std of value
     from DECIMAL-exact moment sums (sum, sum of squares) so the
@@ -2742,6 +2788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_first_last": _w8_first_last,
         "profile_table": _profile_table,
         "scd2_history": _scd2_history,
+        "graph_pagerank": _graph_pagerank,
+        "s11_partition_prune": _s11_partition_prune,
         "mm_decode_meta": _mm_decode_meta,
         "mm_frame_sample": _mm_frame_sample,
         "set_ops": _set_ops,
@@ -3101,6 +3149,43 @@ def _curation_oracle_sql(
         "SELECT doc_id, pred_lang, n_tokens, reason, "
         "reason = 'kept' AS kept FROM r"
     )
+
+
+def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """DuckDB replay of operators.graph.pagerank over the trade graph:
+    same edge fractions (BIGINT / BIGINT -> double on both engines),
+    same teleport expression shape ((1 - d)/n evaluated in doubles, so
+    the IEEE bits match the Python-side computation), same
+    per-iteration round-12 / final round-8."""
+    sql = (
+        "WITH e0 AS MATERIALIZED (SELECT c.c_nationkey AS src, "
+        "s.s_nationkey AS dst, count(*) AS w "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2), "
+        "ow AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY 1), "
+        "e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.w / ow.outw AS frac "
+        "FROM e0 JOIN ow ON e0.src = ow.src), "
+        "nodes AS (SELECT n_nationkey AS node FROM nation), "
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn), "
+    )
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql += (
+            f"c{k} AS MATERIALIZED (SELECT e.dst, "
+            f"round(sum(e.frac * {prev}.rank), 12) AS c "
+            f"FROM e JOIN {prev} ON e.src = {prev}.node GROUP BY 1), "
+            f"r{k} AS MATERIALIZED (SELECT nodes.node, "
+            f"round((1 - {damping}) / nn.n + "
+            f"{damping} * coalesce(c{k}.c, 0.0), 12) AS rank "
+            f"FROM nodes CROSS JOIN nn "
+            f"LEFT JOIN c{k} ON nodes.node = c{k}.dst), "
+        )
+        prev = f"r{k}"
+    sql = sql.rstrip(", ")
+    sql += f" SELECT node, round(rank, 8) AS rank FROM {prev}"
+    return sql
 
 
 def _pca_oracle_sql(dims: int = 64, iters: int = 8) -> str:
@@ -4027,6 +4112,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_pca_top": _pca_oracle_sql(dims=64, iters=8),
         "pipeline_c4_curation": _curation_oracle_sql(),
+        "graph_pagerank": _pagerank_oracle_sql(iters=5, damping=0.85),
+        "s11_partition_prune": (
+            "SELECT event_type, count(*) AS n FROM events "
+            "WHERE CAST(ts AS DATE) = "
+            "(SELECT min(CAST(ts AS DATE)) FROM events) GROUP BY 1"
+        ),
         "j9_full_outer": (
             "SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, "
             "c.c_acctbal, coalesce(o.n_orders, 0) AS n_orders "

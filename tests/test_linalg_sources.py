@@ -113,3 +113,21 @@ def test_stream_sessionize_drained_equals_batch(spark, sf_dir):
     gs = {key(r): (r["n_events"], round(r["session_value"], 4)) for r in got}
     es = {key(r): (r["n_events"], round(r["session_value"], 4)) for r in expect}
     assert gs == es
+
+
+def test_partition_prune_reaches_scan(spark, sf_dir):
+    plan = _physical(
+        entrymod.queries()["s11_partition_prune"](spark, sf_dir)
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+
+
+def test_pagerank_rank_vector_broadcasts(spark, sf_dir):
+    # the edge list may shuffle; the 25-row rank vector must broadcast
+    # into every iteration join, never trigger a sort-merge join
+    plan = _physical(entrymod.queries()["graph_pagerank"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
