@@ -2110,6 +2110,46 @@ def _s11_partition_prune(spark, sf_dir):
     )
 
 
+def _sample_bottomk(spark, sf_dir):
+    """Exact-size uniform sample without a global sort: bottom-k by
+    the portable stable hash (TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on the driver). The distributed
+    alternative to reservoir sampling, and reproducible across
+    retries/engines because the hash, not RNG state, picks rows."""
+    from task_on_dataframes_spark.operators.hashing import hash32
+
+    docs = _t(spark, sf_dir, "documents")
+    h = hash32(F.concat(F.lit("bk:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(100)
+        .select("doc_id", "lang")
+    )
+
+
+def _dedup_daily_first(spark, sf_dir):
+    """Keep the first event per (user, day): one window shuffle keyed
+    by (user_id, date) — the retention-counting / sessionless-dedup
+    primitive."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            # date_trunc (timestamp), not to_date: DATE columns collect
+            # as python objects and break the comparator's dtype match
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_id",
+            "event_type",
+        )
+    )
+
+
 def _ev_zscore_anomalies(spark, sf_dir):
     """Group-wise standardization: per event_type mean/std of value
     from DECIMAL-exact moment sums (sum, sum of squares) so the
@@ -2790,6 +2830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _scd2_history,
         "graph_pagerank": _graph_pagerank,
         "s11_partition_prune": _s11_partition_prune,
+        "sample_bottomk": _sample_bottomk,
+        "dedup_daily_first": _dedup_daily_first,
         "mm_decode_meta": _mm_decode_meta,
         "mm_frame_sample": _mm_frame_sample,
         "set_ops": _set_ops,
@@ -4117,6 +4159,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS n FROM events "
             "WHERE CAST(ts AS DATE) = "
             "(SELECT min(CAST(ts AS DATE)) FROM events) GROUP BY 1"
+        ),
+        "sample_bottomk": (
+            "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+            "CAST(('0x' || substr(md5('bk:' || CAST(doc_id AS VARCHAR)), "
+            "1, 8)) AS BIGINT) AS h FROM documents "
+            "ORDER BY h, doc_id LIMIT 100)"
+        ),
+        "dedup_daily_first": (
+            "SELECT user_id, date_trunc('day', ts) AS day, "
+            "event_id, event_type "
+            "FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id, CAST(ts AS DATE) "
+            "ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1"
         ),
         "j9_full_outer": (
             "SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, "

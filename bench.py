@@ -73,6 +73,10 @@ def main() -> None:
         "planner_llm_chunks",
         "skew_salted_agg",
         "q20_excess_volume",
+        # round-3 second wave
+        "pipeline_c4_curation",
+        "graph_pagerank",
+        "emb_gram",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}
