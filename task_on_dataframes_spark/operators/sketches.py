@@ -56,3 +56,65 @@ def approx_quantiles(
     if group_by:
         return df.groupBy(*group_by).agg(*aggs)
     return df.agg(*aggs)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 16,
+    capacity_per_partition: int = 256,
+) -> DataFrame:
+    """Misra-Gries heavy hitters: items occurring more than n/k times,
+    with frequency estimates whose undercount is bounded by
+    n/capacity summed over partitions.
+
+    Per-partition Misra-Gries summaries (bounded ``capacity`` counters
+    regardless of partition cardinality) merge by summing counter
+    values — the standard mergeable-summary property — then the global
+    top-k of the merged counters is taken with TakeOrdered. The
+    shuffle moves n_partitions x capacity rows, never the corpus;
+    this is the profiling shape for "what dominates this 100 TB
+    column" when an exact groupBy would be cardinality-bound.
+
+    Returns (item, est_count) for the top ``k`` merged counters.
+    Approximate by nature -> validated by error-bound tests (the
+    estimate is within [true - n/capacity, true]), not a value oracle.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    cap = int(capacity_per_partition)
+
+    def mg_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf["__item"]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < cap:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "item": list(counters.keys()),
+                    "c": list(counters.values()),
+                }
+            )
+
+    partials = df.select(F.col(col).cast("string").alias("__item")).mapInPandas(
+        mg_partial, schema="item string, c long"
+    )
+    merged = partials.groupBy("item").agg(F.sum("c").alias("est_count"))
+    return merged.orderBy(F.desc("est_count"), "item").limit(k)

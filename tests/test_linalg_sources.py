@@ -131,3 +131,49 @@ def test_pagerank_rank_vector_broadcasts(spark, sf_dir):
     plan = _physical(entrymod.queries()["graph_pagerank"](spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_within_misra_gries_bounds(spark, sf_dir):
+    from task_on_dataframes_spark.operators.sketches import heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(__import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n"))
+        .collect()
+    }
+    n = sum(exact.values())
+    got = {
+        r["item"]: r["est_count"]
+        for r in heavy_hitters(ev, "event_type", k=5).collect()
+    }
+    # every estimate is an undercount bounded by n/capacity per
+    # partition pass; with capacity 256 >> 5 distinct types the
+    # estimates here should be exact
+    for item, est in got.items():
+        assert est <= exact[item]
+        assert est >= exact[item] - n / 256
+    # the true majority item must surface
+    assert max(exact, key=exact.get) in got
+
+
+def test_curation_reason_consistent_and_exhaustive(spark, sf_dir):
+    rows = entrymod.queries()["pipeline_c4_curation"](spark, sf_dir).collect()
+    reasons = {
+        "lang", "too_short", "low_stopword", "repetitive", "duplicate", "kept"
+    }
+    assert {r["reason"] for r in rows} <= reasons
+    for r in rows:
+        assert r["kept"] == (r["reason"] == "kept")
+    # one verdict per document
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == docs
+
+
+def test_pagerank_is_a_distribution_up_to_dangling_loss(spark, sf_dir):
+    rows = entrymod.queries()["graph_pagerank"](spark, sf_dir).collect()
+    total = sum(r["rank"] for r in rows)
+    assert all(r["rank"] >= 0 for r in rows)
+    # mass <= 1 (dangling nodes leak), and most mass retained
+    assert 0.5 < total <= 1.0 + 1e-6
