@@ -4233,7 +4233,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_assign": (
             "SELECT CAST(('0x' || substr(md5('shard:' "
             "|| CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard, "
-            "count(*) AS n_docs, sum(n_chars) AS total_chars "
+            "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY 1"
         ),
         # round-trip oracles read the ORIGINAL parquet: equality proves

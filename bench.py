@@ -119,11 +119,18 @@ def main() -> None:
             for n, t in timings.items()
             if n in prev and prev[n] > 0 and t > 1.3 * prev[n]
         }
+        # totals compare over the COMMON query set only — the headline
+        # list grows across rounds, and summing new queries into the
+        # ratio reads as a phantom regression
+        common_now = sum(t for n, t in timings.items() if n in prev)
+        common_prev = sum(prev[n] for n in timings if n in prev)
         out["vs_anchor"] = {
             "anchor": anchor.get("_file"),
             "prev_total": anchor.get("value"),
-            "ratio_total": (
-                round(total / anchor["value"], 3) if anchor.get("value") else None
+            "common_prev": round(common_prev, 3),
+            "common_now": round(common_now, 3),
+            "ratio_common": (
+                round(common_now / common_prev, 3) if common_prev else None
             ),
             "regressions": regressions,
         }
