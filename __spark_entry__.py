@@ -1859,6 +1859,44 @@ def _emb_pca_top(spark, sf_dir):
     return pca_power_top(spark, gram)
 
 
+def _emb_pca_project(spark, sf_dir):
+    """Apply the learned transform: project every embedding onto the
+    top principal direction. The direction (64 floats) comes from the
+    distributed Gram + driver power iteration and broadcasts as an
+    array literal; the projection is a scan-stage DECIMAL-exact fold —
+    no shuffle touches the corpus beyond the Gram reduction itself."""
+    from task_on_dataframes_spark.operators.linalg import (
+        gram_matrix,
+        pca_power_top,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = {
+        r["pos"]: r["loading"]
+        for r in pca_power_top(spark, gram_matrix(emb)).collect()
+    }
+    arr = F.array(*[F.lit(float(v[i + 1])) for i in range(64)])
+    prods = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        arr,
+        lambda a, b: a * b,
+    )
+    proj = F.round(
+        F.aggregate(
+            prods,
+            F.lit(0).cast("decimal(28,12)"),
+            # re-cast per step: decimal addition widens the type and
+            # the fold accumulator must stay DECIMAL(28,12); no digits
+            # are lost (all addends carry exactly 12 frac digits)
+            lambda acc, x: (acc + x.cast("decimal(28,12)")).cast(
+                "decimal(28,12)"
+            ),
+        ).cast("double"),
+        6,
+    )
+    return emb.select("vec_id", proj.alias("proj"))
+
+
 def _shard_assign(spark, sf_dir):
     """Deterministic balanced shard assignment for training-data
     export: shard = portable_hash(doc_id) % 16. Zero shuffle on the
@@ -2832,6 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_partition_prune": _s11_partition_prune,
         "sample_bottomk": _sample_bottomk,
         "dedup_daily_first": _dedup_daily_first,
+        "emb_pca_project": _emb_pca_project,
         "mm_decode_meta": _mm_decode_meta,
         "mm_frame_sample": _mm_frame_sample,
         "set_ops": _set_ops,
@@ -3263,11 +3302,27 @@ def _pca_oracle_sql(dims: int = 64, iters: int = 8) -> str:
     sql += (
         f"sg AS (SELECT CASE WHEN (SELECT x FROM {prev} "
         "ORDER BY abs(round(x, 12)) DESC, pos LIMIT 1) < 0 "
-        "THEN -1.0 ELSE 1.0 END AS s) "
-        f"SELECT {prev}.pos, round({prev}.x * sg.s, 5) AS loading "
-        f"FROM {prev}, sg"
+        "THEN -1.0 ELSE 1.0 END AS s), "
+        f"d AS (SELECT {prev}.pos, round({prev}.x * sg.s, 5) AS loading "
+        f"FROM {prev}, sg) "
     )
     return sql
+
+
+def _pca_oracle_sql_final() -> str:
+    """Top-direction loadings (query emb_pca_top)."""
+    return _pca_oracle_sql() + "SELECT pos, loading FROM d"
+
+
+def _pca_project_oracle_sql() -> str:
+    """Per-vector projection onto the top direction: DECIMAL-exact dot
+    product so the 64-term sum is summation-order-free on both
+    engines (products are bitwise-identical doubles)."""
+    return _pca_oracle_sql() + (
+        "SELECT e.vec_id, round(CAST(sum(CAST(e.x * d.loading "
+        "AS DECIMAL(28,12))) AS DOUBLE), 6) AS proj "
+        "FROM e JOIN d ON e.pos = d.pos GROUP BY 1"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4152,7 +4207,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos "
             "GROUP BY 1, 2"
         ),
-        "emb_pca_top": _pca_oracle_sql(dims=64, iters=8),
+        "emb_pca_top": _pca_oracle_sql_final(),
+        "emb_pca_project": _pca_project_oracle_sql(),
         "pipeline_c4_curation": _curation_oracle_sql(),
         "graph_pagerank": _pagerank_oracle_sql(iters=5, damping=0.85),
         "s11_partition_prune": (
