@@ -1897,6 +1897,29 @@ def _emb_pca_project(spark, sf_dir):
     return emb.select("vec_id", proj.alias("proj"))
 
 
+def _text_sentences(spark, sf_dir):
+    """Sentence segmentation + per-sentence token counts: one regex
+    split (Java/RE2-common pattern, no lookbehind) + posexplode that
+    preserves sentence order — scan-stage except the fan-out."""
+    docs = _t(spark, sf_dir, "documents")
+    ss = F.filter(
+        F.split(F.col("text"), r"[.!?]+\s+"),
+        lambda s: F.trim(s) != "",
+    )
+    return (
+        docs.select("doc_id", ss.alias("ss"))
+        .select(
+            "doc_id", F.posexplode("ss").alias("sent_idx", "sentence0")
+        )
+        .select(
+            "doc_id",
+            "sent_idx",
+            F.trim("sentence0").alias("sentence"),
+            F.size(F.split(F.trim("sentence0"), r"\s+")).alias("n_tokens"),
+        )
+    )
+
+
 def _shard_assign(spark, sf_dir):
     """Deterministic balanced shard assignment for training-data
     export: shard = portable_hash(doc_id) % 16. Zero shuffle on the
@@ -2871,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bottomk": _sample_bottomk,
         "dedup_daily_first": _dedup_daily_first,
         "emb_pca_project": _emb_pca_project,
+        "text_sentences": _text_sentences,
         "mm_decode_meta": _mm_decode_meta,
         "mm_frame_sample": _mm_frame_sample,
         "set_ops": _set_ops,
@@ -4209,6 +4233,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_pca_top": _pca_oracle_sql_final(),
         "emb_pca_project": _pca_project_oracle_sql(),
+        "text_sentences": (
+            "WITH b AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '[.!?]+\\s+'), "
+            "s -> trim(s) <> '') AS ss FROM documents), "
+            "g AS (SELECT doc_id, ss, "
+            "unnest(generate_series(1, len(ss))) AS i FROM b) "
+            "SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, "
+            "trim(ss[i]) AS sentence, "
+            "CAST(len(string_split_regex(trim(ss[i]), '\\s+')) AS INT) "
+            "AS n_tokens FROM g"
+        ),
         "pipeline_c4_curation": _curation_oracle_sql(),
         "graph_pagerank": _pagerank_oracle_sql(iters=5, damping=0.85),
         "s11_partition_prune": (
