@@ -177,3 +177,11 @@ def test_pagerank_is_a_distribution_up_to_dangling_loss(spark, sf_dir):
     assert all(r["rank"] >= 0 for r in rows)
     # mass <= 1 (dangling nodes leak), and most mass retained
     assert 0.5 < total <= 1.0 + 1e-6
+
+
+def test_registry_and_oracles_stay_in_sync():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(qs) == set(oracles), (
+        set(qs) ^ set(oracles)
+    )  # every query needs an oracle twin and vice versa
+    assert len(qs) >= 138
