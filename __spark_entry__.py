@@ -1920,6 +1920,66 @@ def _text_sentences(spark, sf_dir):
     )
 
 
+def _curriculum_quality_bins(spark, sf_dir):
+    """Curriculum construction: bin the corpus into quality quartiles
+    by exact stopword-ratio percentiles, then per-bin stats. The
+    thresholds come from ONE aggregate and broadcast into a scan-stage
+    CASE — no global sort (a global ntile would single-partition the
+    corpus; threshold binning is the 100 TB shape)."""
+    from task_on_dataframes_spark.operators.textstats import quality_score
+
+    q = quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    th = q.agg(
+        *[
+            F.expr(
+                f"round(percentile(stopword_ratio, {p}), 6)"
+            ).alias(f"q{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+    sr = F.col("stopword_ratio")
+    bin_ = (
+        F.lit(1)
+        + (sr > F.col("q25")).cast("int")
+        + (sr > F.col("q50")).cast("int")
+        + (sr > F.col("q75")).cast("int")
+    )
+    return (
+        q.crossJoin(F.broadcast(th))
+        .select("n_tokens", sr.alias("sr"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "round(CAST(sum(n_tokens) AS DOUBLE) / count(1), 6)"
+            ).alias("mean_tokens"),
+            F.min("sr").alias("min_sr"),
+            F.max("sr").alias("max_sr"),
+        )
+    )
+
+
+def _dedup_cross_corpus(spark, sf_dir):
+    """Incremental-ingest dedup: drop new documents whose normalized
+    text digest already exists in the reference corpus (simulated as
+    the doc_id % 7 == 0 slice). One digest-keyed LEFT ANTI join — the
+    shape of deduping a fresh crawl against an existing corpus; the
+    existing side reduces to distinct digests before the join."""
+    docs = _t(spark, sf_dir, "documents")
+    digest = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", digest.alias("digest")
+    )
+    existing = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(digest.alias("digest"))
+        .distinct()
+    )
+    return new.join(existing, "digest", "left_anti").select("doc_id")
+
+
 def _shard_assign(spark, sf_dir):
     """Deterministic balanced shard assignment for training-data
     export: shard = portable_hash(doc_id) % 16. Zero shuffle on the
@@ -2895,6 +2955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_daily_first": _dedup_daily_first,
         "emb_pca_project": _emb_pca_project,
         "text_sentences": _text_sentences,
+        "curriculum_quality_bins": _curriculum_quality_bins,
+        "dedup_cross_corpus": _dedup_cross_corpus,
         "mm_decode_meta": _mm_decode_meta,
         "mm_frame_sample": _mm_frame_sample,
         "set_ops": _set_ops,
@@ -4233,6 +4295,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_pca_top": _pca_oracle_sql_final(),
         "emb_pca_project": _pca_project_oracle_sql(),
+        "curriculum_quality_bins": (
+            "WITH b AS (SELECT doc_id, "
+            "string_split_regex(lower(text), '\\s+') AS ts FROM documents), "
+            "q AS (SELECT doc_id, len(ts) AS n_tokens, "
+            "round(len(list_filter(ts, t -> list_contains("
+            "['the','a','of','and','to','in','is','it','for','on'], t))) "
+            "/ len(ts), 6) AS sr FROM b), "
+            "th AS (SELECT round(quantile_cont(sr, 0.25), 6) AS q25, "
+            "round(quantile_cont(sr, 0.5), 6) AS q50, "
+            "round(quantile_cont(sr, 0.75), 6) AS q75 FROM q) "
+            "SELECT 1 + CAST(sr > q25 AS INT) + CAST(sr > q50 AS INT) "
+            "+ CAST(sr > q75 AS INT) AS bin, count(*) AS n_docs, "
+            "round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) "
+            "AS mean_tokens, min(sr) AS min_sr, max(sr) AS max_sr "
+            "FROM q, th GROUP BY 1"
+        ),
+        "dedup_cross_corpus": (
+            "WITH d AS (SELECT doc_id, "
+            "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+            "AS digest FROM documents) "
+            "SELECT doc_id FROM d WHERE doc_id % 7 <> 0 AND digest NOT IN "
+            "(SELECT digest FROM d WHERE doc_id % 7 = 0)"
+        ),
         "text_sentences": (
             "WITH b AS (SELECT doc_id, "
             "list_filter(string_split_regex(text, '[.!?]+\\s+'), "
