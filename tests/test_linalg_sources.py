@@ -184,4 +184,4 @@ def test_registry_and_oracles_stay_in_sync():
     assert set(qs) == set(oracles), (
         set(qs) ^ set(oracles)
     )  # every query needs an oracle twin and vice versa
-    assert len(qs) >= 138
+    assert len(qs) >= 140
