@@ -1012,8 +1012,12 @@ def _ev_sessionize(spark, sf_dir):
     >30min silence per user. Pure window functions — no UDF."""
     ev = _events(spark, sf_dir)
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # Exact-microsecond gap so batch, streaming (_GAP_US), and the
+    # epoch_us() DuckDB oracle all agree on the >30min boundary even for
+    # timestamps that differ by sub-second amounts around 1800s.
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(w_user)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     with_flag = ev.withColumn("new_sess", new_sess)
     sess_id = F.sum("new_sess").over(
         w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2175,7 +2179,9 @@ def _scd2_history(spark, sf_dir):
         F.min("ts").alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    # grp as the tiebreaker keeps lead() deterministic when two islands
+    # of one user share an identical min ts (oracle orders the same way).
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "grp")
     return iv.select(
         "user_id",
         "event_type",
@@ -3926,10 +3932,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ev_sessionize": (
             "WITH g AS (SELECT user_id, event_id, value, ts, "
-            "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
+            "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
-            "OR epoch(ts) - lag(epoch(ts)) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+            "OR epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
             "THEN 1 ELSE 0 END AS new_sess FROM events), "
             "s AS (SELECT user_id, value, sum(new_sess) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id "
@@ -4246,10 +4252,10 @@ def oracle_sql() -> dict[str, str]:
         # decimals, and the comparator re-rounds at 6, so they agree
         "stream_sessionize": (
             "WITH g AS (SELECT user_id, event_id, value, ts, "
-            "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
+            "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
-            "OR epoch(ts) - lag(epoch(ts)) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+            "OR epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
             "THEN 1 ELSE 0 END AS new_sess FROM events), "
             "s AS (SELECT user_id, value, sum(new_sess) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id "
@@ -4315,8 +4321,11 @@ def oracle_sql() -> dict[str, str]:
             "WITH d AS (SELECT doc_id, "
             "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
             "AS digest FROM documents) "
-            "SELECT doc_id FROM d WHERE doc_id % 7 <> 0 AND digest NOT IN "
-            "(SELECT digest FROM d WHERE doc_id % 7 = 0)"
+            # NOT EXISTS (not NOT IN) so a NULL digest on the reference
+            # side matches Spark's left_anti null semantics
+            "SELECT doc_id FROM d WHERE doc_id % 7 <> 0 AND NOT EXISTS "
+            "(SELECT 1 FROM d AS r WHERE r.doc_id % 7 = 0 "
+            "AND r.digest = d.digest)"
         ),
         "text_sentences": (
             "WITH b AS (SELECT doc_id, "
@@ -4403,7 +4412,7 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events FROM g GROUP BY 1, 2, 3) "
             "SELECT user_id, event_type, valid_from, "
             "lead(valid_from) OVER "
-            "(PARTITION BY user_id ORDER BY valid_from) AS valid_to, "
+            "(PARTITION BY user_id ORDER BY valid_from, grp) AS valid_to, "
             "n_events FROM iv"
         ),
         "shard_assign": (
