@@ -2453,20 +2453,39 @@ def _w5_lag_delta(spark, sf_dir):
 
 
 def _w6_ntile_bins(spark, sf_dir):
-    """ntile quartile binning by document length (curriculum/difficulty
-    bucketing): counts and length ranges per quartile. The ntile window
-    is global by design — it runs over the 1-row-per-doc length table,
-    not the corpus text, and at 100 TB the same cut comes from
-    approx-percentile boundaries instead (a5_percentiles)."""
+    """Quartile binning by document length (curriculum/difficulty
+    bucketing): counts and length ranges per quartile. Boundaries come
+    from ONE percentile aggregate and broadcast into a scan-stage CASE —
+    threshold binning, NOT a global ntile window (which would move one
+    row per document to a single partition; at 100 TB that is a
+    single-machine sort of a corpus-cardinality table). Ties at a
+    boundary all land in the lower bin, so bins are near-equal rather
+    than ntile-exact — the scale-correct trade."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
-    binned = docs.select(
-        "doc_id", "n_chars", F.ntile(4).over(w).alias("bin")
+    th = docs.agg(
+        *[
+            F.expr(f"round(percentile(n_chars, {p}), 6)").alias(
+                f"q{int(p * 100)}"
+            )
+            for p in (0.25, 0.5, 0.75)
+        ]
     )
-    return binned.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"),
+    nc = F.col("n_chars").cast("double")
+    bin_ = (
+        F.lit(1)
+        + (nc > F.col("q25")).cast("int")
+        + (nc > F.col("q50")).cast("int")
+        + (nc > F.col("q75")).cast("int")
+    )
+    return (
+        docs.crossJoin(F.broadcast(th))
+        .select("n_chars", bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
     )
 
 
@@ -4542,10 +4561,15 @@ def oracle_sql() -> dict[str, str]:
             "AS value_delta FROM events"
         ),
         "w6_ntile_bins": (
-            "WITH b AS (SELECT doc_id, n_chars, ntile(4) OVER "
-            "(ORDER BY n_chars ASC, doc_id ASC) AS bin FROM documents) "
-            "SELECT bin, count(*) AS n, min(n_chars) AS min_chars, "
-            "max(n_chars) AS max_chars FROM b GROUP BY bin"
+            "WITH th AS (SELECT "
+            "round(quantile_cont(n_chars, 0.25), 6) AS q25, "
+            "round(quantile_cont(n_chars, 0.5), 6) AS q50, "
+            "round(quantile_cont(n_chars, 0.75), 6) AS q75 FROM documents) "
+            "SELECT 1 + CAST(CAST(n_chars AS DOUBLE) > q25 AS INT) "
+            "+ CAST(CAST(n_chars AS DOUBLE) > q50 AS INT) "
+            "+ CAST(CAST(n_chars AS DOUBLE) > q75 AS INT) AS bin, "
+            "count(*) AS n, min(n_chars) AS min_chars, "
+            "max(n_chars) AS max_chars FROM documents, th GROUP BY 1"
         ),
         "dedup_winnow": _winnow_pairs_oracle(8, 4, 0.5, 50),
         "j8_upsert": (

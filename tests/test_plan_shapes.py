@@ -237,3 +237,12 @@ def test_span_dedup_is_two_keyed_shuffles(spark, sf_dir):
     plan = _physical(span_dedup(docs, "doc_id", "text"))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_length_quartile_bins_avoid_global_ntile(spark, sf_dir, queries):
+    # quartile binning must come from an aggregate-computed threshold +
+    # CASE, never an ntile window that single-partition-sorts one row
+    # per document (the corpus-cardinality table)
+    plan = _physical(queries["w6_ntile_bins"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert not re.search(r"\bntile\b", plan), plan
