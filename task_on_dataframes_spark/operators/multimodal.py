@@ -5,14 +5,18 @@ a typed metadata struct; decode / feature-extraction / resize /
 frame-sampling run as Arrow-batched Pandas functions over
 ``mapInPandas`` so each executor core processes whole record batches.
 
-Decode kernels: when PIL is importable, ``image/*`` payloads decode
-through the real codec (:func:`decode_image_real`); everything else —
-and every payload in a codec-less container like this one — goes
-through the clearly-marked deterministic fake
-(:func:`_fake_decode`), keeping the Spark-side
-schema/partitioning/batching real and testable and the DuckDB oracles
-exact. The routing is per-row inside the same Arrow batch loop, so
-adding a codec changes zero plan shape.
+Kernel routing, per row inside the same Arrow batch loop (so adding a
+codec changes zero plan shape):
+
+- ``image/raw`` — a codec-free uint8 pixel format (:data:`RAW_MAGIC`
+  header + H*W*C row-major bytes). Decode, bilinear resize, and
+  per-channel pixel histograms are REAL vectorized numpy kernels — no
+  third-party codec needed, so this path is live in every container.
+- other ``image/*`` — the real PIL codec when importable
+  (:func:`decode_image_real`); containers without codecs fall through.
+- anything else / fallthrough — the clearly-marked deterministic fake
+  (:func:`_fake_decode`), keeping schema/partitioning/batching
+  testable and the DuckDB oracles exact for opaque payloads.
 """
 
 from __future__ import annotations
@@ -65,6 +69,105 @@ def make_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+#: 4-byte magic + uint16 width/height/channels (little-endian) header
+#: of the codec-free raw pixel format; pixel data follows row-major
+#: as height*width*channels uint8 bytes.
+RAW_MAGIC = b"RAWI"
+_RAW_HEADER = "<4sHHH"
+
+
+def encode_raw_image(arr) -> bytes:
+    """Encode an ``(H, W)`` or ``(H, W, C)`` uint8 numpy array into the
+    raw payload format (real pixels, no compression codec needed)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    return struct.pack(_RAW_HEADER, RAW_MAGIC, w, h, c) + a.tobytes()
+
+
+def decode_raw_image(payload: bytes):
+    """Decode a raw payload back into an ``(H, W, C)`` uint8 array.
+    Raises ``ValueError`` on a bad magic/length — callers route such
+    rows to the fake instead of aborting the Arrow batch."""
+    import struct
+
+    import numpy as np
+
+    head = struct.calcsize(_RAW_HEADER)
+    magic, w, h, c = struct.unpack_from(_RAW_HEADER, payload)
+    if magic != RAW_MAGIC or len(payload) != head + w * h * c:
+        raise ValueError("not a raw image payload")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, offset=head)
+        .reshape(h, w, c)
+        .copy()
+    )
+
+
+def bilinear_resize(arr, width: int, height: int):
+    """REAL bilinear resample of an ``(H, W, C)`` uint8 array to
+    ``(height, width, C)`` — vectorized numpy (gather + lerp), the same
+    arithmetic PIL uses for ``Image.BILINEAR`` up to rounding. Runs
+    inside the Arrow batch loop; no codec, no Python-per-pixel loop."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float32)
+    h, w = a.shape[:2]
+    # sample at pixel centers (align_corners=False convention)
+    ys = (np.arange(height, dtype=np.float32) + 0.5) * (h / height) - 0.5
+    xs = (np.arange(width, dtype=np.float32) + 0.5) * (w / width) - 0.5
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def make_raw_media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic ``image/raw`` media table synthesized from doc_id:
+    a solid-color RGB image of width ``8 + doc_id % 9``, height
+    ``6 + doc_id % 7``, color ``(doc_id, 7*doc_id, 13*doc_id) % 256``.
+    Real pixels through the real kernels, with every derived quantity
+    analytically expressible in the DuckDB oracle. Arrow-batched
+    synthesis — one pandas batch per partition chunk."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 8 + d % 9, 6 + d % 7
+                color = (d % 256, (7 * d) % 256, (13 * d) % 256)
+                payloads.append(
+                    encode_raw_image(
+                        np.full((h, w, 3), color, dtype=np.uint8)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "image/raw",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches,
+        "media_id long, payload binary, media_type string",
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """DETERMINISTIC FAKE decode standing in for an image codec:
     derives (width, height, n_frames) from payload length only. Replace
@@ -103,6 +206,12 @@ def decode_media_meta(
     real = HAS_PIL if use_real_codec is None else use_real_codec
 
     def decode_one(payload: bytes, media_type: str):
+        if media_type == "image/raw":
+            try:  # REAL numpy decode — codec-free, live everywhere
+                h, w, c = decode_raw_image(bytes(payload)).shape
+                return (w, h, 1)
+            except ValueError:
+                return _fake_decode(payload)
         if real and isinstance(media_type, str) and media_type.startswith(
             "image/"
         ):  # pragma: no cover — container ships no codecs
@@ -136,6 +245,7 @@ RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
     ]
@@ -145,20 +255,52 @@ RESIZED_SCHEMA = StructType(
 def resize_media(
     media: DataFrame, width: int = 32, height: int = 32
 ) -> DataFrame:
-    """Resize pass over mapInPandas. The pixel resample is STUBBED
-    (payload truncated/padded to width*height bytes, deterministic);
-    the real kernel drops into the same batch loop. Pure map — no
-    shuffle, scales with input splits."""
+    """Resize pass over mapInPandas. ``image/raw`` payloads go through
+    the REAL vectorized-numpy bilinear kernel (:func:`bilinear_resize`)
+    and are re-encoded raw; other ``image/*`` use PIL when importable;
+    opaque payloads keep the labeled deterministic fake (truncate/pad
+    to width*height bytes). Pure map — no shuffle, scales with input
+    splits."""
+
+    def resize_one(payload: bytes, media_type: str) -> bytes:
+        if media_type == "image/raw":
+            try:
+                return encode_raw_image(
+                    bilinear_resize(
+                        decode_raw_image(bytes(payload)), width, height
+                    )
+                )
+            except ValueError:
+                pass
+        if HAS_PIL and isinstance(media_type, str) and media_type.startswith(
+            "image/"
+        ):  # pragma: no cover — container ships no codecs
+            import io
+
+            try:
+                with _PILImage.open(io.BytesIO(payload)) as im:
+                    out = io.BytesIO()
+                    im.resize((width, height)).save(out, format=im.format)
+                    return out.getvalue()
+            except Exception:
+                pass
+        # deterministic fake for opaque/undecodable payloads
+        return bytes(payload[: width * height]).ljust(width * height, b"\0")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        target = width * height
         for pdf in it:
+            mt = (
+                pdf["media_type"]
+                if "media_type" in pdf.columns
+                else pd.Series([""] * len(pdf), index=pdf.index)
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": pdf["payload"].map(
-                        lambda b: bytes(b[:target]).ljust(target, b"\0")
-                    ),
+                    "payload": [
+                        resize_one(p, t) for p, t in zip(pdf["payload"], mt)
+                    ],
+                    "media_type": mt,
                     "width": width,
                     "height": height,
                 }
@@ -176,22 +318,45 @@ FEATURES_SCHEMA = StructType(
 
 
 def extract_features(media: DataFrame, dims: int = 16) -> DataFrame:
-    """Feature extraction over mapInPandas: a DETERMINISTIC FAKE
-    embedding (normalized byte histogram folded to ``dims`` buckets)
-    standing in for a vision/audio encoder. The output column is
-    ``array<float>`` — directly consumable by the similarity/dedup
-    operators (cosine_topk, embedding_lsh_pairs)."""
+    """Feature extraction over mapInPandas. ``image/raw`` payloads get
+    a REAL normalized pixel-intensity histogram over the decoded pixel
+    array (``dims`` equal-width luminance buckets — a classic cheap
+    visual descriptor); opaque payloads keep the labeled deterministic
+    fake (byte histogram folded to ``dims`` buckets) standing in for a
+    learned encoder. The output column is ``array<float>`` — directly
+    consumable by the similarity/dedup operators (cosine_topk,
+    embedding_lsh_pairs)."""
     import numpy as np
+
+    def feat_one(payload: bytes, media_type: str) -> list:
+        if media_type == "image/raw":
+            try:
+                px = decode_raw_image(bytes(payload)).ravel()
+                hist = np.bincount(
+                    px.astype(np.int64) * dims // 256, minlength=dims
+                ).astype("float32")
+                return (hist / (hist.sum() or 1.0)).tolist()
+            except ValueError:
+                pass
+        arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+        hist = np.bincount(arr % dims, minlength=dims).astype("float32")
+        return (hist / (hist.sum() or 1.0)).tolist()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = []
-            for b in pdf["payload"]:
-                arr = np.frombuffer(bytes(b), dtype=np.uint8)
-                hist = np.bincount(arr % dims, minlength=dims).astype("float32")
-                total = hist.sum() or 1.0
-                feats.append((hist / total).tolist())
-            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+            mt = (
+                pdf["media_type"]
+                if "media_type" in pdf.columns
+                else pd.Series([""] * len(pdf), index=pdf.index)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "features": [
+                        feat_one(p, t) for p, t in zip(pdf["payload"], mt)
+                    ],
+                }
+            )
 
     return media.mapInPandas(batches, FEATURES_SCHEMA)
 
