@@ -42,6 +42,14 @@ _EXPLORE_TPL = """<!doctype html><html><head><title>explore</title>
 <h2>Next actions</h2><ul>{actions}</ul>
 <p>{back}</p></body></html>"""
 
+_WAIT_TPL = """<!doctype html><html><head><title>computing</title>
+<meta http-equiv="refresh" content="1"></head>
+<body><p>Query running in the background &mdash; this page refreshes
+until the result is ready.</p></body></html>"""
+
+_ERROR_TPL = """<!doctype html><html><head><title>failed</title></head>
+<body><h1>Query failed</h1><pre>{err}</pre></body></html>"""
+
 _VIEW_TPL = """<!doctype html><html><head><title>view</title>
 <style>body{{font-family:sans-serif;margin:2em}}
 table{{border-collapse:collapse}}td,th{{border:1px solid #999;
@@ -58,12 +66,23 @@ def create_app(
     cache_root: Optional[str] = None,
     page_size: int = 50,
     source_loader: Optional[Callable[[str], object]] = None,
+    background: bool = False,
 ):
     """Build the Flask app bound to ``spark``.
 
     ``source_loader`` maps an encoded file entry to a DataFrame
     (default: ``spark.read.parquet``) — the hook for glob/CSV sources.
     Flask is imported lazily so the engine has no hard web dependency.
+
+    ``background=True`` reproduces the reference's async serve loop
+    (serve.py:47-107): the first ``/view`` of an uncached plan submits
+    the materialization to :class:`ResultCache`'s thread pool and
+    returns an auto-refreshing 202 wait page immediately; every poll
+    (and any concurrent request for the same plan) gets the wait page
+    until the parquet write finishes, then the result serves from
+    cache. Default ``False`` keeps the synchronous behavior (the Spark
+    driver/executor split already keeps the web thread responsive for
+    interactive-sized plans).
     """
     from flask import Flask, Response, abort
 
@@ -90,6 +109,24 @@ def create_app(
         return cache.get_or_compute(
             spark, key, lambda: _frames(bs)[index]
         )
+
+    def _frame_or_wait(bs: BrowseState, index: int):
+        """Background mode: (df, None) when ready, (None, response)
+        while computing or after failure."""
+        from flask import Response
+
+        key = plan_key(list(bs.actions), [*bs.files, f"frame={index}"])
+        st = cache.status(key)
+        if st == "done":
+            return cache.load(spark, key), None
+        if st == "error":
+            return None, Response(
+                _ERROR_TPL.format(err=cache.error(key) or "unknown"),
+                status=500,
+                mimetype="text/html",
+            )
+        cache.submit(key, lambda: _frames(bs)[index])
+        return None, Response(_WAIT_TPL, status=202, mimetype="text/html")
 
     @app.route("/explore/")
     @app.route("/explore/<path:q>")
@@ -133,7 +170,12 @@ def create_app(
     @app.route("/view/<int:page_no>/<int:index>/<path:q>")
     def view(page_no: int, index: int, q: str):
         bs = _bs(q)
-        df = _cached_frame(bs, q, index)
+        if background:
+            df, wait = _frame_or_wait(bs, index)
+            if wait is not None:
+                return wait
+        else:
+            df = _cached_frame(bs, q, index)
         if df is None:
             abort(404)
         total = df.count()
@@ -156,7 +198,12 @@ def create_app(
     @app.route("/download/csv/<int:index>/<path:q>")
     def download_csv(index: int, q: str):
         bs = _bs(q)
-        df = _cached_frame(bs, q, index)
+        if background:
+            df, wait = _frame_or_wait(bs, index)
+            if wait is not None:
+                return wait
+        else:
+            df = _cached_frame(bs, q, index)
         if df is None:
             abort(404)
         body = to_csv(page(df, 0, page_size))

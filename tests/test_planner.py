@@ -229,3 +229,53 @@ def test_reindex_missing_column_warns_and_fills_null():
     with pytest.warns(UserWarning):
         out = reindex_frame(src, ["a", "ghost"])
     assert out["ghost"].isna().all()
+
+
+def test_generic_repeat_cap_default_blocks_double_use():
+    """Reference parity (frame_tasks/solve.py:11): the default cap of 1
+    makes a goal needing TWO uses of one generic task unsatisfiable —
+    and the per-call override lifts it without touching the global."""
+    from task_on_dataframes_spark.plans.solve import find_path
+
+    with tada.temporary_tasks() as reg:
+
+        @tada.new_task()
+        @tada.requires([re.compile(r"(.+)\.v")], arg="x")
+        @tada.makes([r"{x}.v.v"], appends=False)
+        @tada.close_task()
+        def doubler(x):
+            return x
+
+        # d.v -> d.v.v -> d.v.v.v needs doubler twice
+        assert find_path([["d.v"]], [["d.v.v.v"]], registry=reg) == []
+
+        path = find_path(
+            [["d.v"]], [["d.v.v.v"]], registry=reg, max_generic_repeat=2
+        )
+        assert [a.Task for a, _ in path if a is not None] == [
+            "doubler",
+            "doubler",
+        ]
+
+        # None = unlimited, reference's module-global escape hatch shape
+        path = find_path(
+            [["d.v"]], [["d.v.v.v"]], registry=reg, max_generic_repeat=None
+        )
+        assert len([a for a, _ in path if a is not None]) == 2
+
+
+def test_generic_repeat_module_global_still_honored(monkeypatch):
+    from task_on_dataframes_spark.plans import solve as solve_mod
+
+    with tada.temporary_tasks() as reg:
+
+        @tada.new_task()
+        @tada.requires([re.compile(r"(.+)\.v")], arg="x")
+        @tada.makes([r"{x}.v.v"], appends=False)
+        @tada.close_task()
+        def doubler(x):
+            return x
+
+        monkeypatch.setattr(solve_mod, "MAX_REPEAT_GENERIC_TASK", None)
+        path = solve_mod.find_path([["d.v"]], [["d.v.v.v"]], registry=reg)
+        assert len([a for a, _ in path if a is not None]) == 2

@@ -77,3 +77,95 @@ def test_view_is_served_from_cache_after_first_hit(served, tmp_path):
     key = plan_key(list(bs2.actions), ["frame=0"])
     cache = ResultCache(str(tmp_path / "cache"))
     assert cache.status(key) == "done"
+
+
+def test_background_submit_in_progress_then_done(spark, tmp_path):
+    import threading
+    import time
+
+    from task_on_dataframes_spark.cache import ResultCache
+
+    cache = ResultCache(str(tmp_path / "bg_cache"))
+    release = threading.Event()
+
+    def slow_compute():
+        release.wait(timeout=30)
+        return spark.range(7).toDF("v")
+
+    key = "k" * 32
+    assert cache.status(key) == "missing"
+    assert cache.submit(key, slow_compute) == "in_progress"
+    # a second submit while in flight must not start a second job
+    assert cache.submit(key, slow_compute) == "in_progress"
+    assert cache.status(key) == "in_progress"
+
+    release.set()
+    for _ in range(200):
+        if cache.status(key) == "done":
+            break
+        time.sleep(0.1)
+    assert cache.status(key) == "done"
+    assert cache.load(spark, key).count() == 7
+
+
+def test_background_submit_records_failure(spark, tmp_path):
+    import time
+
+    from task_on_dataframes_spark.cache import ResultCache
+
+    cache = ResultCache(str(tmp_path / "bg_err"))
+
+    def boom():
+        raise RuntimeError("deliberate failure for the error path")
+
+    key = "e" * 32
+    assert cache.submit(key, boom) == "in_progress"
+    for _ in range(100):
+        if cache.status(key) == "error":
+            break
+        time.sleep(0.1)
+    assert cache.status(key) == "error"
+    assert "deliberate failure" in cache.error(key)
+    # invalidate clears the error so the plan can be resubmitted
+    cache.invalidate(key)
+    assert cache.status(key) == "missing"
+
+
+def test_view_returns_wait_page_then_result_in_background_mode(
+    spark, tmp_path
+):
+    import time
+    from urllib.parse import quote
+
+    from task_on_dataframes_spark.basic_tasks import register_document_tasks
+    from task_on_dataframes_spark.browse import BrowseState
+    from task_on_dataframes_spark.serve import create_app
+
+    registry = register_document_tasks(spark, "/root/testdata/sf0.001")
+    app = create_app(
+        spark,
+        registry=registry,
+        cache_root=str(tmp_path / "bg_serve"),
+        background=True,
+    )
+    client = app.test_client()
+
+    bs = BrowseState([], [], registry=registry)
+    act = next(a for a in bs.further_actions([]) if a.Task == "get_docs")
+    q = quote(bs.with_action(act).to_url_q(), safe="")
+
+    # first request: submitted to the pool, caller gets the wait page
+    r = client.get(f"/view/0/0/{q}")
+    assert r.status_code == 202
+    assert "background" in r.get_data(as_text=True)
+
+    # poll like the refresh tag does until the parquet write lands
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        r = client.get(f"/view/0/0/{q}")
+        if r.status_code == 200:
+            break
+        assert r.status_code == 202
+        time.sleep(0.2)
+    assert r.status_code == 200
+    assert "<table>" in r.get_data(as_text=True)
