@@ -20,6 +20,179 @@ from pyspark.sql import functions as F
 
 SF0001 = "/root/testdata/sf0.001"
 
+from task_on_dataframes_spark.registry.common import (
+    _BM25_TERMS,
+    _CLS_WEIGHTS_FP,
+    _dec_disc,
+    _dec_ep,
+    _dec_qty,
+    _events,
+    _t,
+)
+from task_on_dataframes_spark.registry.core import (
+    _a1_value_counts,
+    _a2_scalar_sum,
+    _f1_explode_carry,
+    _f2_word_boundary_split,
+    _j3_left_join,
+    _j4_semi_join,
+    _j5_anti_join,
+    _o2_pagination,
+    _o3_topk_counts,
+    _p1_projection_reindex,
+    _p3_filter_startswith,
+    _p5_null_safe_flag_filter,
+    _p6_distinct_subset,
+    _planner_llm_chunks,
+    _planner_top90,
+    _s1_glob_source,
+    _s2_whole_file_read,
+    _w1_running_sum,
+    _w2_top90_tokens,
+)
+from task_on_dataframes_spark.registry.dedup import (
+    _decontaminate,
+    _dedup_components,
+    _dedup_cross_corpus,
+    _dedup_daily_first,
+    _dedup_embedding_cosine,
+    _dedup_embedding_lsh,
+    _dedup_exact,
+    _dedup_keep_canonical,
+    _dedup_levenshtein,
+    _dedup_minhash_lsh,
+    _dedup_ngram_jaccard,
+    _dedup_simhash,
+    _dedup_spans,
+    _dedup_winnow,
+)
+from task_on_dataframes_spark.registry.embeddings import (
+    _ann_cosine_topk,
+    _ann_ivf_topk,
+    _ann_lsh_multi_topk,
+    _ann_lsh_topk,
+    _emb_gram,
+    _emb_kmeans,
+    _emb_label_centroids,
+    _emb_pca_project,
+    _emb_pca_top,
+    _emb_quantize,
+    _graph_pagerank,
+)
+from task_on_dataframes_spark.registry.events import (
+    _ev_funnel,
+    _ev_gap_fill,
+    _ev_hourly_agg,
+    _ev_json_props,
+    _ev_retention,
+    _ev_sessionize,
+    _ev_sliding_agg,
+    _ev_zscore_anomalies,
+)
+from task_on_dataframes_spark.registry.multimodal import (
+    _mm_decode_meta,
+    _mm_frame_sample,
+    _mm_raw_decode,
+    _mm_raw_pipeline,
+)
+from task_on_dataframes_spark.registry.relational import (
+    _a10_pivot,
+    _a3_distinct_agg,
+    _a4_rollup,
+    _a5_percentiles,
+    _a6_stats,
+    _a7_grouping_sets,
+    _a8_cube,
+    _a9_quantiles,
+    _f_array_funcs,
+    _f_date_funcs,
+    _f_json_extract,
+    _f_posexplode,
+    _f_string_funcs,
+    _j6_asof_join,
+    _j7_range_join,
+    _j8_upsert,
+    _j9_full_outer,
+    _p7_pivot,
+    _p8_unpivot,
+    _profile_table,
+    _s10_jsonl_roundtrip,
+    _s11_partition_prune,
+    _s9_orc_roundtrip,
+    _scd2_history,
+    _set_ops,
+    _sql_exists_subquery,
+    _w3_ranking,
+    _w4_moving_avg,
+    _w5_lag_delta,
+    _w6_ntile_bins,
+    _w7_percent_rank,
+    _w8_first_last,
+)
+from task_on_dataframes_spark.registry.sampling import (
+    _sample_bottomk,
+    _sample_split,
+    _sample_stratified,
+    _sample_topk_per_stratum,
+    _sample_weighted,
+    _shard_assign,
+    _skew_distinct_2phase,
+    _skew_salted_agg,
+    _skew_salted_join,
+)
+from task_on_dataframes_spark.registry.streaming import (
+    _stream_dedup,
+    _stream_enrich,
+    _stream_hourly_agg,
+    _stream_sessionize,
+    _stream_stream_join,
+)
+from task_on_dataframes_spark.registry.text import (
+    _curriculum_quality_bins,
+    _pipeline_c4_curation,
+    _text_bm25,
+    _text_chunk,
+    _text_classifier,
+    _text_fingerprint,
+    _text_langid,
+    _text_ngram_counts,
+    _text_pack,
+    _text_pii_redact,
+    _text_quality,
+    _text_repetition,
+    _text_sentences,
+    _text_tfidf,
+    _text_token_count,
+    _text_token_stats,
+    _text_vocab_oov,
+    _text_winnow,
+)
+from task_on_dataframes_spark.registry.tpch import (
+    _q10_returned_items,
+    _q11_value_concentration,
+    _q12_priority_lines,
+    _q13_order_distribution,
+    _q14_promo_share,
+    _q15_top_supplier,
+    _q16_supplier_counts,
+    _q17_small_quantity_revenue,
+    _q18_large_orders,
+    _q19_disjunctive_filter,
+    _q1_pricing_summary,
+    _q20_excess_volume,
+    _q21_waiting_supplier,
+    _q22_idle_customers,
+    _q2_min_cost_supplier,
+    _q3_shipping_priority,
+    _q4_order_priority,
+    _q5_region_volume,
+    _q6_forecast_revenue,
+    _q7_nation_volume,
+    _q8_market_share,
+    _q9_product_profit,
+)
+
+
 
 def _oracle_sf_dir() -> str:
     """The directory the oracle compares against. The driver and
@@ -30,1474 +203,9 @@ def _oracle_sf_dir() -> str:
     return os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet's ``ts`` physical type has changed across testdata
-    generations (TIMESTAMP(NANOS)-as-long, now TIMESTAMP_MICROS/NTZ);
-    the shared reader branches on the actual dtype and never mutates
-    session conf unless the legacy nanos layout is present."""
-    from task_on_dataframes_spark.sources.readers import read_events
-
-    return read_events(spark, f"{sf_dir}/events.parquet")
-
-
-# ---------------------------------------------------------------------------
-# flagship: planner-driven top-90%-of-mass token pipeline (SURVEY §2.11 + W2)
-# ---------------------------------------------------------------------------
-
-def _planner_top90(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from task_on_dataframes_spark.basic_tasks import register_document_tasks
-    from task_on_dataframes_spark.plans.solve import Executor
-
-    registry = register_document_tasks(spark, sf_dir)
-    goal = "docs.text.clean_tokens.top90"
-    frames = Executor([], [[goal]], registry=registry)
-    for frame in reversed(frames):
-        if goal in frame.columns:
-            return frame.select(F.col("`" + goal + "`").alias("top90_token"))
-    raise RuntimeError("planner did not produce goal frame")
-
-
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _planner_top90(spark, SF0001)
-
-
-# ---------------------------------------------------------------------------
-# §2.4/§2.5/§2.6 aggregations, windows, ordering
-# ---------------------------------------------------------------------------
-
-def _a1_value_counts(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), "l_returnflag")
-    )
-
-
-def _a2_scalar_sum(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 4)
-        .cast("double")
-        .alias("qty_sum")
-    )
-
-
-def _w1_running_sum(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("l_returnflag")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return counts.withColumn("running_cnt", F.sum("cnt").over(w))
-
-
-def _w2_top90_tokens(spark, sf_dir):
-    from task_on_dataframes_spark.operators.text import (
-        clean_tokens,
-        tokenize,
-        top_mass_filter,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokenize(docs, "text", "token", carry=["doc_id"])
-    clean = clean_tokens(toks, "token", "token", carry=["doc_id"])
-    top = top_mass_filter(clean, "token", 0.9)
-    return top.select(F.col("token").alias("top90_token"))
-
-
-def _o2_pagination(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.select("o_orderkey", "o_totalprice")
-        .orderBy("o_orderkey")
-        .offset(100)
-        .limit(50)
-    )
-
-
-def _o3_topk_counts(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("l_suppkey"))
-        .limit(5)
-    )
-
-
-# ---------------------------------------------------------------------------
-# §2.2 projections / filters / predicates
-# ---------------------------------------------------------------------------
-
-def _p1_projection_reindex(spark, sf_dir):
-    from task_on_dataframes_spark.runtime import reindex_frame
-    import warnings
-
-    li = _t(spark, sf_dir, "lineitem")
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        out = reindex_frame(li, ["l_orderkey", "l_quantity", "ghost_col"])
-    return out.withColumn("ghost_col", F.col("ghost_col").cast("string"))
-
-
-def _p3_filter_startswith(spark, sf_dir):
-    part = _t(spark, sf_dir, "part")
-    return part.filter(F.col("p_name").startswith("small")).select(
-        "p_partkey", "p_name", "p_brand"
-    )
-
-
-def _p5_null_safe_flag_filter(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
-    flags = (
-        orders.filter(F.col("o_orderpriority").startswith("1"))
-        .select(F.col("o_orderpriority").alias("p"))
-        .distinct()
-        .withColumn("istop", F.lit(True))
-    )
-    joined = orders.join(
-        F.broadcast(flags), orders.o_orderpriority == flags.p, "left"
-    )
-    return (
-        joined.filter(F.coalesce(F.col("istop"), F.lit(False)))
-        .select("o_orderkey", "o_orderpriority")
-    )
-
-
-def _p6_distinct_subset(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select("l_orderkey", "l_returnflag").distinct()
-
-
-# ---------------------------------------------------------------------------
-# §2.3 joins
-# ---------------------------------------------------------------------------
-
-def _j3_left_join(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    return orders.join(
-        F.broadcast(cust.select("c_custkey", "c_name", "c_mktsegment")),
-        orders.o_custkey == cust.c_custkey,
-        "left",
-    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
-
-
-def _j4_semi_join(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer")
-    urgent = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    return cust.join(
-        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-def _j5_anti_join(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer")
-    urgent = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    return cust.join(
-        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
-
-
-# ---------------------------------------------------------------------------
-# TPC-H-shaped pipelines (multi-operator coverage)
-# ---------------------------------------------------------------------------
-
-def _q1_pricing_summary(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    # the money columns are exact 2-decimal values: decimal arithmetic
-    # makes every sum exact and summation-order-independent, so results
-    # can't flip at an FP rounding boundary when partitioning changes
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    tax = F.col("l_tax").cast("decimal(4,2)")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
-            .cast("double").alias("sum_qty"),
-            F.round(F.sum(ep), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(ep * (1 - disc)), 2)
-            .cast("double").alias("sum_disc_price"),
-            F.round(F.sum(ep * (1 - disc) * (1 + tax)), 2)
-            .cast("double").alias("sum_charge"),
-            # avgs as exact-decimal sum / count, divided as doubles: the
-            # operands are order-independent so the quotient is too
-            F.round(
-                F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-                .cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("avg_qty"),
-            F.round(
-                F.sum(ep).cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_price"),
-            F.round(
-                F.sum(disc).cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-def _q3_shipping_priority(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15")
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15")
-    )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (1 - F.col("l_discount").cast("decimal(4,2)"))
-                ),
-                2,
-            ).cast("double").alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
-        .limit(10)
-    )
-
-
-def _q5_region_volume(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (1 - F.col("l_discount").cast("decimal(4,2)"))
-                ),
-                2,
-            ).cast("double").alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), "n_name")
-    )
-
-
-def _a5_percentiles(spark, sf_dir):
-    """Exact linear-interpolation percentiles per group (Spark
-    ``percentile`` == DuckDB ``quantile_cont``)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
-    )
-
-
-def _a6_stats(spark, sf_dir):
-    """Statistical aggregates: correlation, sample covariance/stddev."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-    )
-
-
-def _p7_pivot(spark, sf_dir):
-    """Pivot: linestatus columns per returnflag row (explicit value
-    list so the plan is one pass, no distinct-values pre-query)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["F", "O"])
-        .agg(F.count(F.lit(1)))
-        .select(
-            "l_returnflag",
-            F.coalesce("F", F.lit(0)).alias("n_f"),
-            F.coalesce("O", F.lit(0)).alias("n_o"),
-        )
-    )
-
-
-def _s1_glob_source(spark, sf_dir):
-    """S1: one row per file matching a glob (reference get_paths) —
-    distributed listing via the binaryFile source, content column
-    pruned at the scan."""
-    from task_on_dataframes_spark.sources.readers import glob_source
-
-    paths = glob_source(spark, f"{sf_dir}/*.parquet", out="path")
-    return paths.select(
-        F.regexp_replace("path", "^file:(//)?", "").alias("path")
-    )
-
-
-def _s2_whole_file_read(spark, sf_dir):
-    """S2: whole-file contents beside the path (reference get_text);
-    here the byte length stands in for content equality with the
-    oracle's read_blob."""
-    df = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
-    return df.select(
-        F.regexp_replace("path", "^file:(//)?", "").alias("path"),
-        F.length("content").alias("n_bytes"),
-    )
-
-
-def _q6_forecast_revenue(spark, sf_dir):
-    """TPC-H Q6 shape: pure scan+filter+agg — the pushdown showcase
-    (all three predicates reach the parquet scan)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * F.col("l_discount").cast("decimal(4,2)")
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
-        )
-    )
-
-
-def _q7_nation_volume(spark, sf_dir):
-    """TPC-H Q7 shape: bilateral trade volume by year — self-aliased
-    nation dim joined twice (both broadcast), disjunctive nation-pair
-    predicate, decimal-exact revenue."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
-    )
-    pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | (
-        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
-    )
-    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        1 - F.col("l_discount").cast("decimal(4,2)")
-    )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
-        .filter(pair)
-        .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
-        )
-        .agg(F.round(F.sum(vol), 2).cast("double").alias("revenue"))
-    )
-
-
-def _q8_market_share(spark, sf_dir):
-    """TPC-H Q8 shape: national market share = conditional revenue
-    ratio per year over a 7-table join (dims broadcast; exact decimal
-    numerator/denominator, ratio in double)."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
-    )
-    n2 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
-    )
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        1 - F.col("l_discount").cast("decimal(4,2)")
-    )
-    joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
-        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
-        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
-    )
-    return (
-        joined.groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol)).cast(
-                    "double"
-                )
-                / F.sum(vol).cast("double"),
-                6,
-            ).alias("mkt_share")
-        )
-    )
-
-
-def _q10_returned_items(spark, sf_dir):
-    """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01"))
-    )
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            # decimal arithmetic: exact, summation-order-independent, so
-            # per-group cents can't land on an FP rounding boundary
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,4)")
-                    * (1 - F.col("l_discount").cast("decimal(18,4)"))
-                ),
-                2,
-            ).cast("double").alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), "c_custkey")
-        .limit(20)
-    )
-
-
-def _q12_priority_lines(spark, sf_dir):
-    """TPC-H Q12 shape: conditional counts (case-when inside sum) per
-    line status."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01"))
-    )
-    orders = _t(spark, sf_dir, "orders")
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_linestatus")
-        .agg(
-            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
-        )
-    )
-
-
-def _q14_promo_share(spark, sf_dir):
-    """TPC-H Q14 shape: ratio of conditional aggregates after a
-    fact-dim join (part broadcasts)."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-03-01"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01"))
-    )
-    part = _t(spark, sf_dir, "part")
-    # decimal-exact numerator/denominator (order-independent), then one
-    # IEEE double division — identical operands give identical quotients
-    # in any engine
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        1 - F.col("l_discount").cast("decimal(4,2)")
-    )
-    zero = F.lit(0).cast("decimal(16,4)")
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(
-            F.round(
-                100.0
-                * F.sum(
-                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
-                ).cast("double")
-                / F.sum(rev).cast("double"),
-                4,
-            ).alias("promo_revenue_pct")
-        )
-    )
-
-
-def _q18_large_orders(spark, sf_dir):
-    """TPC-H Q18 shape: having-filtered aggregate re-joined to its fact
-    — the small post-agg side broadcasts, so the orders/customer tables
-    never shuffle for it."""
-    li = _t(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_qty")
-        )
-        .filter(F.col("sum_qty") > 150)
-    )
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .select(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
-            F.round("o_totalprice", 2).alias("o_totalprice"),
-            "sum_qty",
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# TPC-H-shape SQL breadth (round 2): correlated subqueries, scalar
-# subqueries, groupwise-min join-back, disjunctive pushdown. The
-# synthetic tables lack partsupp, so q2/q9/q11/q16/q20-shapes use
-# lineitem as the part-supplier bridge — same plan shapes, same
-# oracle discipline.
-# ---------------------------------------------------------------------------
-
-# column factories (not module constants: building a Column needs an
-# active SparkContext, which doesn't exist at import time)
-def _dec_ep():
-    return F.col("l_extendedprice").cast("decimal(12,2)")
-
-
-def _dec_disc():
-    return F.col("l_discount").cast("decimal(4,2)")
-
-
-def _dec_qty():
-    return F.col("l_quantity").cast("decimal(12,2)")
-
-
-def _q2_min_cost_supplier(spark, sf_dir):
-    """TPC-H Q2 shape: groupwise-min + join-back — per qualifying part,
-    the supplier offering the minimum price (scalar-subquery-per-group
-    in SQL; one window rank in Spark, so the fact scans once)."""
-    part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "LARGE") & (F.col("p_size") < 10)
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
-    offers = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .select(
-            "p_partkey", "p_name", "s_suppkey", "s_name",
-            F.round("l_extendedprice", 2).alias("price"),
-        )
-    )
-    w = Window.partitionBy("p_partkey").orderBy("price", "s_suppkey")
-    return (
-        offers.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-        .orderBy("p_partkey")
-    )
-
-
-def _q4_order_priority(spark, sf_dir):
-    """TPC-H Q4 shape: correlated EXISTS — count orders per priority
-    having at least one line shipped after the order date. The EXISTS
-    compiles to a left-semi join (no fan-out, no distinct needed)."""
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01"))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    sem = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > orders.o_orderdate),
-        "left_semi",
-    )
-    return (
-        sem.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
-
-
-def _q9_product_profit(spark, sf_dir):
-    """TPC-H Q9 shape: multi-join profit rollup by supplier nation and
-    order year (retail price stands in for supply cost — no partsupp in
-    the synthetic schema)."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
-    supp = _t(spark, sf_dir, "supplier")
-    orders = _t(spark, sf_dir, "orders")
-    nation = _t(spark, sf_dir, "nation")
-    profit = _dec_ep() * (1 - _dec_disc()) - F.col("p_retailprice").cast(
-        "decimal(12,2)"
-    ) * _dec_qty()
-    return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("int").alias("o_year"),
-        )
-        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
-        .orderBy("nation", F.desc("o_year"))
-    )
-
-
-def _q13_order_distribution(spark, sf_dir):
-    """TPC-H Q13: distribution of orders-per-customer (left join keeps
-    zero-order customers; two keyed aggregations, both map-side
-    partial)."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    co = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return (
-        co.groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
-    )
-
-
-def _q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15 shape: revenue view + MAX scalar subquery — the max
-    travels as a broadcast 1-row frame joined back to the view."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01"))
-    )
-    supp = _t(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(_dec_ep() * (1 - _dec_disc())).alias("rev_dec")
-    )
-    mx = rev.agg(F.max("rev_dec").alias("mx"))
-    return (
-        rev.join(F.broadcast(mx))
-        .filter(F.col("rev_dec") == F.col("mx"))
-        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
-        .select(
-            "s_suppkey",
-            "s_name",
-            F.round("rev_dec", 2).cast("double").alias("total_revenue"),
-        )
-        .orderBy("s_suppkey")
-    )
-
-
-def _q16_supplier_counts(spark, sf_dir):
-    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part descriptor
-    with negated predicates (lineitem is the part-supplier bridge)."""
-    part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#1")
-        & (~F.col("p_type").like("PROMO%"))
-        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
-    )
-
-
-def _q17_small_quantity_revenue(spark, sf_dir):
-    """TPC-H Q17 shape: correlated scalar AVG subquery — weekly revenue
-    from small-quantity orders of one brand. The per-part threshold is
-    an aggregate joined back (broadcast: one row per qualifying part),
-    computed decimal-exact so the < comparison can't flip between
-    engines."""
-    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#15")
-    li = _t(spark, sf_dir, "lineitem")
-    branded = li.join(part, li.l_partkey == part.p_partkey).select(
-        "p_partkey", "l_quantity", "l_extendedprice"
-    )
-    thresh = branded.groupBy("p_partkey").agg(
-        (
-            F.lit(0.2)
-            * F.sum(_dec_qty()).cast("double")
-            / F.count(F.lit(1))
-        ).alias("qty_cut")
-    )
-    return (
-        branded.join(F.broadcast(thresh), on="p_partkey")
-        .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(
-            F.round(F.sum(_dec_ep()).cast("double") / 7.0, 2).alias(
-                "avg_yearly"
-            )
-        )
-    )
-
-
-def _q19_disjunctive_filter(spark, sf_dir):
-    """TPC-H Q19 shape: OR-of-ANDs across join sides — Catalyst still
-    pushes the common join key and per-side implied filters down."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    j = li.join(part, li.l_partkey == part.p_partkey)
-    cond = (
-        (
-            (F.col("p_brand") == "Brand#12")
-            & F.col("p_size").between(1, 5)
-            & F.col("l_quantity").between(1, 11)
-        )
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & F.col("p_size").between(1, 10)
-            & F.col("l_quantity").between(10, 20)
-        )
-        | (
-            (F.col("p_brand") == "Brand#34")
-            & F.col("p_size").between(1, 15)
-            & F.col("l_quantity").between(20, 30)
-        )
-    )
-    return j.filter(cond).agg(
-        F.round(F.sum(_dec_ep() * (1 - _dec_disc())), 2)
-        .cast("double")
-        .alias("revenue")
-    )
-
-
-def _q21_waiting_supplier(spark, sf_dir):
-    """TPC-H Q21 shape: the EXISTS/NOT-EXISTS pair ("another supplier in
-    the order, but no OTHER supplier late") expressed as window
-    aggregates over the order key — count distinct suppliers and
-    distinct late suppliers per order, then keep late lines of the sole
-    late supplier in multi-supplier orders. ONE scan of lineitem/orders
-    and one order-key shuffle instead of the agg+self-join formulation
-    (which scans the fact twice) or three correlated scans."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    supp = _t(spark, sf_dir, "supplier")
-    lines = li.join(
-        orders, li.l_orderkey == orders.o_orderkey
-    ).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        ).alias("late"),
-    )
-    w = Window.partitionBy("l_orderkey")
-    waiting = (
-        lines.withColumn(
-            "n_supp", F.size(F.collect_set("l_suppkey").over(w))
-        )
-        .withColumn(
-            "n_late_supp",
-            F.size(
-                F.collect_set(
-                    F.when(F.col("late"), F.col("l_suppkey"))
-                ).over(w)
-            ),
-        )
-        .filter(
-            F.col("late")
-            & (F.col("n_supp") > 1)
-            & (F.col("n_late_supp") == 1)
-        )
-        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
-    )
-    return (
-        waiting.groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.desc("numwait"), "s_name")
-        .limit(20)
-    )
-
-
-def _f1_explode_carry(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
-    )
-
-
-def _p8_unpivot(spark, sf_dir):
-    """Unpivot/melt: wide part attributes to long (attr, value) rows."""
-    part = _t(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.col("p_size").cast("double").alias("size"),
-        F.round("p_retailprice", 2).alias("retailprice"),
-    ).melt(
-        ids=["p_partkey"],
-        values=["size", "retailprice"],
-        variableColumnName="attr",
-        valueColumnName="value",
-    )
-
-
-def _f_date_funcs(spark, sf_dir):
-    """Date/time scalar functions (absent in the reference ⊕): ship
-    delay in days, truncations, offsets, month boundaries."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    return j.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.datediff("l_shipdate", "o_orderdate").alias("ship_delay_days"),
-        F.year("o_orderdate").alias("o_year"),
-        F.month("o_orderdate").alias("o_month"),
-        F.dayofmonth("o_orderdate").alias("o_day"),
-        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("due_date"),
-        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
-    )
-
-
-def _f_array_funcs(spark, sf_dir):
-    """Array functions over array<float> (absent in the reference ⊕):
-    size, element access, slicing aggregates, higher-order transform."""
-    emb = _t(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    return emb.select(
-        "vec_id",
-        F.size(v).alias("dim"),
-        F.round(F.element_at(v, 1), 5).alias("first"),
-        F.round(F.array_max(v), 5).alias("vmax"),
-        F.round(F.array_min(v), 5).alias("vmin"),
-        F.round(
-            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 5
-        ).alias("head8_sum"),
-        F.round(
-            F.aggregate(
-                F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-            ),
-            5,
-        ).alias("sq_norm"),
-    )
-
-
-def _f2_word_boundary_split(spark, sf_dir):
-    """F2: split at regex word boundaries (reference tokenize,
-    basic_tasks.py:60 — str.split(r'\\b')), keeping word pieces."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), r"\b")).alias("piece"),
-    ).filter(F.col("piece").rlike(r"^\w"))
-
-
-def _f_string_funcs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.upper(F.col("lang")).alias("lang_up"),
-        F.length(F.col("text")).alias("text_len"),
-        F.substring(F.col("source"), 1, 3).alias("src3"),
-        F.concat(F.col("lang"), F.lit("-"), F.col("source")).alias("tag"),
-        F.regexp_replace(F.col("text"), r"\d", "").alias("no_digits"),
-    )
-
-
-def _f_json_extract(spark, sf_dir):
-    ev = _events(spark, sf_dir)
-    return ev.select(
-        "event_id",
-        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# events: batch time-window aggregation (§2.9 ⊕)
-# ---------------------------------------------------------------------------
-
-def _ev_hourly_agg(spark, sf_dir):
-    ev = _events(spark, sf_dir)
-    return (
-        ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
-            .cast("double")
-            .alias("sum_value"),
-        )
-    )
-
-
-def _ev_sliding_agg(spark, sf_dir):
-    """1-hour windows sliding every 15 minutes: each event lands in 4
-    windows. Spark's F.window replicates rows window-count times before
-    the keyed agg — shuffle volume is events x (len/slide), bounded and
-    keyed, no cross product."""
-    ev = _events(spark, sf_dir)
-    return (
-        ev.groupBy(
-            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .select(
-            F.col("win.start").alias("win_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
-    )
-
-
-def _w4_moving_avg(spark, sf_dir):
-    """RANGE-frame window: per event type, trailing-hour value sum and
-    window population (event-time range, not row count). Decimal-exact
-    sum so the result is partitioning-independent; the division into a
-    mean is left to the caller (engines round quotients differently)."""
-    ev = _events(spark, sf_dir)
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
-    )
-    dec = F.col("value").cast("decimal(18,6)")
-    return ev.select(
-        "event_id",
-        "event_type",
-        F.round(F.sum(dec).over(w), 4).cast("double").alias("trailing_sum"),
-        F.count(F.lit(1)).over(w).alias("n_window"),
-    )
-
-
-def _ev_sessionize(spark, sf_dir):
-    """Gaps-and-islands sessionization: a new session starts after a
-    >30min silence per user. Pure window functions — no UDF."""
-    ev = _events(spark, sf_dir)
-    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # Exact-microsecond gap so batch, streaming (_GAP_US), and the
-    # epoch_us() DuckDB oracle all agree on the >30min boundary even for
-    # timestamps that differ by sub-second amounts around 1800s.
-    ts_us = F.unix_micros(F.col("ts"))
-    gap = ts_us - F.lag(ts_us).over(w_user)
-    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
-    with_flag = ev.withColumn("new_sess", new_sess)
-    sess_id = F.sum("new_sess").over(
-        w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    with_sess = with_flag.withColumn("session_seq", sess_id)
-    return (
-        with_sess.groupBy("user_id", "session_seq")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
-            .cast("double")
-            .alias("session_value"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# LLM-data-pipeline extensions: dedup / similarity / text analysis /
-# multimodal (north-star operators; SURVEY §7.2 step 5)
-# ---------------------------------------------------------------------------
-
-def _dedup_exact(spark, sf_dir):
-    from task_on_dataframes_spark.operators.dedup import exact_dedup
-
-    docs = _t(spark, sf_dir, "documents")
-    return exact_dedup(docs, "doc_id", "text")
-
-
-def _dedup_minhash_lsh(spark, sf_dir):
-    from task_on_dataframes_spark.operators.dedup import minhash_lsh_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        docs, "doc_id", "text", num_perm=16, bands=4, threshold=0.5, shingle_n=2
-    )
-
-
-def _dedup_ngram_jaccard(spark, sf_dir):
-    from task_on_dataframes_spark.operators.dedup import ngram_jaccard_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, max_df=50
-    )
-
-
-def _dedup_simhash(spark, sf_dir):
-    from task_on_dataframes_spark.operators.dedup import (
-        simhash_fingerprints,
-        simhash_pairs,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    fps = simhash_fingerprints(docs, "doc_id", "text")
-    return simhash_pairs(fps, max_hamming=3)
-
-
-def _dedup_components(spark, sf_dir):
-    """Near-dup clusters: simhash pair graph -> connected components ->
-    (member, representative=min doc_id). The iterative min-label
-    propagation is the Spark side; the oracle is a recursive CTE."""
-    from task_on_dataframes_spark.operators.dedup import (
-        connected_components,
-        simhash_fingerprints,
-        simhash_pairs,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = simhash_pairs(simhash_fingerprints(docs, "doc_id", "text"), max_hamming=3)
-    return connected_components(pairs, src="a", dst="b")
-
-
-def _dedup_embedding_cosine(spark, sf_dir):
-    from task_on_dataframes_spark.operators.dedup import embedding_cosine_pairs
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(emb, threshold=0.4)
-
-
-def _dedup_embedding_lsh(spark, sf_dir):
-    from task_on_dataframes_spark.operators.dedup import embedding_lsh_pairs
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_lsh_pairs(emb, threshold=0.4, dims=64, planes=4)
-
-
-def _ann_cosine_topk(spark, sf_dir):
-    from task_on_dataframes_spark.operators.similarity import cosine_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return cosine_topk(emb, queries_df, k=10)
-
-
-def _ann_lsh_topk(spark, sf_dir):
-    from task_on_dataframes_spark.operators.similarity import lsh_ann_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return lsh_ann_topk(emb, queries_df, k=10, dims=64, planes=8)
-
-
-def _text_token_stats(spark, sf_dir):
-    from task_on_dataframes_spark.operators.textstats import token_stats
-
-    return token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def _text_quality(spark, sf_dir):
-    from task_on_dataframes_spark.operators.textstats import quality_score
-
-    return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def _text_repetition(spark, sf_dir):
-    from task_on_dataframes_spark.operators.textstats import repetition_stats
-
-    return repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def _text_langid(spark, sf_dir):
-    from task_on_dataframes_spark.operators.textstats import lang_id
-
-    return lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def _text_token_count(spark, sf_dir):
-    from task_on_dataframes_spark.operators.textstats import token_count_estimate
-
-    return token_count_estimate(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def _text_fingerprint(spark, sf_dir):
-    from task_on_dataframes_spark.operators.textstats import doc_fingerprint
-
-    return doc_fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def _mm_decode_meta(spark, sf_dir):
-    from task_on_dataframes_spark.operators.multimodal import (
-        decode_media_meta,
-        make_media_table,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    return decode_media_meta(make_media_table(docs))
-
-
-def _mm_frame_sample(spark, sf_dir):
-    from task_on_dataframes_spark.operators.multimodal import (
-        decode_media_meta,
-        make_media_table,
-        sample_frames,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    return sample_frames(decode_media_meta(make_media_table(docs)))
-
-
-def _mm_raw_decode(spark, sf_dir):
-    """REAL pixel decode: synthesize deterministic ``image/raw`` solid-
-    color images from doc_id, then extract (width, height, n_frames)
-    from the actual pixel-array header via the codec-free numpy kernel.
-    Every value is analytic in doc_id, so the oracle is exact."""
-    from task_on_dataframes_spark.operators.multimodal import (
-        decode_media_meta,
-        make_raw_media_table,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    return decode_media_meta(make_raw_media_table(docs))
-
-
-def _mm_raw_pipeline(spark, sf_dir):
-    """Full real-kernel media pipeline: raw images -> REAL bilinear
-    resize (16x12) -> REAL pixel-histogram features (8 luminance
-    buckets) -> argmax bucket + its mass. Solid-color inputs make the
-    result analytic (bilinear of a constant is the constant; each RGB
-    channel carries 1/3 of the histogram mass), so the DuckDB oracle
-    replays the arithmetic exactly while the kernels do real pixel
-    work. Map-only until the final argmax projection — no shuffle."""
-    from task_on_dataframes_spark.operators.multimodal import (
-        extract_features,
-        make_raw_media_table,
-        resize_media,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    feats = extract_features(
-        resize_media(make_raw_media_table(docs), width=16, height=12),
-        dims=8,
-    )
-    top_val = F.array_max("features")
-    return feats.select(
-        "media_id",
-        (F.array_position("features", top_val) - 1).alias("top_bucket"),
-        F.round(top_val.cast("double"), 6).alias("top_val"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# §2.3 ⊕ as-of / range joins; §2.5 ranking windows; §2.7 set ops;
-# §2.4 ⊕ distinct-agg / rollup; tf-idf
-# ---------------------------------------------------------------------------
-
-def _j6_asof_join(spark, sf_dir):
-    """For each click event, the most recent prior purchase by the same
-    user — merge as-of via union-tag + running last() (one shuffle)."""
-    from task_on_dataframes_spark.operators.joins import asof_join
-
-    ev = _events(spark, sf_dir)
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("pid"), "value"
-    )
-    out = asof_join(
-        clicks,
-        purchases,
-        on=["user_id"],
-        left_ts="ts",
-        right_cols=["pid", "value"],
-        tiebreak="pid",
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        F.col("asof_pid").alias("prev_purchase_id"),
-        F.round("asof_value", 4).alias("prev_purchase_value"),
-    )
-
-
-def _j7_range_join(spark, sf_dir):
-    """Bucket lineitem quantities into literal ranges: broadcast range
-    join, then aggregate per bucket — the big side never shuffles for
-    the join."""
-    from task_on_dataframes_spark.operators.joins import range_join
-
-    li = _t(spark, sf_dir, "lineitem").select("l_quantity")
-    buckets = spark.createDataFrame(
-        [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 40.0, "high"),
-         (40.0, 100.0, "top")],
-        "lo double, hi double, label string",
-    )
-    return (
-        range_join(li, buckets, "l_quantity")
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 4)
-            .cast("double")
-            .alias("sum_qty"),
-        )
-    )
-
-
-def _w3_ranking(spark, sf_dir):
-    """row_number / rank / dense_rank / lag over a per-customer window —
-    partitioned by key, so fully parallel."""
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return (
-        orders.select(
-            "o_custkey",
-            "o_orderkey",
-            F.round("o_totalprice", 2).alias("price"),
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
-
-
-def _set_ops(spark, sf_dir):
-    """UNION / INTERSECT / EXCEPT (distinct semantics) over customer key
-    sets, tagged — §2.7 is absent in the reference; free in Spark."""
-    orders = _t(spark, sf_dir, "orders")
-    urgent = (
-        orders.filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_custkey").alias("custkey"))
-        .distinct()
-    )
-    high = (
-        orders.filter(F.col("o_orderpriority") == "2-HIGH")
-        .select(F.col("o_custkey").alias("custkey"))
-        .distinct()
-    )
-    return (
-        urgent.intersect(high).withColumn("tag", F.lit("both"))
-        .unionByName(urgent.subtract(high).withColumn("tag", F.lit("urgent_only")))
-        .unionByName(high.subtract(urgent).withColumn("tag", F.lit("high_only")))
-    )
-
-
-def _a3_distinct_agg(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct("l_partkey").alias("n_part"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-def _a4_rollup(spark, sf_dir):
-    """ROLLUP over (returnflag, linestatus): subtotal rows materialize
-    NULL group keys, coalesced to 'ALL' so both engines agree."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 4)
-            .cast("double")
-            .alias("sum_qty"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
-            "n",
-            "sum_qty",
-        )
-    )
-
-
-def _a7_grouping_sets(spark, sf_dir):
-    """Explicit GROUPING SETS (beyond rollup's prefix chain): totals by
-    (flag, status), by status alone, and grand total — one shuffle."""
-    li = _t(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("v_li_gs")
-    return spark.sql(
-        """
-        SELECT coalesce(l_returnflag, 'ALL') AS flag,
-               coalesce(l_linestatus, 'ALL') AS status,
-               count(*) AS n,
-               round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS sum_qty
-        FROM v_li_gs
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                (l_linestatus), ())
-        """
-    ).withColumn("sum_qty", F.col("sum_qty").cast("double"))
-
-
-def _f_posexplode(spark, sf_dir):
-    """Explode with ordinality: token position within each document."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "token"),
-    ).select("doc_id", (F.col("pos") + 1).alias("ord"), "token")
-
-
-def _text_tfidf(spark, sf_dir):
-    from task_on_dataframes_spark.operators.text import tfidf_top_terms
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return tfidf_top_terms(docs, "doc_id", "text", k=3)
-
-
-def _text_pack(spark, sf_dir):
-    """Sequence packing: chunk the corpus, then assign chunks to
-    2048-token packs by global token offset — computed with the
-    distributed prefix-sum pattern (no global window; see
-    operators/text.py:pack_sequences)."""
-    from task_on_dataframes_spark.operators.text import chunk_text, pack_sequences
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    chunks = chunk_text(docs, "doc_id", "text", chunk_tokens=64)
-    packed = pack_sequences(
-        chunks, ["doc_id", "chunk_id"], "n_tokens", budget=2048
-    )
-    return packed.groupBy("pack_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum("n_tokens").alias("pack_tokens"),
-    )
-
-
-def _sample_split(spark, sf_dir):
-    """Deterministic train/val/test split counts: hash-bucket labeling
-    so the split is reproducible across runs, engines, partitionings."""
-    from task_on_dataframes_spark.operators.sampling import assign_split
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    return (
-        assign_split(docs, "doc_id")
-        .groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-def _decontaminate(spark, sf_dir):
-    """Train/test contamination check (GPT-3-style n-gram overlap):
-    a train document is contaminated when it shares any word 5-gram
-    with any test-split document. Composition of the deterministic
-    splitter + shingling + semi/anti joins: the gram-overlap join is
-    keyed on the gram, so nothing quadratic ever forms."""
-    from task_on_dataframes_spark.operators.dedup import _word_ngrams
-    from task_on_dataframes_spark.operators.sampling import assign_split
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    labeled = assign_split(docs, "doc_id")
-    grams = _word_ngrams(docs, "doc_id", "text", 5)
-    test_ids = labeled.filter(F.col("split") == "test").select(
-        F.col("doc_id").alias("did")
-    )
-    train_ids = labeled.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("did")
-    )
-    test_grams = grams.join(F.broadcast(test_ids), on="did").select("tok").distinct()
-    train_grams = grams.join(train_ids, on="did", how="left_semi")
-    contaminated = (
-        train_grams.join(F.broadcast(test_grams), on="tok", how="left_semi")
-        .select("did")
-        .distinct()
-    )
-    return (
-        train_ids.join(
-            contaminated.withColumn("__c", F.lit(1)), on="did", how="left"
-        )
-        .groupBy(
-            F.when(F.col("__c").isNotNull(), "contaminated")
-            .otherwise("clean")
-            .alias("status")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-def _text_chunk(spark, sf_dir):
-    from task_on_dataframes_spark.operators.text import chunk_text
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return chunk_text(docs, "doc_id", "text", chunk_tokens=64)
-
-
-def _sql_exists_subquery(spark, sf_dir):
-    """The SQL entry point: EXISTS decorrelates to a left-semi join
-    (same plan the DataFrame API produces)."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
-    return spark.sql(
-        """
-        SELECT o_orderpriority, count(*) AS n
-        FROM v_orders
-        WHERE EXISTS (
-            SELECT 1 FROM v_lineitem
-            WHERE l_orderkey = o_orderkey AND l_quantity > 45
-        )
-        GROUP BY o_orderpriority
-        """
-    )
-
-
-def _ann_ivf_topk(spark, sf_dir):
-    from task_on_dataframes_spark.operators.similarity import ivf_ann_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivf_ann_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)
-
-
-def _emb_kmeans(spark, sf_dir):
-    """Spherical k-means over the embeddings table: 8 clusters, 3
-    fixed Lloyd iterations (deterministic — the DuckDB oracle replays
-    the identical steps)."""
-    from task_on_dataframes_spark.operators.clustering import (
-        kmeans_assignments,
-    )
-
-    return kmeans_assignments(_t(spark, sf_dir, "embeddings"), k=8, iters=3)
 
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dims: int = 64) -> str:
@@ -1541,1401 +249,6 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dims: int = 64) -> str:
     return (
         ", ".join(parts)
         + f" SELECT vec_id, cl AS cluster, sim AS cos FROM as{iters - 1}"
-    )
-
-
-def _dedup_keep_canonical(spark, sf_dir):
-    """End-to-end keep-one dedup: simhash pair graph -> pointer-doubling
-    connected components -> drop non-representatives (broadcast
-    left-anti; the corpus never shuffles for the cut). Returns the
-    surviving (doc_id, lang) rows."""
-    from task_on_dataframes_spark.operators.dedup import (
-        keep_canonical,
-        simhash_fingerprints,
-        simhash_pairs,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = simhash_pairs(
-        simhash_fingerprints(docs, "doc_id", "text"), max_hamming=3
-    )
-    return keep_canonical(
-        docs.select("doc_id", "lang"), "doc_id", pairs
-    )
-
-
-#: demo weight table for the hashed linear classifier: 16 buckets,
-#: fixed-point 1e-4 units, mixed signs — deterministic and shared with
-#: the oracle SQL verbatim
-_CLS_WEIGHTS_FP = [(i - 8) * 1250 for i in range(16)]
-
-
-def _text_classifier(spark, sf_dir):
-    """Model-based quality filter: score each document with a
-    fasttext-style hashed linear classifier (16 md5 buckets, integer
-    fixed-point weights, exact int64 fold inside the scan — zero
-    shuffle)."""
-    from task_on_dataframes_spark.operators.textstats import (
-        hashed_classifier_score,
-    )
-
-    return hashed_classifier_score(
-        _t(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        _CLS_WEIGHTS_FP,
-    )
-
-
-def _dedup_spans(spark, sf_dir):
-    """C4/RefinedWeb-style span-level corpus dedup: 10-token
-    non-overlapping spans, keep the globally first occurrence of each
-    distinct span, rebuild documents from surviving spans. Two keyed
-    shuffles (span text, then doc id) — no cross join, no driver
-    state."""
-    from task_on_dataframes_spark.operators.dedup import span_dedup
-
-    return span_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def _text_pii_redact(spark, sf_dir):
-    from task_on_dataframes_spark.operators.textstats import pii_redact
-
-    return pii_redact(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def _text_ngram_counts(spark, sf_dir):
-    from task_on_dataframes_spark.operators.text import ngram_counts
-
-    return ngram_counts(_t(spark, sf_dir, "documents"), "text", n=2, k=100)
-
-
-def _sample_stratified(spark, sf_dir):
-    """Language-rebalancing sample: keep 20% of English, all of the
-    rest — summarized as kept-count per language (a deterministic
-    function of doc_id, so the oracle reproduces it exactly)."""
-    from task_on_dataframes_spark.operators.sampling import stratified_sample
-
-    docs = _t(spark, sf_dir, "documents")
-    kept = stratified_sample(
-        docs, "doc_id", "lang", {"en": 0.2}, default_fraction=1.0
-    )
-    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
-
-
-def _sample_weighted(spark, sf_dir):
-    """Quality-weighted importance resampling (the corpus-mixing move
-    in DCLM/FineWeb-style pipelines): weight_pm = min(1000, 5 *
-    n_tokens), so documents of >=200 tokens always survive and shorter
-    ones survive with proportionally lower probability. The keep
-    decision is a pure function of doc_id, so the oracle replays the
-    exact sample; zero shuffle — one hash compare in the scan stage."""
-    from task_on_dataframes_spark.operators.sampling import weighted_sample
-
-    docs = _t(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.lower(F.col("text")), r"\s+"))
-    weighted = docs.withColumn(
-        "weight_pm",
-        F.least(F.lit(1000), F.lit(5) * n_tokens).cast("bigint"),
-    )
-    kept = weighted_sample(weighted, "doc_id", F.col("weight_pm"))
-    return kept.select("doc_id", "lang", "weight_pm")
-
-
-def _emb_quantize(spark, sf_dir):
-    from task_on_dataframes_spark.operators.similarity import quantize_int8
-
-    return quantize_int8(_t(spark, sf_dir, "embeddings"))
-
-
-def _q20_excess_volume(spark, sf_dir):
-    """q20-shape (adapted: the synthetic schema has no partsupp):
-    suppliers that shipped more than 300 units of 'small'-named parts
-    in 1996, with their nation — the classic semi-join reduction:
-    lineitem aggregates once on (supp, part); the supplier/nation dims
-    broadcast."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    small_parts = part.filter(F.col("p_name").startswith("small")).select(
-        "p_partkey"
-    )
-    shipped = (
-        li.filter(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1997-01-01")
-        )
-        .join(F.broadcast(small_parts), li.l_partkey == F.col("p_partkey"))
-        .groupBy("l_suppkey")
-        # decimal-exact sum (repo float policy): partition-order-proof
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-            .cast("bigint")
-            .alias("qty")
-        )
-        .filter(F.col("qty") > 300)
-    )
-    return (
-        supp.join(shipped, supp.s_suppkey == shipped.l_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .select("s_name", "n_name", "qty")
-    )
-
-
-def _stream_hourly_agg(spark, sf_dir):
-    """Structured Streaming twin of ev_hourly_agg, driven to completion
-    with an availableNow trigger into a memory sink and returned as a
-    batch frame. The decimal-exact sums make stream output bit-identical
-    to the batch plan, so the SAME DuckDB oracle checks a real
-    streaming execution (watermark + tumbling window + state store)."""
-    import tempfile
-    import uuid
-
-    from task_on_dataframes_spark.streaming.events import (
-        events_stream,
-        hourly_counts_stream,
-        run_available_now,
-    )
-
-    name = "stream_hourly_" + uuid.uuid4().hex[:8]
-    stream = hourly_counts_stream(
-        events_stream(spark, f"{sf_dir}/events.parquet")
-    )
-    run_available_now(
-        stream,
-        name,
-        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
-        output_mode="complete",
-    )
-    return spark.table(name)
-
-
-def _ann_lsh_multi_topk(spark, sf_dir):
-    """Multi-table LSH ANN (2 tables x 4 planes): candidate union
-    across independent plane sets — the recall lever of LSH search."""
-    from task_on_dataframes_spark.operators.similarity import lsh_ann_topk_multi
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return lsh_ann_topk_multi(
-        emb, queries_df, k=10, dims=64, planes=4, n_tables=2
-    )
-
-
-def _stream_sessionize(spark, sf_dir):
-    """Custom stateful streaming sessionization (applyInPandasWithState,
-    30-min gap, event-time timeout), drained to COMPLETION: two
-    far-future sentinel micro-batches advance the watermark past every
-    real session's timeout so open sessions at end-of-input are emitted
-    too (see streaming.events.stage_with_sentinels). The result is the
-    full session set, checked against the SAME gaps-and-islands DuckDB
-    oracle as the batch twin ``ev_sessionize`` — session_seq is
-    recovered per user by ordering emitted sessions on start time."""
-    import tempfile
-    import uuid
-
-    from task_on_dataframes_spark.streaming.events import sessionize_drain_all
-
-    name = "stream_sess_" + uuid.uuid4().hex[:8]
-    sessions = sessionize_drain_all(
-        spark,
-        f"{sf_dir}/events.parquet",
-        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
-        query_name=name,
-    )
-    w = Window.partitionBy("user_id").orderBy("session_start")
-    return sessions.select(
-        "user_id",
-        F.row_number().over(w).cast("long").alias("session_seq"),
-        "n_events",
-        "session_value",
-    )
-
-
-def _stream_dedup(spark, sf_dir):
-    """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` on
-    (user_id, event_type), drained with availableNow. In a single-drain
-    run every key stays in state (the watermark never passes it), so
-    the emitted key set equals batch DISTINCT — an exact oracle for the
-    streaming dedup plumbing. At production throughput the same plan
-    holds with bounded state: key state is evicted once the watermark
-    passes (the unbounded-state trap of plain dropDuplicates on a
-    stream does not exist here)."""
-    import tempfile
-    import uuid
-
-    from task_on_dataframes_spark.streaming.events import (
-        dedup_stream,
-        events_stream,
-        run_available_now,
-    )
-
-    name = "stream_dedup_" + uuid.uuid4().hex[:8]
-    st = dedup_stream(
-        events_stream(spark, f"{sf_dir}/events.parquet"),
-        ["user_id", "event_type"],
-        watermark="96 hours",
-    )
-    run_available_now(
-        st.select("user_id", "event_type"),
-        name,
-        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
-        output_mode="append",
-    )
-    return spark.table(name)
-
-
-def _stream_enrich(spark, sf_dir):
-    """Stream-static enrichment: the event stream joins a small static
-    dimension (user -> segment) broadcast into every micro-batch — the
-    static side never shuffles the stream, the canonical dimension-join
-    shape for streaming pipelines. The drained sink is aggregated per
-    (segment, event_type) with decimal-exact sums so a value oracle
-    checks the whole stream-join path."""
-    import tempfile
-    import uuid
-
-    from task_on_dataframes_spark.streaming.events import (
-        enrich_stream,
-        events_stream,
-        run_available_now,
-    )
-
-    dim = (
-        _events(spark, sf_dir)
-        .select("user_id")
-        .distinct()
-        .withColumn("segment", F.pmod(F.col("user_id"), F.lit(7)))
-    )
-    st = enrich_stream(
-        events_stream(spark, f"{sf_dir}/events.parquet"), dim, on="user_id"
-    )
-    name = "stream_enrich_" + uuid.uuid4().hex[:8]
-    run_available_now(
-        st.select("segment", "event_type", "value"),
-        name,
-        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
-        output_mode="append",
-    )
-    return (
-        spark.table(name)
-        .groupBy("segment", "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
-            .cast("double")
-            .alias("sum_value"),
-        )
-    )
-
-
-def _stream_stream_join(spark, sf_dir):
-    """Watermarked stream-stream inner join: purchases within 1 hour
-    AFTER a view by the same user. Both sides carry watermarks and the
-    join has a time-range bound, so buffered state is evicted as the
-    watermark advances — the configuration stream-stream joins REQUIRE
-    for bounded state at any throughput. The drained pair stream is
-    aggregated per view-hour and checked against the batch self-join
-    oracle."""
-    import tempfile
-    import uuid
-
-    from task_on_dataframes_spark.streaming.events import (
-        events_stream,
-        run_available_now,
-        stream_stream_window_join,
-    )
-
-    src = f"{sf_dir}/events.parquet"
-    views = events_stream(spark, src).filter(F.col("event_type") == "view")
-    buys = events_stream(spark, src).filter(
-        F.col("event_type") == "purchase"
-    )
-    joined = stream_stream_window_join(
-        views, buys, key="user_id", within="1 hour", watermark="96 hours"
-    )
-    name = "stream_ssj_" + uuid.uuid4().hex[:8]
-    run_available_now(
-        joined,
-        name,
-        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
-        output_mode="append",
-    )
-    return (
-        spark.table(name)
-        .groupBy(F.date_trunc("hour", F.col("l_ts")).alias("view_hour"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
-
-
-def _emb_label_centroids(spark, sf_dir):
-    """Per-label mean embedding: ONE keyed shuffle of n x d exploded
-    rows with map-side partial DECIMAL sums (partition-order-proof,
-    exact oracle)."""
-    from task_on_dataframes_spark.operators.linalg import label_centroids
-
-    return label_centroids(_t(spark, sf_dir, "embeddings"))
-
-
-def _emb_gram(spark, sf_dir):
-    """Distributed Gram matrix: per-partition NumPy X^T X partials via
-    mapInPandas, one d(d+1)/2-key shuffle of partials — the corpus is
-    never shuffled (the covariance/PCA front end at 100 TB)."""
-    from task_on_dataframes_spark.operators.linalg import gram_matrix
-
-    return gram_matrix(_t(spark, sf_dir, "embeddings"))
-
-
-def _emb_pca_top(spark, sf_dir):
-    """Top principal direction: distributed Gram reduction, then a
-    deterministic driver-side power iteration on the d x d result
-    (fixed all-ones init, 8 steps, sign-normalized). The oracle
-    replays the identical iteration in SQL from the same rounded
-    Gram."""
-    from task_on_dataframes_spark.operators.linalg import (
-        gram_matrix,
-        pca_power_top,
-    )
-
-    gram = gram_matrix(_t(spark, sf_dir, "embeddings"))
-    return pca_power_top(spark, gram)
-
-
-def _emb_pca_project(spark, sf_dir):
-    """Apply the learned transform: project every embedding onto the
-    top principal direction. The direction (64 floats) comes from the
-    distributed Gram + driver power iteration and broadcasts as an
-    array literal; the projection is a scan-stage DECIMAL-exact fold —
-    no shuffle touches the corpus beyond the Gram reduction itself."""
-    from task_on_dataframes_spark.operators.linalg import (
-        gram_matrix,
-        pca_power_top,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    v = {
-        r["pos"]: r["loading"]
-        for r in pca_power_top(spark, gram_matrix(emb)).collect()
-    }
-    arr = F.array(*[F.lit(float(v[i + 1])) for i in range(64)])
-    prods = F.zip_with(
-        F.col("embedding").cast("array<double>"),
-        arr,
-        lambda a, b: a * b,
-    )
-    proj = F.round(
-        F.aggregate(
-            prods,
-            F.lit(0).cast("decimal(28,12)"),
-            # re-cast per step: decimal addition widens the type and
-            # the fold accumulator must stay DECIMAL(28,12); no digits
-            # are lost (all addends carry exactly 12 frac digits)
-            lambda acc, x: (acc + x.cast("decimal(28,12)")).cast(
-                "decimal(28,12)"
-            ),
-        ).cast("double"),
-        6,
-    )
-    return emb.select("vec_id", proj.alias("proj"))
-
-
-def _text_sentences(spark, sf_dir):
-    """Sentence segmentation + per-sentence token counts: one regex
-    split (Java/RE2-common pattern, no lookbehind) + posexplode that
-    preserves sentence order — scan-stage except the fan-out."""
-    docs = _t(spark, sf_dir, "documents")
-    ss = F.filter(
-        F.split(F.col("text"), r"[.!?]+\s+"),
-        lambda s: F.trim(s) != "",
-    )
-    return (
-        docs.select("doc_id", ss.alias("ss"))
-        .select(
-            "doc_id", F.posexplode("ss").alias("sent_idx", "sentence0")
-        )
-        .select(
-            "doc_id",
-            "sent_idx",
-            F.trim("sentence0").alias("sentence"),
-            F.size(F.split(F.trim("sentence0"), r"\s+")).alias("n_tokens"),
-        )
-    )
-
-
-def _curriculum_quality_bins(spark, sf_dir):
-    """Curriculum construction: bin the corpus into quality quartiles
-    by exact stopword-ratio percentiles, then per-bin stats. The
-    thresholds come from ONE aggregate and broadcast into a scan-stage
-    CASE — no global sort (a global ntile would single-partition the
-    corpus; threshold binning is the 100 TB shape)."""
-    from task_on_dataframes_spark.operators.textstats import quality_score
-
-    q = quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    th = q.agg(
-        *[
-            F.expr(
-                f"round(percentile(stopword_ratio, {p}), 6)"
-            ).alias(f"q{int(p * 100)}")
-            for p in (0.25, 0.5, 0.75)
-        ]
-    )
-    sr = F.col("stopword_ratio")
-    bin_ = (
-        F.lit(1)
-        + (sr > F.col("q25")).cast("int")
-        + (sr > F.col("q50")).cast("int")
-        + (sr > F.col("q75")).cast("int")
-    )
-    return (
-        q.crossJoin(F.broadcast(th))
-        .select("n_tokens", sr.alias("sr"), bin_.alias("bin"))
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.expr(
-                "round(CAST(sum(n_tokens) AS DOUBLE) / count(1), 6)"
-            ).alias("mean_tokens"),
-            F.min("sr").alias("min_sr"),
-            F.max("sr").alias("max_sr"),
-        )
-    )
-
-
-def _dedup_cross_corpus(spark, sf_dir):
-    """Incremental-ingest dedup: drop new documents whose normalized
-    text digest already exists in the reference corpus (simulated as
-    the doc_id % 7 == 0 slice). One digest-keyed LEFT ANTI join — the
-    shape of deduping a fresh crawl against an existing corpus; the
-    existing side reduces to distinct digests before the join."""
-    docs = _t(spark, sf_dir, "documents")
-    digest = F.md5(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    )
-    new = docs.filter(F.col("doc_id") % 7 != 0).select(
-        "doc_id", digest.alias("digest")
-    )
-    existing = (
-        docs.filter(F.col("doc_id") % 7 == 0)
-        .select(digest.alias("digest"))
-        .distinct()
-    )
-    return new.join(existing, "digest", "left_anti").select("doc_id")
-
-
-def _shard_assign(spark, sf_dir):
-    """Deterministic balanced shard assignment for training-data
-    export: shard = portable_hash(doc_id) % 16. Zero shuffle on the
-    corpus (the hash is a scan-stage projection); only the 16-row
-    summary aggregates. Same stable-hash discipline as sampling — a
-    retry or a different cluster produces identical shards."""
-    from task_on_dataframes_spark.operators.hashing import hash32
-
-    docs = _t(spark, sf_dir, "documents")
-    shard = F.pmod(
-        hash32(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
-        F.lit(16),
-    )
-    return (
-        docs.withColumn("shard", shard)
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-    )
-
-
-def _s9_orc_roundtrip(spark, sf_dir):
-    """ORC sink + source: write a pruned, filtered projection to ORC,
-    read it back, aggregate. Proves the ORC connector end-to-end (the
-    same predicate-pushdown/column-pruning machinery as parquet); the
-    oracle computes the identical aggregate from the original
-    parquet."""
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="tada_orc_") + "/li"
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") <= 10)
-        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
-    )
-    li.write.mode("overwrite").orc(out)
-    back = spark.read.orc(out)
-    return back.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_qty"),
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("sum_price"),
-    )
-
-
-def _s10_jsonl_roundtrip(spark, sf_dir):
-    """JSON-lines sink + source round-trip with the same aggregate
-    check as the ORC twin (Spark writes shortest-round-trip doubles,
-    so numeric fidelity survives the text format)."""
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="tada_jsonl_") + "/li"
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") <= 10)
-        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
-    )
-    li.write.mode("overwrite").json(out)
-    back = spark.read.json(out)
-    return back.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_qty"),
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("sum_price"),
-    )
-
-
-def _pipeline_c4_curation(spark, sf_dir):
-    """Flagship curation pass: language gate -> length gate ->
-    stopword gate -> Gopher repetition gate -> exact-dup keep-one, as
-    ONE scan + ONE digest-window shuffle
-    (operators/textstats.py:curation_verdicts). The per-doc verdict
-    carries the first failing gate as the reason."""
-    from task_on_dataframes_spark.operators.textstats import (
-        curation_verdicts,
-    )
-
-    return curation_verdicts(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def _j9_full_outer(spark, sf_dir):
-    """Full outer join with both-side-only rows (disjoint key filters
-    guarantee unmatched rows in each direction). Shuffle-keyed on the
-    join key; AQE handles the residual skew."""
-    cust = (
-        _t(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") % 3 == 0)
-        .select("c_custkey", "c_acctbal")
-    )
-    oag = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") % 5 == 0)
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-    j = cust.join(oag, cust.c_custkey == oag.o_custkey, "full_outer")
-    return j.select(
-        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
-        F.col("c_acctbal"),
-        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-    )
-
-
-def _w8_first_last(spark, sf_dir):
-    """first_value / last_value / nth_value over the full-partition
-    frame (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING) — the frame
-    spec last_value silently gets wrong with the default frame."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
-    w = (
-        Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.first("l_quantity").over(w).alias("first_qty"),
-        F.last("l_quantity").over(w).alias("last_qty"),
-        F.nth_value("l_quantity", 2).over(w).alias("second_qty"),
-    )
-
-
-def _profile_table(spark, sf_dir):
-    """Data-quality profile of the orders table: per column null count,
-    exact distinct count, numeric min/max and string min/max. ONE
-    global aggregate (map-side partials), then a driver-free stack to
-    long format — profiling 100 TB is a single pass."""
-    o = _t(spark, sf_dir, "orders")
-    num_cols = ["o_custkey", "o_totalprice"]
-    str_cols = ["o_orderstatus", "o_orderpriority"]
-    aggs = []
-    for c in num_cols + str_cols:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
-        ]
-    for c in num_cols:
-        aggs += [
-            F.min(c).cast("double").alias(f"mn_{c}"),
-            F.max(c).cast("double").alias(f"mx_{c}"),
-        ]
-    for c in str_cols:
-        aggs += [F.min(c).alias(f"mns_{c}"), F.max(c).alias(f"mxs_{c}")]
-    one = o.agg(*aggs)
-    # stack() requires identical struct field names across rows — the
-    # CASTs anonymize the per-column aliases into uniform colN names
-    # stack() takes a FLAT argument list (n rows x 7 columns each);
-    # the CASTs keep every column slot the same type across rows
-    parts = []
-    for c in num_cols:
-        parts.append(
-            f"'{c}', CAST(nn_{c} AS BIGINT), CAST(nd_{c} AS BIGINT), "
-            f"CAST(mn_{c} AS DOUBLE), CAST(mx_{c} AS DOUBLE), "
-            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
-        )
-    for c in str_cols:
-        parts.append(
-            f"'{c}', CAST(nn_{c} AS BIGINT), CAST(nd_{c} AS BIGINT), "
-            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
-            f"CAST(mns_{c} AS STRING), CAST(mxs_{c} AS STRING)"
-        )
-    stack = (
-        f"stack({len(parts)}, "
-        + ", ".join(parts)
-        + ") AS (col_name, n_nulls, n_distinct, min_num, max_num, "
-        "min_str, max_str)"
-    )
-    return one.select(F.expr(stack))
-
-
-def _scd2_history(spark, sf_dir):
-    """SCD-2 interval build from a change stream: per user, each
-    event_type change opens a validity interval [valid_from, valid_to)
-    closed by the next change (NULL = current). Gaps-and-islands via
-    windows + one keyed aggregation — no correlated rescans."""
-    ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("event_type").over(w)
-    chg = (prev.isNull() | (F.col("event_type") != prev)).cast("int")
-    grp = F.sum(chg).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    islands = ev.withColumn("grp", grp)
-    iv = islands.groupBy("user_id", "grp", "event_type").agg(
-        F.min("ts").alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    # grp as the tiebreaker keeps lead() deterministic when two islands
-    # of one user share an identical min ts (oracle orders the same way).
-    w2 = Window.partitionBy("user_id").orderBy("valid_from", "grp")
-    return iv.select(
-        "user_id",
-        "event_type",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
-        "n_events",
-    )
-
-
-def _graph_pagerank(spark, sf_dir):
-    """PageRank over the customer-nation -> supplier-nation trade
-    graph (edge weight = lineitem count). Edge list stays distributed;
-    the 25-row rank vector broadcasts per iteration — one keyed
-    shuffle per step at any scale."""
-    from task_on_dataframes_spark.operators.graph import pagerank
-
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .groupBy(
-            F.col("c_nationkey").alias("src"),
-            F.col("s_nationkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    nodes = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("node")
-    )
-    return pagerank(edges, nodes, iters=5, damping=0.85)
-
-
-def _s11_partition_prune(spark, sf_dir):
-    """Hive-style partitioned layout: write events partitioned by
-    event date, read back filtered to the earliest date — the scan
-    lists only matching directories (partition pruning,
-    plan-asserted); the oracle filters the original parquet."""
-    import tempfile
-
-    ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
-    out = tempfile.mkdtemp(prefix="tada_part_") + "/events"
-    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
-    d = ev.agg(F.min("event_date")).collect()[0][0]
-    back = spark.read.parquet(out)
-    return (
-        back.filter(F.col("event_date") == F.lit(d))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-def _sample_bottomk(spark, sf_dir):
-    """Exact-size uniform sample without a global sort: bottom-k by
-    the portable stable hash (TakeOrderedAndProject — per-partition
-    top-k then a k-row merge on the driver). The distributed
-    alternative to reservoir sampling, and reproducible across
-    retries/engines because the hash, not RNG state, picks rows."""
-    from task_on_dataframes_spark.operators.hashing import hash32
-
-    docs = _t(spark, sf_dir, "documents")
-    h = hash32(F.concat(F.lit("bk:"), F.col("doc_id").cast("string")))
-    return (
-        docs.select("doc_id", "lang", h.alias("h"))
-        .orderBy("h", "doc_id")
-        .limit(100)
-        .select("doc_id", "lang")
-    )
-
-
-def _dedup_daily_first(spark, sf_dir):
-    """Keep the first event per (user, day): one window shuffle keyed
-    by (user_id, date) — the retention-counting / sessionless-dedup
-    primitive."""
-    ev = _events(spark, sf_dir)
-    w = Window.partitionBy(
-        "user_id", F.to_date("ts").alias("d")
-    ).orderBy("ts", "event_id")
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            # date_trunc (timestamp), not to_date: DATE columns collect
-            # as python objects and break the comparator's dtype match
-            F.date_trunc("day", F.col("ts")).alias("day"),
-            "event_id",
-            "event_type",
-        )
-    )
-
-
-def _ev_zscore_anomalies(spark, sf_dir):
-    """Group-wise standardization: per event_type mean/std of value
-    from DECIMAL-exact moment sums (sum, sum of squares) so the
-    statistics are partition-order-proof, then the count of |z| > 2
-    anomalies per type. One shuffle (the moments aggregate); the
-    z-score pass joins the tiny per-type stats back broadcast."""
-    ev = _events(spark, sf_dir)
-    vdec = F.col("value").cast("decimal(18,6)")
-    stats = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(vdec).alias("s1"),
-        F.sum(vdec * vdec).alias("s2"),
-    )
-    # moments -> mean/std: cast the EXACT decimal sums to double first,
-    # then do identical scalar double ops on both engines (decimal
-    # division scale/rounding rules differ between engines; double
-    # arithmetic on identical inputs does not)
-    s1d = F.col("s1").cast("double")
-    s2d = F.col("s2").cast("double")
-    stats = stats.select(
-        "event_type",
-        "n",
-        (s1d / F.col("n")).alias("mean"),
-        F.sqrt(
-            (s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1)
-        ).alias("std"),
-    )
-    flagged = ev.join(F.broadcast(stats), on="event_type").filter(
-        F.abs((F.col("value") - F.col("mean")) / F.col("std")) > 2
-    )
-    return (
-        flagged.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_anomalies"))
-        .join(stats.select("event_type", "n"), on="event_type")
-        .select(
-            "event_type",
-            "n_anomalies",
-            F.round(F.col("n_anomalies") / F.col("n"), 6).alias("rate"),
-        )
-    )
-
-
-def _ev_funnel(spark, sf_dir):
-    """Conversion funnel: per user, the first view -> first click after
-    it -> first purchase after that, each within 24h of the previous
-    step; output the per-stage user counts. One aggregation per stage
-    over conditional mins — the fact table shuffles once on user_id
-    (all three stages come from a single groupBy)."""
-    ev = _events(spark, sf_dir)
-    us = F.unix_micros("ts")
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
-    )
-    # stage 2/3 join the per-user stage table back onto events on
-    # user_id — per-user aggregates are bounded by user cardinality, so
-    # the join keys on the natural key and AQE broadcasts when small
-    DAY_US = 86400 * 1_000_000
-    ev2 = ev.join(per_user, on="user_id")
-    stage2 = ev2.filter(
-        (F.col("event_type") == "click")
-        & F.col("t_view").isNotNull()
-        & (us > F.col("t_view"))
-        & (us <= F.col("t_view") + F.lit(DAY_US))
-    ).groupBy("user_id").agg(F.min(us).alias("t_click"))
-    ev3 = ev.join(stage2, on="user_id")
-    stage3 = ev3.filter(
-        (F.col("event_type") == "purchase")
-        & (us > F.col("t_click"))
-        & (us <= F.col("t_click") + F.lit(DAY_US))
-    ).groupBy("user_id").agg(F.min(us).alias("t_purchase"))
-    return (
-        per_user.filter(F.col("t_view").isNotNull())
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("1_view").alias("stage"), "n")
-        .unionByName(
-            stage2.agg(F.count(F.lit(1)).alias("n")).select(
-                F.lit("2_click").alias("stage"), "n"
-            )
-        )
-        .unionByName(
-            stage3.agg(F.count(F.lit(1)).alias("n")).select(
-                F.lit("3_purchase").alias("stage"), "n"
-            )
-        )
-    )
-
-
-def _ev_gap_fill(spark, sf_dir):
-    """Zero-filled hourly time series (date-spine gap filling): the
-    spine is sequence(min_hour, max_hour) x distinct event types —
-    both dimension-sized, built without touching the fact table twice
-    (min/max come from one aggregate), joined LEFT against the hourly
-    counts so silent hours surface as n=0. The fact table aggregates
-    once; the spine side broadcasts."""
-    ev = _events(spark, sf_dir)
-    hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"),
-        "event_type",
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    spine_hours = bounds.select(
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-        ).alias("hour")
-    )
-    types = ev.select("event_type").distinct()
-    spine = spine_hours.crossJoin(F.broadcast(types))
-    return (
-        spine.join(hourly, on=["hour", "event_type"], how="left")
-        .select(
-            "hour",
-            "event_type",
-            F.coalesce("cnt", F.lit(0)).alias("n"),
-        )
-    )
-
-
-def _text_vocab_oov(spark, sf_dir):
-    """Vocabulary build + OOV rate (the LM-preprocessing pair): vocab =
-    top-500 tokens by corpus frequency (count desc, token asc — total
-    order); per-document OOV rate = fraction of tokens outside it.
-    Scale shape: one shuffle builds the vocab (TakeOrdered), the vocab
-    broadcasts into the per-doc membership check, the corpus token
-    table never shuffles."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
-    ).filter(F.length("tok") > 0)
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("tok"))
-        .limit(500)
-        .select("tok")
-    )
-    flagged = toks.join(
-        F.broadcast(vocab.withColumn("__in", F.lit(1))), on="tok", how="left"
-    )
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
-        F.round(
-            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
-            / F.count(F.lit(1)),
-            6,
-        ).alias("oov_rate"),
-    )
-
-
-def _w5_lag_delta(spark, sf_dir):
-    """lead/lag window coverage: per-user inter-event time delta and
-    value change, keyed window (no global sort)."""
-    ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        "event_id",
-        # microsecond arithmetic: cast-to-seconds would round/truncate
-        # differently across engines on fractional-second timestamps
-        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
-        .alias("gap_us"),
-        F.round(
-            F.col("value").cast("decimal(18,6)")
-            - F.lag(F.col("value").cast("decimal(18,6)")).over(w),
-            4,
-        )
-        .cast("double")
-        .alias("value_delta"),
-    )
-
-
-def _w6_ntile_bins(spark, sf_dir):
-    """Quartile binning by document length (curriculum/difficulty
-    bucketing): counts and length ranges per quartile. Boundaries come
-    from ONE percentile aggregate and broadcast into a scan-stage CASE —
-    threshold binning, NOT a global ntile window (which would move one
-    row per document to a single partition; at 100 TB that is a
-    single-machine sort of a corpus-cardinality table). Ties at a
-    boundary all land in the lower bin, so bins are near-equal rather
-    than ntile-exact — the scale-correct trade."""
-    docs = _t(spark, sf_dir, "documents")
-    th = docs.agg(
-        *[
-            F.expr(f"round(percentile(n_chars, {p}), 6)").alias(
-                f"q{int(p * 100)}"
-            )
-            for p in (0.25, 0.5, 0.75)
-        ]
-    )
-    nc = F.col("n_chars").cast("double")
-    bin_ = (
-        F.lit(1)
-        + (nc > F.col("q25")).cast("int")
-        + (nc > F.col("q50")).cast("int")
-        + (nc > F.col("q75")).cast("int")
-    )
-    return (
-        docs.crossJoin(F.broadcast(th))
-        .select("n_chars", bin_.alias("bin"))
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("n_chars").alias("min_chars"),
-            F.max("n_chars").alias("max_chars"),
-        )
-    )
-
-
-def _j8_upsert(spark, sf_dir):
-    """SCD-1 merge: a deterministic CDC batch (every 10th customer with
-    bumped balance, plus 5 brand-new keys) upserted into customer —
-    anti-join + append, base never shuffles (update keys broadcast)."""
-    from task_on_dataframes_spark.operators.joins import upsert
-
-    cust = _t(spark, sf_dir, "customer")
-    changed = cust.filter(F.col("c_custkey") % 10 == 0).select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        "c_mktsegment",
-        (F.col("c_acctbal").cast("decimal(12,2)") + 100)
-        .cast("double")
-        .alias("c_acctbal"),
-    )
-    new_rows = (
-        _t(spark, sf_dir, "nation")
-        .filter(F.col("n_nationkey") < 5)
-        .select(
-            (F.col("n_nationkey") + 1_000_000).alias("c_custkey"),
-            F.concat(F.lit("new customer "), F.col("n_name")).alias("c_name"),
-            F.col("n_nationkey").alias("c_nationkey"),
-            F.lit("BUILDING").alias("c_mktsegment"),
-            F.lit(0.0).alias("c_acctbal"),
-        )
-    )
-    updates = changed.unionByName(new_rows)
-    merged = upsert(
-        cust.select(
-            "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
-        ),
-        updates,
-        keys=["c_custkey"],
-    )
-    return merged.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2)
-        .cast("double")
-        .alias("total_bal"),
-        F.sum((F.col("c_custkey") >= 1_000_000).cast("int")).alias("n_new"),
-    )
-
-
-def _dedup_winnow(spark, sf_dir):
-    from task_on_dataframes_spark.operators.dedup import winnow_pairs
-
-    return winnow_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
-        shingle=8, window=4, threshold=0.5, max_df=50,
-    )
-
-
-def _text_winnow(spark, sf_dir):
-    from task_on_dataframes_spark.operators.textstats import (
-        winnow_fingerprints,
-    )
-
-    return winnow_fingerprints(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", shingle=8, window=4
-    )
-
-
-def _sample_topk_per_stratum(spark, sf_dir):
-    """Corpus curation: keep the top-3 documents per language by the
-    length-quality score (desc, doc_id tiebreak) — per-group top-k via
-    a keyed window; WindowGroupLimit pushes the rank cut below the
-    sort, so each group keeps 3 rows per partition before any shuffle."""
-    docs = _t(spark, sf_dir, "documents")
-    score = F.round(
-        F.least(
-            F.size(F.split(F.lower(F.col("text")), r"\s+")) / F.lit(100.0),
-            F.lit(1.0),
-        ),
-        6,
-    )
-    w = Window.partitionBy("lang").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    return (
-        docs.select("lang", "doc_id", score.alias("score"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-    )
-
-
-def _skew_distinct_2phase(spark, sf_dir):
-    """Hot-key-safe COUNT(DISTINCT): phase 1 groups on (key, value) so
-    the value spreads the hot key across reducers; phase 2 counts pairs
-    per key. Same answer as a plain distinct-agg, skew-proof shape."""
-    from task_on_dataframes_spark.operators.skew import distinct_count_2phase
-
-    li = _t(spark, sf_dir, "lineitem")
-    return distinct_count_2phase(
-        li, ["l_returnflag"], "l_partkey", out="n_distinct"
-    )
-
-
-def _skew_salted_agg(spark, sf_dir):
-    """Salted two-phase aggregation over a 3-value (maximally skewed)
-    key — content-derived salts, decimal-exact sums, answer identical
-    to the plain aggregate."""
-    from task_on_dataframes_spark.operators.skew import salted_agg
-
-    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
-    return salted_agg(
-        li,
-        ["l_returnflag"],
-        exprs_partial=[
-            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__s"),
-            F.count(F.lit(1)).alias("__c"),
-        ],
-        exprs_final=[
-            F.round(F.sum("__s"), 2).cast("double").alias("sum_qty"),
-            F.sum("__c").alias("n"),
-        ],
-        n_salt=8,
-    )
-
-
-def _skew_salted_join(spark, sf_dir):
-    """Salted skew join (the stream-static / AQE-unavailable shape):
-    orders salted on content hash, customer replicated per salt; the
-    grouped result is identical to the plain join."""
-    from task_on_dataframes_spark.operators.skew import salted_join
-
-    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
-    cust = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
-    )
-    joined = salted_join(orders, cust, on=["o_custkey"], n_salt=8)
-    return joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
-
-
-def _planner_llm_chunks(spark, sf_dir):
-    """Planner-composed LLM pipeline: the goal column
-    ``docs.text.kept.chunks`` makes BFS assemble
-    get_docs -> score_quality -> filter_quality -> chunk_docs, compiled
-    by Catalyst as ONE lazy plan (quality filter pushed into the scan
-    side of the chunk explode)."""
-    from task_on_dataframes_spark.llm_tasks import register_llm_tasks
-    from task_on_dataframes_spark.plans.solve import solve_goal
-
-    reg = register_llm_tasks(spark, sf_dir, min_quality=0.2, chunk_tokens=64)
-    frame = solve_goal([], ["docs.text.kept.chunks"], registry=reg)
-    return frame.select(
-        F.col("`docs.text.kept.chunks`").alias("chunk")
-    )
-
-
-def _dedup_levenshtein(spark, sf_dir):
-    """Edit-distance near-dup verification over minhash-LSH candidates
-    (never all pairs) — `levenshtein` evaluates JVM-side in the join
-    projection; the relative threshold is an integer cross-product
-    test, exact on both engines."""
-    from task_on_dataframes_spark.operators.dedup import levenshtein_pairs
-
-    return levenshtein_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def _a9_quantiles(spark, sf_dir):
-    """Exact per-group quantiles (sort-based `percentile`, identical
-    interpolation formula to DuckDB's quantile_cont)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
-            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("q50"),
-            F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
-            F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("q95"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-def _a10_pivot(spark, sf_dir):
-    """Pivot: per-day event counts spread into one column per event
-    type (explicit value list keeps the schema static — at scale an
-    implicit pivot would scan once just to discover the columns)."""
-    ev = _events(spark, sf_dir)
-    return (
-        ev.select(F.date_trunc("day", "ts").alias("day"), "event_type")
-        .groupBy("day")
-        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
-        .count()
-        .na.fill(0)
-        .orderBy("day")
-    )
-
-
-def _w7_percent_rank(spark, sf_dir):
-    """percent_rank + cume_dist windows per return flag over one ship
-    week — (rank-1)/(n-1) on identical operands is engine-exact."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-06-01"))
-        & (F.col("l_shipdate") < F.lit("1996-06-08"))
-    )
-    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_returnflag",
-        "l_quantity",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-    )
-
-
-def _q11_value_concentration(spark, sf_dir):
-    """TPC-H Q11 shape: scalar-subquery HAVING — keep parts whose
-    revenue exceeds 1.5x the average part revenue. The share test is
-    division-free (`2 * v * n_parts > 3 * total`) over exact DECIMALs
-    so it is SF-invariant and engine-exact; the 1-row total broadcasts
-    (never a driver collect)."""
-    li = _t(spark, sf_dir, "lineitem")
-    pv = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("v")
-    )
-    total = pv.agg(
-        F.sum("v").alias("tot"), F.count(F.lit(1)).alias("np")
-    )
-    return (
-        pv.crossJoin(F.broadcast(total))
-        .filter(2 * F.col("v") * F.col("np") > 3 * F.col("tot"))
-        .select(
-            "l_partkey",
-            F.round("v", 2).cast("double").alias("value"),
-        )
-        .orderBy(F.desc("value"), "l_partkey")
-    )
-
-
-def _q22_idle_customers(spark, sf_dir):
-    """TPC-H Q22 shape: wealthy low-activity customers — balance above
-    the global positive average (division-free `bal * n > sum` over
-    exact decimals, broadcast scalar) with at most 5 orders. (The
-    classic NO-orders anti join is structurally empty on this data —
-    every customer has orders — so the threshold keeps the check
-    populated while preserving the shape: per-customer order counts +
-    scalar-subquery filter + dim join.)"""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    pos = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    oc = orders.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
-    nation = _t(spark, sf_dir, "nation")
-    return (
-        cust.crossJoin(F.broadcast(pos))
-        .filter(F.col("c_acctbal").cast("decimal(12,2)") * F.col("n") > F.col("s"))
-        .join(oc, cust.c_custkey == oc.o_custkey, "left")
-        .filter(F.coalesce(F.col("n_orders"), F.lit(0)) <= 5)
-        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2)
-            .cast("double")
-            .alias("totacctbal"),
-        )
-        .orderBy("n_name")
-    )
-
-
-def _ev_json_props(spark, sf_dir):
-    """Semi-structured extraction: parse the events `props` JSON
-    column, bucket the numeric field, aggregate per bucket. The JSON
-    path evaluates inside the scan stage (no UDF); sums are
-    decimal-exact."""
-    ev = _events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("int")
-    return (
-        ev.select(F.floor(k / 10).cast("int").alias("k_bucket"), "value")
-        .groupBy("k_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")), 4
-            )
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .orderBy("k_bucket")
-    )
-
-
-def _a8_cube(spark, sf_dir):
-    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations
-    in one shuffle (Expand feeds a single hash aggregate — no union of
-    four scans). Subtotal NULL keys coalesce to 'ALL'."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 4
-            )
-            .cast("double")
-            .alias("sum_price"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
-            "n",
-            "sum_price",
-        )
-    )
-
-
-def _ev_retention(spark, sf_dir):
-    """Cohort retention: users cohorted by first-event date, then
-    distinct-user counts per (cohort_day, weeks-since-first). Two keyed
-    aggregations on user_id plus one join back; the per-user first-day
-    frame is user-cardinality-sized so AQE broadcasts it and the fact
-    table shuffles once for the cohort count."""
-    ev = _events(spark, sf_dir)
-    # day-truncated TIMESTAMP (not DATE) so both engines serialize the
-    # cohort key identically — the ev_hourly_agg-proven pattern
-    first = ev.groupBy("user_id").agg(
-        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
-    )
-    week = F.floor(
-        F.datediff(F.to_date("ts"), F.to_date("cohort_day")) / 7
-    ).alias("week_offset")
-    return (
-        ev.join(first, on="user_id")
-        .select("user_id", "cohort_day", week)
-        .groupBy("cohort_day", "week_offset")
-        .agg(F.count_distinct("user_id").alias("n_users"))
-    )
-
-
-_BM25_TERMS = ("hash", "join", "vector")
-
-
-def _text_bm25(spark, sf_dir):
-    """BM25 document ranking for a fixed 3-term query (k1=1.2, b=0.75,
-    Lucene-style idf = ln(1 + (N - df + .5)/(df + .5))). Doc-length and
-    df frames are dimension-sized and broadcast; per-term partial
-    scores pivot into fixed columns so the final score is a fixed-order
-    scalar add — bit-identical across engines, no float
-    summation-order hazard. Top-20 via TakeOrderedAndProject."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
-        )
-        .select(
-            "doc_id",
-            F.regexp_replace("tok", r"^\W+|\W+$", "").alias("tok"),
-        )
-        .filter(F.length("tok") >= 2)
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_avg = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    tf = (
-        toks.filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(n_avg))
-    )
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    s = (
-        idf
-        * (F.col("tf") * 2.2)
-        / (
-            F.col("tf")
-            + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
-        )
-    )
-    pivoted = (
-        scored.select("doc_id", "tok", s.alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("tok") == t, F.col("s"))).alias(f"s_{t}")
-                for t in _BM25_TERMS
-            ]
-        )
-    )
-    score = (
-        F.coalesce(F.col(f"s_{_BM25_TERMS[0]}"), F.lit(0.0))
-        + F.coalesce(F.col(f"s_{_BM25_TERMS[1]}"), F.lit(0.0))
-        + F.coalesce(F.col(f"s_{_BM25_TERMS[2]}"), F.lit(0.0))
-    )
-    return (
-        pivoted.select("doc_id", F.round(score, 6).alias("score"))
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(20)
     )
 
 

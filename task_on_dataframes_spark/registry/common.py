@@ -1,0 +1,51 @@
+"""Shared helpers for the split query registry."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet's ``ts`` physical type has changed across testdata
+    generations (TIMESTAMP(NANOS)-as-long, now TIMESTAMP_MICROS/NTZ);
+    the shared reader branches on the actual dtype and never mutates
+    session conf unless the legacy nanos layout is present."""
+    from task_on_dataframes_spark.sources.readers import read_events
+
+    return read_events(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape SQL breadth (round 2): correlated subqueries, scalar
+# subqueries, groupwise-min join-back, disjunctive pushdown. The
+# synthetic tables lack partsupp, so q2/q9/q11/q16/q20-shapes use
+# lineitem as the part-supplier bridge — same plan shapes, same
+# oracle discipline.
+# ---------------------------------------------------------------------------
+
+# column factories (not module constants: building a Column needs an
+# active SparkContext, which doesn't exist at import time)
+def _dec_ep():
+    return F.col("l_extendedprice").cast("decimal(12,2)")
+
+
+def _dec_disc():
+    return F.col("l_discount").cast("decimal(4,2)")
+
+
+def _dec_qty():
+    return F.col("l_quantity").cast("decimal(12,2)")
+
+
+_BM25_TERMS = ("hash", "join", "vector")
+
+
+#: demo weight table for the hashed linear classifier: 16 buckets,
+#: fixed-point 1e-4 units, mixed signs — deterministic and shared with
+#: the oracle SQL verbatim
+_CLS_WEIGHTS_FP = [(i - 8) * 1250 for i in range(16)]

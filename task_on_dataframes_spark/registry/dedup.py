@@ -1,0 +1,210 @@
+"""Deduplication family (exact/minhash/simhash/ngram/embedding/decontaminate) — query registry split out of ``__spark_entry__.py``.
+
+Each function takes ``(spark, sf_dir)`` and returns a lazy DataFrame;
+the matching DuckDB oracle SQL lives in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import (
+    _BM25_TERMS,
+    _CLS_WEIGHTS_FP,
+    _dec_disc,
+    _dec_ep,
+    _dec_qty,
+    _events,
+    _t,
+)
+
+__all__: list = []  # underscore names are imported explicitly by the entry file
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions: dedup / similarity / text analysis /
+# multimodal (north-star operators; SURVEY §7.2 step 5)
+# ---------------------------------------------------------------------------
+
+def _dedup_exact(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+def _dedup_minhash_lsh(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=16, bands=4, threshold=0.5, shingle_n=2
+    )
+
+def _dedup_ngram_jaccard(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=50
+    )
+
+def _dedup_simhash(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs, "doc_id", "text")
+    return simhash_pairs(fps, max_hamming=3)
+
+def _dedup_components(spark, sf_dir):
+    """Near-dup clusters: simhash pair graph -> connected components ->
+    (member, representative=min doc_id). The iterative min-label
+    propagation is the Spark side; the oracle is a recursive CTE."""
+    from task_on_dataframes_spark.operators.dedup import (
+        connected_components,
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(simhash_fingerprints(docs, "doc_id", "text"), max_hamming=3)
+    return connected_components(pairs, src="a", dst="b")
+
+def _dedup_embedding_cosine(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.4)
+
+def _dedup_embedding_lsh(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import embedding_lsh_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(emb, threshold=0.4, dims=64, planes=4)
+
+def _decontaminate(spark, sf_dir):
+    """Train/test contamination check (GPT-3-style n-gram overlap):
+    a train document is contaminated when it shares any word 5-gram
+    with any test-split document. Composition of the deterministic
+    splitter + shingling + semi/anti joins: the gram-overlap join is
+    keyed on the gram, so nothing quadratic ever forms."""
+    from task_on_dataframes_spark.operators.dedup import _word_ngrams
+    from task_on_dataframes_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = assign_split(docs, "doc_id")
+    grams = _word_ngrams(docs, "doc_id", "text", 5)
+    test_ids = labeled.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("did")
+    )
+    train_ids = labeled.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("did")
+    )
+    test_grams = grams.join(F.broadcast(test_ids), on="did").select("tok").distinct()
+    train_grams = grams.join(train_ids, on="did", how="left_semi")
+    contaminated = (
+        train_grams.join(F.broadcast(test_grams), on="tok", how="left_semi")
+        .select("did")
+        .distinct()
+    )
+    return (
+        train_ids.join(
+            contaminated.withColumn("__c", F.lit(1)), on="did", how="left"
+        )
+        .groupBy(
+            F.when(F.col("__c").isNotNull(), "contaminated")
+            .otherwise("clean")
+            .alias("status")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+def _dedup_keep_canonical(spark, sf_dir):
+    """End-to-end keep-one dedup: simhash pair graph -> pointer-doubling
+    connected components -> drop non-representatives (broadcast
+    left-anti; the corpus never shuffles for the cut). Returns the
+    surviving (doc_id, lang) rows."""
+    from task_on_dataframes_spark.operators.dedup import (
+        keep_canonical,
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(
+        simhash_fingerprints(docs, "doc_id", "text"), max_hamming=3
+    )
+    return keep_canonical(
+        docs.select("doc_id", "lang"), "doc_id", pairs
+    )
+
+def _dedup_spans(spark, sf_dir):
+    """C4/RefinedWeb-style span-level corpus dedup: 10-token
+    non-overlapping spans, keep the globally first occurrence of each
+    distinct span, rebuild documents from surviving spans. Two keyed
+    shuffles (span text, then doc id) — no cross join, no driver
+    state."""
+    from task_on_dataframes_spark.operators.dedup import span_dedup
+
+    return span_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+def _dedup_cross_corpus(spark, sf_dir):
+    """Incremental-ingest dedup: drop new documents whose normalized
+    text digest already exists in the reference corpus (simulated as
+    the doc_id % 7 == 0 slice). One digest-keyed LEFT ANTI join — the
+    shape of deduping a fresh crawl against an existing corpus; the
+    existing side reduces to distinct digests before the join."""
+    docs = _t(spark, sf_dir, "documents")
+    digest = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", digest.alias("digest")
+    )
+    existing = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(digest.alias("digest"))
+        .distinct()
+    )
+    return new.join(existing, "digest", "left_anti").select("doc_id")
+
+def _dedup_daily_first(spark, sf_dir):
+    """Keep the first event per (user, day): one window shuffle keyed
+    by (user_id, date) — the retention-counting / sessionless-dedup
+    primitive."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            # date_trunc (timestamp), not to_date: DATE columns collect
+            # as python objects and break the comparator's dtype match
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_id",
+            "event_type",
+        )
+    )
+
+def _dedup_winnow(spark, sf_dir):
+    from task_on_dataframes_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        shingle=8, window=4, threshold=0.5, max_df=50,
+    )
+
+def _dedup_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup verification over minhash-LSH candidates
+    (never all pairs) — `levenshtein` evaluates JVM-side in the join
+    projection; the relative threshold is an integer cross-product
+    test, exact on both engines."""
+    from task_on_dataframes_spark.operators.dedup import levenshtein_pairs
+
+    return levenshtein_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")

@@ -1,0 +1,171 @@
+"""Embedding, ANN, and graph analytics — query registry split out of ``__spark_entry__.py``.
+
+Each function takes ``(spark, sf_dir)`` and returns a lazy DataFrame;
+the matching DuckDB oracle SQL lives in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import (
+    _BM25_TERMS,
+    _CLS_WEIGHTS_FP,
+    _dec_disc,
+    _dec_ep,
+    _dec_qty,
+    _events,
+    _t,
+)
+
+__all__: list = []  # underscore names are imported explicitly by the entry file
+
+
+def _ann_cosine_topk(spark, sf_dir):
+    from task_on_dataframes_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries_df, k=10)
+
+def _ann_lsh_topk(spark, sf_dir):
+    from task_on_dataframes_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(emb, queries_df, k=10, dims=64, planes=8)
+
+def _ann_ivf_topk(spark, sf_dir):
+    from task_on_dataframes_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)
+
+def _emb_kmeans(spark, sf_dir):
+    """Spherical k-means over the embeddings table: 8 clusters, 3
+    fixed Lloyd iterations (deterministic — the DuckDB oracle replays
+    the identical steps)."""
+    from task_on_dataframes_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    return kmeans_assignments(_t(spark, sf_dir, "embeddings"), k=8, iters=3)
+
+def _emb_quantize(spark, sf_dir):
+    from task_on_dataframes_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+def _ann_lsh_multi_topk(spark, sf_dir):
+    """Multi-table LSH ANN (2 tables x 4 planes): candidate union
+    across independent plane sets — the recall lever of LSH search."""
+    from task_on_dataframes_spark.operators.similarity import lsh_ann_topk_multi
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk_multi(
+        emb, queries_df, k=10, dims=64, planes=4, n_tables=2
+    )
+
+def _emb_label_centroids(spark, sf_dir):
+    """Per-label mean embedding: ONE keyed shuffle of n x d exploded
+    rows with map-side partial DECIMAL sums (partition-order-proof,
+    exact oracle)."""
+    from task_on_dataframes_spark.operators.linalg import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+def _emb_gram(spark, sf_dir):
+    """Distributed Gram matrix: per-partition NumPy X^T X partials via
+    mapInPandas, one d(d+1)/2-key shuffle of partials — the corpus is
+    never shuffled (the covariance/PCA front end at 100 TB)."""
+    from task_on_dataframes_spark.operators.linalg import gram_matrix
+
+    return gram_matrix(_t(spark, sf_dir, "embeddings"))
+
+def _emb_pca_top(spark, sf_dir):
+    """Top principal direction: distributed Gram reduction, then a
+    deterministic driver-side power iteration on the d x d result
+    (fixed all-ones init, 8 steps, sign-normalized). The oracle
+    replays the identical iteration in SQL from the same rounded
+    Gram."""
+    from task_on_dataframes_spark.operators.linalg import (
+        gram_matrix,
+        pca_power_top,
+    )
+
+    gram = gram_matrix(_t(spark, sf_dir, "embeddings"))
+    return pca_power_top(spark, gram)
+
+def _emb_pca_project(spark, sf_dir):
+    """Apply the learned transform: project every embedding onto the
+    top principal direction. The direction (64 floats) comes from the
+    distributed Gram + driver power iteration and broadcasts as an
+    array literal; the projection is a scan-stage DECIMAL-exact fold —
+    no shuffle touches the corpus beyond the Gram reduction itself."""
+    from task_on_dataframes_spark.operators.linalg import (
+        gram_matrix,
+        pca_power_top,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = {
+        r["pos"]: r["loading"]
+        for r in pca_power_top(spark, gram_matrix(emb)).collect()
+    }
+    arr = F.array(*[F.lit(float(v[i + 1])) for i in range(64)])
+    prods = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        arr,
+        lambda a, b: a * b,
+    )
+    proj = F.round(
+        F.aggregate(
+            prods,
+            F.lit(0).cast("decimal(28,12)"),
+            # re-cast per step: decimal addition widens the type and
+            # the fold accumulator must stay DECIMAL(28,12); no digits
+            # are lost (all addends carry exactly 12 frac digits)
+            lambda acc, x: (acc + x.cast("decimal(28,12)")).cast(
+                "decimal(28,12)"
+            ),
+        ).cast("double"),
+        6,
+    )
+    return emb.select("vec_id", proj.alias("proj"))
+
+def _graph_pagerank(spark, sf_dir):
+    """PageRank over the customer-nation -> supplier-nation trade
+    graph (edge weight = lineitem count). Edge list stays distributed;
+    the 25-row rank vector broadcasts per iteration — one keyed
+    shuffle per step at any scale."""
+    from task_on_dataframes_spark.operators.graph import pagerank
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    return pagerank(edges, nodes, iters=5, damping=0.85)

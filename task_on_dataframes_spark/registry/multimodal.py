@@ -1,0 +1,81 @@
+"""Multimodal (binary media) queries — query registry split out of ``__spark_entry__.py``.
+
+Each function takes ``(spark, sf_dir)`` and returns a lazy DataFrame;
+the matching DuckDB oracle SQL lives in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import (
+    _BM25_TERMS,
+    _CLS_WEIGHTS_FP,
+    _dec_disc,
+    _dec_ep,
+    _dec_qty,
+    _events,
+    _t,
+)
+
+__all__: list = []  # underscore names are imported explicitly by the entry file
+
+
+def _mm_decode_meta(spark, sf_dir):
+    from task_on_dataframes_spark.operators.multimodal import (
+        decode_media_meta,
+        make_media_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media_meta(make_media_table(docs))
+
+def _mm_frame_sample(spark, sf_dir):
+    from task_on_dataframes_spark.operators.multimodal import (
+        decode_media_meta,
+        make_media_table,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(decode_media_meta(make_media_table(docs)))
+
+def _mm_raw_decode(spark, sf_dir):
+    """REAL pixel decode: synthesize deterministic ``image/raw`` solid-
+    color images from doc_id, then extract (width, height, n_frames)
+    from the actual pixel-array header via the codec-free numpy kernel.
+    Every value is analytic in doc_id, so the oracle is exact."""
+    from task_on_dataframes_spark.operators.multimodal import (
+        decode_media_meta,
+        make_raw_media_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media_meta(make_raw_media_table(docs))
+
+def _mm_raw_pipeline(spark, sf_dir):
+    """Full real-kernel media pipeline: raw images -> REAL bilinear
+    resize (16x12) -> REAL pixel-histogram features (8 luminance
+    buckets) -> argmax bucket + its mass. Solid-color inputs make the
+    result analytic (bilinear of a constant is the constant; each RGB
+    channel carries 1/3 of the histogram mass), so the DuckDB oracle
+    replays the arithmetic exactly while the kernels do real pixel
+    work. Map-only until the final argmax projection — no shuffle."""
+    from task_on_dataframes_spark.operators.multimodal import (
+        extract_features,
+        make_raw_media_table,
+        resize_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_features(
+        resize_media(make_raw_media_table(docs), width=16, height=12),
+        dims=8,
+    )
+    top_val = F.array_max("features")
+    return feats.select(
+        "media_id",
+        (F.array_position("features", top_val) - 1).alias("top_bucket"),
+        F.round(top_val.cast("double"), 6).alias("top_val"),
+    )

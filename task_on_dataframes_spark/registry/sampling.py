@@ -1,0 +1,171 @@
+"""Sampling, sharding, and skew-mitigation queries — query registry split out of ``__spark_entry__.py``.
+
+Each function takes ``(spark, sf_dir)`` and returns a lazy DataFrame;
+the matching DuckDB oracle SQL lives in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import (
+    _BM25_TERMS,
+    _CLS_WEIGHTS_FP,
+    _dec_disc,
+    _dec_ep,
+    _dec_qty,
+    _events,
+    _t,
+)
+
+__all__: list = []  # underscore names are imported explicitly by the entry file
+
+
+def _sample_split(spark, sf_dir):
+    """Deterministic train/val/test split counts: hash-bucket labeling
+    so the split is reproducible across runs, engines, partitionings."""
+    from task_on_dataframes_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        assign_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+def _sample_stratified(spark, sf_dir):
+    """Language-rebalancing sample: keep 20% of English, all of the
+    rest — summarized as kept-count per language (a deterministic
+    function of doc_id, so the oracle reproduces it exactly)."""
+    from task_on_dataframes_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.2}, default_fraction=1.0
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+def _sample_weighted(spark, sf_dir):
+    """Quality-weighted importance resampling (the corpus-mixing move
+    in DCLM/FineWeb-style pipelines): weight_pm = min(1000, 5 *
+    n_tokens), so documents of >=200 tokens always survive and shorter
+    ones survive with proportionally lower probability. The keep
+    decision is a pure function of doc_id, so the oracle replays the
+    exact sample; zero shuffle — one hash compare in the scan stage."""
+    from task_on_dataframes_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    weighted = docs.withColumn(
+        "weight_pm",
+        F.least(F.lit(1000), F.lit(5) * n_tokens).cast("bigint"),
+    )
+    kept = weighted_sample(weighted, "doc_id", F.col("weight_pm"))
+    return kept.select("doc_id", "lang", "weight_pm")
+
+def _shard_assign(spark, sf_dir):
+    """Deterministic balanced shard assignment for training-data
+    export: shard = portable_hash(doc_id) % 16. Zero shuffle on the
+    corpus (the hash is a scan-stage projection); only the 16-row
+    summary aggregates. Same stable-hash discipline as sampling — a
+    retry or a different cluster produces identical shards."""
+    from task_on_dataframes_spark.operators.hashing import hash32
+
+    docs = _t(spark, sf_dir, "documents")
+    shard = F.pmod(
+        hash32(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+        F.lit(16),
+    )
+    return (
+        docs.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+def _sample_bottomk(spark, sf_dir):
+    """Exact-size uniform sample without a global sort: bottom-k by
+    the portable stable hash (TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on the driver). The distributed
+    alternative to reservoir sampling, and reproducible across
+    retries/engines because the hash, not RNG state, picks rows."""
+    from task_on_dataframes_spark.operators.hashing import hash32
+
+    docs = _t(spark, sf_dir, "documents")
+    h = hash32(F.concat(F.lit("bk:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(100)
+        .select("doc_id", "lang")
+    )
+
+def _sample_topk_per_stratum(spark, sf_dir):
+    """Corpus curation: keep the top-3 documents per language by the
+    length-quality score (desc, doc_id tiebreak) — per-group top-k via
+    a keyed window; WindowGroupLimit pushes the rank cut below the
+    sort, so each group keeps 3 rows per partition before any shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    score = F.round(
+        F.least(
+            F.size(F.split(F.lower(F.col("text")), r"\s+")) / F.lit(100.0),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+def _skew_distinct_2phase(spark, sf_dir):
+    """Hot-key-safe COUNT(DISTINCT): phase 1 groups on (key, value) so
+    the value spreads the hot key across reducers; phase 2 counts pairs
+    per key. Same answer as a plain distinct-agg, skew-proof shape."""
+    from task_on_dataframes_spark.operators.skew import distinct_count_2phase
+
+    li = _t(spark, sf_dir, "lineitem")
+    return distinct_count_2phase(
+        li, ["l_returnflag"], "l_partkey", out="n_distinct"
+    )
+
+def _skew_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation over a 3-value (maximally skewed)
+    key — content-derived salts, decimal-exact sums, answer identical
+    to the plain aggregate."""
+    from task_on_dataframes_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        exprs_partial=[
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__s"),
+            F.count(F.lit(1)).alias("__c"),
+        ],
+        exprs_final=[
+            F.round(F.sum("__s"), 2).cast("double").alias("sum_qty"),
+            F.sum("__c").alias("n"),
+        ],
+        n_salt=8,
+    )
+
+def _skew_salted_join(spark, sf_dir):
+    """Salted skew join (the stream-static / AQE-unavailable shape):
+    orders salted on content hash, customer replicated per salt; the
+    grouped result is identical to the plain join."""
+    from task_on_dataframes_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, on=["o_custkey"], n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))

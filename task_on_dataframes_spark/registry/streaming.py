@@ -1,0 +1,192 @@
+"""Structured Streaming queries drained to completion — query registry split out of ``__spark_entry__.py``.
+
+Each function takes ``(spark, sf_dir)`` and returns a lazy DataFrame;
+the matching DuckDB oracle SQL lives in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import (
+    _BM25_TERMS,
+    _CLS_WEIGHTS_FP,
+    _dec_disc,
+    _dec_ep,
+    _dec_qty,
+    _events,
+    _t,
+)
+
+__all__: list = []  # underscore names are imported explicitly by the entry file
+
+
+def _stream_hourly_agg(spark, sf_dir):
+    """Structured Streaming twin of ev_hourly_agg, driven to completion
+    with an availableNow trigger into a memory sink and returned as a
+    batch frame. The decimal-exact sums make stream output bit-identical
+    to the batch plan, so the SAME DuckDB oracle checks a real
+    streaming execution (watermark + tumbling window + state store)."""
+    import tempfile
+    import uuid
+
+    from task_on_dataframes_spark.streaming.events import (
+        events_stream,
+        hourly_counts_stream,
+        run_available_now,
+    )
+
+    name = "stream_hourly_" + uuid.uuid4().hex[:8]
+    stream = hourly_counts_stream(
+        events_stream(spark, f"{sf_dir}/events.parquet")
+    )
+    run_available_now(
+        stream,
+        name,
+        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
+        output_mode="complete",
+    )
+    return spark.table(name)
+
+def _stream_sessionize(spark, sf_dir):
+    """Custom stateful streaming sessionization (applyInPandasWithState,
+    30-min gap, event-time timeout), drained to COMPLETION: two
+    far-future sentinel micro-batches advance the watermark past every
+    real session's timeout so open sessions at end-of-input are emitted
+    too (see streaming.events.stage_with_sentinels). The result is the
+    full session set, checked against the SAME gaps-and-islands DuckDB
+    oracle as the batch twin ``ev_sessionize`` — session_seq is
+    recovered per user by ordering emitted sessions on start time."""
+    import tempfile
+    import uuid
+
+    from task_on_dataframes_spark.streaming.events import sessionize_drain_all
+
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    sessions = sessionize_drain_all(
+        spark,
+        f"{sf_dir}/events.parquet",
+        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
+        query_name=name,
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return sessions.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_seq"),
+        "n_events",
+        "session_value",
+    )
+
+def _stream_dedup(spark, sf_dir):
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type), drained with availableNow. In a single-drain
+    run every key stays in state (the watermark never passes it), so
+    the emitted key set equals batch DISTINCT — an exact oracle for the
+    streaming dedup plumbing. At production throughput the same plan
+    holds with bounded state: key state is evicted once the watermark
+    passes (the unbounded-state trap of plain dropDuplicates on a
+    stream does not exist here)."""
+    import tempfile
+    import uuid
+
+    from task_on_dataframes_spark.streaming.events import (
+        dedup_stream,
+        events_stream,
+        run_available_now,
+    )
+
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    st = dedup_stream(
+        events_stream(spark, f"{sf_dir}/events.parquet"),
+        ["user_id", "event_type"],
+        watermark="96 hours",
+    )
+    run_available_now(
+        st.select("user_id", "event_type"),
+        name,
+        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
+        output_mode="append",
+    )
+    return spark.table(name)
+
+def _stream_enrich(spark, sf_dir):
+    """Stream-static enrichment: the event stream joins a small static
+    dimension (user -> segment) broadcast into every micro-batch — the
+    static side never shuffles the stream, the canonical dimension-join
+    shape for streaming pipelines. The drained sink is aggregated per
+    (segment, event_type) with decimal-exact sums so a value oracle
+    checks the whole stream-join path."""
+    import tempfile
+    import uuid
+
+    from task_on_dataframes_spark.streaming.events import (
+        enrich_stream,
+        events_stream,
+        run_available_now,
+    )
+
+    dim = (
+        _events(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", F.pmod(F.col("user_id"), F.lit(7)))
+    )
+    st = enrich_stream(
+        events_stream(spark, f"{sf_dir}/events.parquet"), dim, on="user_id"
+    )
+    name = "stream_enrich_" + uuid.uuid4().hex[:8]
+    run_available_now(
+        st.select("segment", "event_type", "value"),
+        name,
+        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
+        output_mode="append",
+    )
+    return (
+        spark.table(name)
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+def _stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join: purchases within 1 hour
+    AFTER a view by the same user. Both sides carry watermarks and the
+    join has a time-range bound, so buffered state is evicted as the
+    watermark advances — the configuration stream-stream joins REQUIRE
+    for bounded state at any throughput. The drained pair stream is
+    aggregated per view-hour and checked against the batch self-join
+    oracle."""
+    import tempfile
+    import uuid
+
+    from task_on_dataframes_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+        stream_stream_window_join,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    views = events_stream(spark, src).filter(F.col("event_type") == "view")
+    buys = events_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_window_join(
+        views, buys, key="user_id", within="1 hour", watermark="96 hours"
+    )
+    name = "stream_ssj_" + uuid.uuid4().hex[:8]
+    run_available_now(
+        joined,
+        name,
+        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
+        output_mode="append",
+    )
+    return (
+        spark.table(name)
+        .groupBy(F.date_trunc("hour", F.col("l_ts")).alias("view_hour"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1,0 +1,288 @@
+"""Text analysis and curation pipelines — query registry split out of ``__spark_entry__.py``.
+
+Each function takes ``(spark, sf_dir)`` and returns a lazy DataFrame;
+the matching DuckDB oracle SQL lives in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import (
+    _BM25_TERMS,
+    _CLS_WEIGHTS_FP,
+    _dec_disc,
+    _dec_ep,
+    _dec_qty,
+    _events,
+    _t,
+)
+
+__all__: list = []  # underscore names are imported explicitly by the entry file
+
+
+def _text_token_stats(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+def _text_quality(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+def _text_repetition(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+def _text_langid(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+def _text_token_count(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import token_count_estimate
+
+    return token_count_estimate(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+def _text_fingerprint(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+def _text_tfidf(spark, sf_dir):
+    from task_on_dataframes_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+def _text_pack(spark, sf_dir):
+    """Sequence packing: chunk the corpus, then assign chunks to
+    2048-token packs by global token offset — computed with the
+    distributed prefix-sum pattern (no global window; see
+    operators/text.py:pack_sequences)."""
+    from task_on_dataframes_spark.operators.text import chunk_text, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_text(docs, "doc_id", "text", chunk_tokens=64)
+    packed = pack_sequences(
+        chunks, ["doc_id", "chunk_id"], "n_tokens", budget=2048
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+def _text_chunk(spark, sf_dir):
+    from task_on_dataframes_spark.operators.text import chunk_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_text(docs, "doc_id", "text", chunk_tokens=64)
+
+def _text_classifier(spark, sf_dir):
+    """Model-based quality filter: score each document with a
+    fasttext-style hashed linear classifier (16 md5 buckets, integer
+    fixed-point weights, exact int64 fold inside the scan — zero
+    shuffle)."""
+    from task_on_dataframes_spark.operators.textstats import (
+        hashed_classifier_score,
+    )
+
+    return hashed_classifier_score(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        _CLS_WEIGHTS_FP,
+    )
+
+def _text_pii_redact(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import pii_redact
+
+    return pii_redact(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+def _text_ngram_counts(spark, sf_dir):
+    from task_on_dataframes_spark.operators.text import ngram_counts
+
+    return ngram_counts(_t(spark, sf_dir, "documents"), "text", n=2, k=100)
+
+def _text_sentences(spark, sf_dir):
+    """Sentence segmentation + per-sentence token counts: one regex
+    split (Java/RE2-common pattern, no lookbehind) + posexplode that
+    preserves sentence order — scan-stage except the fan-out."""
+    docs = _t(spark, sf_dir, "documents")
+    ss = F.filter(
+        F.split(F.col("text"), r"[.!?]+\s+"),
+        lambda s: F.trim(s) != "",
+    )
+    return (
+        docs.select("doc_id", ss.alias("ss"))
+        .select(
+            "doc_id", F.posexplode("ss").alias("sent_idx", "sentence0")
+        )
+        .select(
+            "doc_id",
+            "sent_idx",
+            F.trim("sentence0").alias("sentence"),
+            F.size(F.split(F.trim("sentence0"), r"\s+")).alias("n_tokens"),
+        )
+    )
+
+def _curriculum_quality_bins(spark, sf_dir):
+    """Curriculum construction: bin the corpus into quality quartiles
+    by exact stopword-ratio percentiles, then per-bin stats. The
+    thresholds come from ONE aggregate and broadcast into a scan-stage
+    CASE — no global sort (a global ntile would single-partition the
+    corpus; threshold binning is the 100 TB shape)."""
+    from task_on_dataframes_spark.operators.textstats import quality_score
+
+    q = quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    th = q.agg(
+        *[
+            F.expr(
+                f"round(percentile(stopword_ratio, {p}), 6)"
+            ).alias(f"q{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+    sr = F.col("stopword_ratio")
+    bin_ = (
+        F.lit(1)
+        + (sr > F.col("q25")).cast("int")
+        + (sr > F.col("q50")).cast("int")
+        + (sr > F.col("q75")).cast("int")
+    )
+    return (
+        q.crossJoin(F.broadcast(th))
+        .select("n_tokens", sr.alias("sr"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "round(CAST(sum(n_tokens) AS DOUBLE) / count(1), 6)"
+            ).alias("mean_tokens"),
+            F.min("sr").alias("min_sr"),
+            F.max("sr").alias("max_sr"),
+        )
+    )
+
+def _pipeline_c4_curation(spark, sf_dir):
+    """Flagship curation pass: language gate -> length gate ->
+    stopword gate -> Gopher repetition gate -> exact-dup keep-one, as
+    ONE scan + ONE digest-window shuffle
+    (operators/textstats.py:curation_verdicts). The per-doc verdict
+    carries the first failing gate as the reason."""
+    from task_on_dataframes_spark.operators.textstats import (
+        curation_verdicts,
+    )
+
+    return curation_verdicts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+def _text_vocab_oov(spark, sf_dir):
+    """Vocabulary build + OOV rate (the LM-preprocessing pair): vocab =
+    top-500 tokens by corpus frequency (count desc, token asc — total
+    order); per-document OOV rate = fraction of tokens outside it.
+    Scale shape: one shuffle builds the vocab (TakeOrdered), the vocab
+    broadcasts into the per-doc membership check, the corpus token
+    table never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(500)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), on="tok", how="left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+def _text_winnow(spark, sf_dir):
+    from task_on_dataframes_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", shingle=8, window=4
+    )
+
+def _text_bm25(spark, sf_dir):
+    """BM25 document ranking for a fixed 3-term query (k1=1.2, b=0.75,
+    Lucene-style idf = ln(1 + (N - df + .5)/(df + .5))). Doc-length and
+    df frames are dimension-sized and broadcast; per-term partial
+    scores pivot into fixed columns so the final score is a fixed-order
+    scalar add — bit-identical across engines, no float
+    summation-order hazard. Top-20 via TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            F.regexp_replace("tok", r"^\W+|\W+$", "").alias("tok"),
+        )
+        .filter(F.length("tok") >= 2)
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_avg = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_avg))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    s = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    pivoted = (
+        scored.select("doc_id", "tok", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("tok") == t, F.col("s"))).alias(f"s_{t}")
+                for t in _BM25_TERMS
+            ]
+        )
+    )
+    score = (
+        F.coalesce(F.col(f"s_{_BM25_TERMS[0]}"), F.lit(0.0))
+        + F.coalesce(F.col(f"s_{_BM25_TERMS[1]}"), F.lit(0.0))
+        + F.coalesce(F.col(f"s_{_BM25_TERMS[2]}"), F.lit(0.0))
+    )
+    return (
+        pivoted.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
