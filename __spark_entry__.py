@@ -96,6 +96,7 @@ from task_on_dataframes_spark.registry.multimodal import (
     _mm_raw_pipeline,
 )
 from task_on_dataframes_spark.registry.relational import (
+    _s12_sorted_stats_prune,
     _a10_pivot,
     _a3_distinct_agg,
     _a4_rollup,
@@ -130,6 +131,7 @@ from task_on_dataframes_spark.registry.relational import (
     _w8_first_last,
 )
 from task_on_dataframes_spark.registry.sampling import (
+    _sample_negatives,
     _sample_bottomk,
     _sample_split,
     _sample_stratified,
@@ -148,6 +150,7 @@ from task_on_dataframes_spark.registry.streaming import (
     _stream_stream_join,
 )
 from task_on_dataframes_spark.registry.text import (
+    _text_bigram_lm,
     _curriculum_quality_bins,
     _pipeline_c4_curation,
     _text_bm25,
@@ -290,6 +293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _mm_frame_sample,
         "mm_raw_decode": _mm_raw_decode,
         "mm_raw_pipeline": _mm_raw_pipeline,
+        "text_bigram_lm": _text_bigram_lm,
+        "sample_negatives": _sample_negatives,
+        "s12_sorted_stats_prune": _s12_sorted_stats_prune,
         "set_ops": _set_ops,
         "f_posexplode": _f_posexplode,
         "w3_ranking": _w3_ranking,
@@ -1338,6 +1344,48 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN cb = greatest(cr, cg, cb) THEN bb ELSE 999 END) "
             "AS BIGINT) AS top_bucket, "
             "round(greatest(cr, cg, cb) / 3.0, 6) AS top_val FROM k"
+        ),
+        # per-bigram logp rounds to 12 on both sides before averaging so
+        # IEEE summation order cannot flip the 6-decimal hash
+        "text_bigram_lm": (
+            "WITH t AS MATERIALIZED (SELECT doc_id, "
+            "string_split_regex(lower(text), '\\s+') AS ts FROM documents), "
+            "bg AS MATERIALIZED (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 "
+            "FROM t, LATERAL unnest(generate_series(1, len(ts) - 1)) "
+            "AS u(i)), "
+            "cb AS MATERIALIZED (SELECT w1, w2, count(*) AS c_bg FROM bg "
+            "GROUP BY 1, 2), "
+            "allw AS MATERIALIZED (SELECT unnest(ts) AS w1 FROM t), "
+            "cu AS MATERIALIZED (SELECT w1, count(*) AS c_uni FROM allw "
+            "GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT w1) AS v FROM allw) "
+            "SELECT bg.doc_id, count(*) AS n_bigrams, "
+            "round(avg(round(ln((cb.c_bg + 1) / (cu.c_uni + v.v)), 12)), 6) "
+            "AS avg_logp "
+            "FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) "
+            "CROSS JOIN v GROUP BY bg.doc_id"
+        ),
+        "sample_negatives": (
+            "WITH n AS (SELECT count(*) AS n FROM documents), "
+            "c AS (SELECT doc_id, j, "
+            "CAST(('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR) "
+            "|| ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % n.n AS raw, "
+            "n.n AS nn FROM documents, n, "
+            "LATERAL unnest([0, 1, 2]) AS t(j)) "
+            "SELECT c.doc_id AS anchor_id, c.j AS neg_rank, "
+            "CASE WHEN c.raw = c.doc_id THEN (c.raw + 1) % c.nn "
+            "ELSE c.raw END AS neg_id, d.n_chars AS neg_chars "
+            "FROM c JOIN documents d ON d.doc_id = "
+            "(CASE WHEN c.raw = c.doc_id THEN (c.raw + 1) % c.nn "
+            "ELSE c.raw END)"
+        ),
+        # oracle reads the ORIGINAL events parquet: equality proves the
+        # sorted rewrite is lossless and the pruned scan is correct
+        "s12_sorted_stats_prune": (
+            "SELECT event_type, count(*) AS n, "
+            "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "
+            "AS total_value FROM events "
+            "WHERE user_id >= 100 AND user_id < 200 GROUP BY event_type"
         ),
         "ev_sessionize": (
             "WITH g AS (SELECT user_id, event_id, value, ts, "

@@ -663,3 +663,34 @@ def _a8_cube(spark, sf_dir):
             "sum_price",
         )
     )
+
+
+def _s12_sorted_stats_prune(spark, sf_dir):
+    """Sort-on-write data skipping: events range-partitioned and
+    sorted by user_id on write, so every parquet row group carries a
+    tight user_id min/max band and a selective user-range scan skips
+    most of the file (PushedFilters reach the scan — plan-asserted in
+    tests). The write itself is the distributed clustering pass a
+    100 TB table would get from z-ordering on its hottest filter key;
+    the oracle filters the original unsorted parquet."""
+    import tempfile
+
+    ev = _events(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="tada_sorted_") + "/events"
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter((F.col("user_id") >= 100) & (F.col("user_id") < 200))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -169,3 +169,45 @@ def _skew_salted_join(spark, sf_dir):
     )
     joined = salted_join(orders, cust, on=["o_custkey"], n_salt=8)
     return joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _sample_negatives(spark, sf_dir):
+    """Deterministic contrastive negative sampling: for every anchor
+    document, k=3 pseudo-random negatives drawn by portable md5 hash
+    mod corpus size (doc_id is a dense 0..N-1 surrogate), self-hits
+    bumped to the next id. The negatives join back to the corpus on
+    doc_id to prove they exist and to carry features — a keyed
+    shuffle of a k*N pair table, no collect, no global sort."""
+    from task_on_dataframes_spark.operators.hashing import hash32
+
+    docs = _t(spark, sf_dir, "documents")
+    n_total = docs.count()  # scalar; bounded work at any corpus size
+    k = 3
+    cand = docs.select("doc_id").withColumn(
+        "neg_rank", F.explode(F.array(*[F.lit(i) for i in range(k)]))
+    )
+    raw = F.pmod(
+        hash32(
+            F.concat(
+                F.lit("neg:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("neg_rank").cast("string"),
+            )
+        ),
+        F.lit(n_total),
+    )
+    neg_id = F.when(
+        raw == F.col("doc_id"), F.pmod(raw + 1, F.lit(n_total))
+    ).otherwise(raw)
+    pairs = cand.select(
+        F.col("doc_id").alias("anchor_id"),
+        "neg_rank",
+        neg_id.alias("neg_id"),
+    )
+    targets = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("n_chars").alias("neg_chars")
+    )
+    return pairs.join(targets, "neg_id").select(
+        "anchor_id", "neg_rank", "neg_id", "neg_chars"
+    )

@@ -286,3 +286,43 @@ def _text_bm25(spark, sf_dir):
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+def _text_bigram_lm(spark, sf_dir):
+    """Add-one-smoothed bigram language-model scoring: train corpus
+    bigram/unigram counts, then score each document by its mean
+    log-probability — the classic cheap LM-perplexity quality filter
+    for pretraining corpora. Scale shape: bigram and unigram counts
+    are vocabulary-bounded keyed aggregations; the per-doc score joins
+    doc bigrams to counts on (w1, w2) / w1 — three bounded keyed
+    shuffles plus the final doc_id aggregation, no global sort, no
+    driver-side model."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks"))
+    bg = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+    )
+    bigrams = base.select("doc_id", F.explode(bg).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    big_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_bg")
+    )
+    unis = base.select(F.explode("toks").alias("w1"))
+    uni_counts = unis.groupBy("w1").agg(F.count(F.lit(1)).alias("c_uni"))
+    vocab = unis.agg(F.countDistinct("w1").alias("v"))
+    logp = F.round(
+        F.log((F.col("c_bg") + 1) / (F.col("c_uni") + F.col("v"))), 12
+    )
+    return (
+        bigrams.join(big_counts, ["w1", "w2"])
+        .join(uni_counts, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logp"),
+        )
+    )

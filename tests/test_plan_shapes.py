@@ -246,3 +246,21 @@ def test_length_quartile_bins_avoid_global_ntile(spark, sf_dir, queries):
     plan = _physical(queries["w6_ntile_bins"](spark, sf_dir))
     assert "Window" not in plan, plan
     assert not re.search(r"\bntile\b", plan), plan
+
+
+def test_sorted_write_filter_reaches_rowgroup_stats(spark, sf_dir, queries):
+    # the selective user-range predicate must be pushed into the
+    # parquet scan of the sorted rewrite, where row-group min/max
+    # bands (tight after sortWithinPartitions) let it skip chunks
+    plan = _physical(queries["s12_sorted_stats_prune"](spark, sf_dir))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThanOrEqual(user_id,100)" in m.group(1), plan
+    assert "LessThan(user_id,200)" in m.group(1), plan
+
+
+def test_bigram_lm_counts_are_partial_aggregated(spark, sf_dir, queries):
+    # both LM count tables must partial-aggregate map-side before the
+    # keyed exchange (vocabulary-bounded shuffles, not token streams)
+    plan = _physical(queries["text_bigram_lm"](spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan
