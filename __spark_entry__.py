@@ -50,6 +50,12 @@ from task_on_dataframes_spark.registry.core import (
     _w1_running_sum,
     _w2_top90_tokens,
 )
+from task_on_dataframes_spark.registry.quality import (
+    _dq_rules,
+    _ev_windowed_topk,
+    _s13_bucketed_join,
+    _text_entropy,
+)
 from task_on_dataframes_spark.registry.dedup import (
     _decontaminate,
     _dedup_components,
@@ -267,6 +273,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sessionize queries whose gap semantics changed this round,
         # then the stalest green rows (r1-era). Long-green sentinels
         # sit in the tail. Re-rotate each round as rows come back.
+        # --- new this round (no driver row yet)
+        "s13_bucketed_join": _s13_bucketed_join,
+        "dq_rules": _dq_rules,
+        "ev_windowed_topk": _ev_windowed_topk,
+        "text_entropy": _text_entropy,
         "stream_dedup": _stream_dedup,
         "stream_enrich": _stream_enrich,
         "stream_stream_join": _stream_stream_join,
@@ -809,6 +820,58 @@ def oracle_sql() -> dict[str, str]:
         + 'SELECT c.tok AS top90_token FROM clean c JOIN top ON c.tok = top.tok'
     )
     return {
+        "s13_bucketed_join": (
+            "SELECT o_orderstatus, count(*) AS n, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+            "), 2) AS DOUBLE) AS revenue "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "GROUP BY o_orderstatus"
+        ),
+        "dq_rules": (
+            "SELECT 'lineitem_nonpositive_qty' AS rule, "
+            "count(*) FILTER (l_quantity IS NULL OR l_quantity <= 0) "
+            "AS violations FROM lineitem "
+            "UNION ALL SELECT 'lineitem_discount_range', "
+            "count(*) FILTER (NOT l_discount BETWEEN 0 AND 1) FROM lineitem "
+            "UNION ALL SELECT 'lineitem_negative_tax', "
+            "count(*) FILTER (l_tax < 0) FROM lineitem "
+            "UNION ALL SELECT 'lineitem_null_shipdate', "
+            "count(*) FILTER (l_shipdate IS NULL) FROM lineitem "
+            "UNION ALL SELECT 'orders_nonpositive_total', "
+            "count(*) FILTER (o_totalprice <= 0) FROM orders "
+            "UNION ALL SELECT 'orders_null_date', "
+            "count(*) FILTER (o_orderdate IS NULL) FROM orders "
+            "UNION ALL SELECT 'lineitem_orphan_orderkey', count(*) "
+            "FROM lineitem l WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) "
+            "UNION ALL SELECT 'orders_duplicate_pk', count(*) FROM "
+            "(SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)"
+        ),
+        "ev_windowed_topk": (
+            "WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "count(*) AS n FROM events GROUP BY 1, 2), "
+            "r AS (SELECT hour, event_type, n, row_number() OVER "
+            "(PARTITION BY hour ORDER BY n DESC, event_type) AS rk FROM c) "
+            "SELECT hour, event_type, n, CAST(rk AS INTEGER) AS rk "
+            "FROM r WHERE rk <= 3"
+        ),
+        "text_entropy": (
+            "WITH toks AS ("
+            "SELECT doc_id, regexp_replace(t.tok, '^\\W+|\\W+$', '', 'g') "
+            "AS tok FROM ("
+            "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) "
+            "AS tok FROM documents) t), "
+            "clean AS (SELECT doc_id, tok FROM toks WHERE length(tok) >= 2), "
+            "c AS (SELECT doc_id, tok, count(*) AS c FROM clean "
+            "GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "count(*) AS n_types, "
+            "round(log2(CAST(sum(c) AS DOUBLE)) - "
+            "sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy_bits, "
+            "round(count(*) * 1.0 / sum(c), 5) AS ttr "
+            "FROM c GROUP BY doc_id"
+        ),
         "planner_top90_tokens": top90,
         "w2_top90_tokens": top90,
         "a1_value_counts": (

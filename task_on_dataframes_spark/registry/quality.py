@@ -1,0 +1,208 @@
+"""Data-quality audit, bucketed-join, windowed top-k, and token-entropy
+queries — round-4 additions to the split registry.
+
+Each function takes ``(spark, sf_dir)`` and returns a lazy DataFrame;
+the matching DuckDB oracle SQL lives in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import _events, _t
+
+__all__: list = []  # underscore names are imported explicitly by the entry file
+
+
+def _s13_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join: write orders and lineitem as tables
+    bucketed by the join key (8 buckets), then join WITHOUT a shuffle —
+    the plan has no Exchange above either scan (asserted in
+    tests/test_plan_shapes.py). At 100 TB this is the difference
+    between re-shuffling 6 B rows per join and reading pre-placed
+    buckets: bucket layout is written once, every subsequent join on
+    the key is shuffle-free. The oracle computes the same aggregate
+    from the raw parquet."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="tada_bkt_")
+    for name, df, key in (
+        ("tada_bkt_orders", orders, "o_orderkey"),
+        ("tada_bkt_lineitem", li, "l_orderkey"),
+    ):
+        # external table at a fresh temp path: the in-memory catalog of a
+        # new session forgets old tables but their warehouse dirs linger,
+        # so managed-table overwrite would hit LOCATION_ALREADY_EXISTS
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o = spark.table("tada_bkt_orders")
+    l = spark.table("tada_bkt_lineitem")
+    # hint the merge join: at test SF the orders side is broadcast-small,
+    # which would hide the bucketing; at production scale SMJ-over-buckets
+    # (zero Exchange) is exactly the plan we want to lock in
+    return (
+        o.hint("merge")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(18,2)")
+                        - F.col("l_discount").cast("decimal(18,2)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def _dq_rules(spark, sf_dir):
+    """Data-quality rule audit: one conditional-aggregation pass per
+    table (every per-row rule is a ``sum(case ...)`` inside a single
+    scan — rules never multiply scans), plus one keyed anti-join for
+    referential integrity and one groupBy for PK uniqueness. Output is
+    a tiny (rule, violation count) table.
+
+    Scale: rule evaluation is map-side only; the orphan check is the
+    only shuffle (lineitem keyed once on l_orderkey); the PK check
+    aggregates orders once on its key. No collects, no row-at-a-time
+    Python."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+
+    li_rules = li.agg(
+        F.sum(
+            (F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0))
+            .cast("long")
+        ).alias("lineitem_nonpositive_qty"),
+        F.sum(
+            (~F.col("l_discount").between(0.0, 1.0)).cast("long")
+        ).alias("lineitem_discount_range"),
+        F.sum(
+            (F.col("l_tax") < 0).cast("long")
+        ).alias("lineitem_negative_tax"),
+        F.sum(
+            F.col("l_shipdate").isNull().cast("long")
+        ).alias("lineitem_null_shipdate"),
+    )
+    ord_rules = orders.agg(
+        F.sum(
+            (F.col("o_totalprice") <= 0).cast("long")
+        ).alias("orders_nonpositive_total"),
+        F.sum(
+            F.col("o_orderdate").isNull().cast("long")
+        ).alias("orders_null_date"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("lineitem_orphan_orderkey").alias("rule"), "v")
+    )
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("orders_duplicate_pk").alias("rule"), "v")
+    )
+
+    def _unpivot(df: DataFrame) -> DataFrame:
+        cols = df.columns
+        pairs = []
+        for c in cols:
+            pairs.extend([F.lit(c), F.col(c)])
+        return df.select(
+            F.explode(F.create_map(*pairs)).alias("rule", "v")
+        )
+
+    return (
+        _unpivot(li_rules)
+        .unionByName(_unpivot(ord_rules))
+        .unionByName(orphans)
+        .unionByName(dup_pk)
+        .select("rule", F.col("v").alias("violations"))
+    )
+
+
+def _ev_windowed_topk(spark, sf_dir):
+    """Top-3 event types per hour by event count: keyed agg on
+    (hour, type) then a rank window partitioned BY HOUR — the window
+    partitions on a bounded key (hours), never a global sort. Two
+    bounded shuffles total; survives any corpus size because state per
+    window partition is |event_type| rows."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("hour").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("hour", "event_type", "n", "rk")
+    )
+
+
+def _text_entropy(spark, sf_dir):
+    """Per-document unigram entropy + type-token ratio — an
+    information-theoretic quality score for corpus curation (low
+    entropy = repetitive/boilerplate). One explode + one (doc, token)
+    agg + one doc agg; all shuffles keyed on doc_id, no global
+    state."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("raw"),
+        )
+        .select(
+            "doc_id",
+            F.regexp_replace("raw", r"^\W+|\W+$", "").alias("tok"),
+        )
+        .filter(F.length("tok") >= 2)
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(
+                F.log2(F.sum("c"))
+                - F.sum(F.col("c") * F.log2(F.col("c"))) / F.sum("c"),
+                4,
+            ).alias("entropy_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "entropy_bits",
+            F.round(F.col("n_types") / F.col("n_tokens"), 5).alias("ttr"),
+        )
+    )

@@ -264,3 +264,34 @@ def test_bigram_lm_counts_are_partial_aggregated(spark, sf_dir, queries):
     plan = _physical(queries["text_bigram_lm"](spark, sf_dir))
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_query_has_no_shuffle(spark, sf_dir, queries):
+    # s13 joins two tables bucketed+sorted on the join key: the
+    # SortMergeJoin must read co-located buckets with ZERO shuffle
+    # Exchange (only the final aggregate may exchange its 3-row output)
+    plan = _physical(queries["s13_bucketed_join"](spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in join_part, plan
+
+
+def test_dq_rules_single_scan_per_table_rules(spark, sf_dir, queries):
+    # per-row rules fold into conditional aggregates — no rule-per-scan
+    # multiplication, no cartesian products, no Python in the plan
+    plan = _physical(queries["dq_rules"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_windowed_topk_partitions_by_hour(spark, sf_dir, queries):
+    # the rank window must partition by the bounded hour key, never a
+    # global single-partition sort
+    plan = _physical(queries["ev_windowed_topk"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_text_entropy_is_keyed_on_doc(spark, sf_dir, queries):
+    plan = _physical(queries["text_entropy"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
