@@ -107,6 +107,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # fixed single-thread CPU probe: identical work every round, so
+        # round-over-round wall-clock deltas can be attributed to code
+        # vs machine-speed drift (r4 measured the same r3 commit 1.27x
+        # slower than its recorded artifact on a slower host)
+        "calib_sec": _calibrate(),
     }
 
     # regression anchor: compare against the newest BENCH_r{N}.json and
@@ -137,6 +142,22 @@ def main() -> None:
 
     print(json.dumps(out))
     spark.stop()
+
+
+def _calibrate() -> float:
+    """Seconds for a fixed, deterministic, single-thread hash workload
+    (min of 3). Machine-speed denominator for cross-round comparisons."""
+    import hashlib
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.sha256(b"spark-graft-calibration")
+        for _ in range(1_000_000):
+            h = hashlib.sha256(h.digest())
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
 
 
 def _latest_anchor() -> dict:

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import (
+    _docs,
     _BM25_TERMS,
     _CLS_WEIGHTS_FP,
     _dec_disc,
@@ -30,13 +31,13 @@ __all__: list = []  # underscore names are imported explicitly by the entry file
 def _dedup_exact(spark, sf_dir):
     from task_on_dataframes_spark.operators.dedup import exact_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return exact_dedup(docs, "doc_id", "text")
 
 def _dedup_minhash_lsh(spark, sf_dir):
     from task_on_dataframes_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return minhash_lsh_pairs(
         docs, "doc_id", "text", num_perm=16, bands=4, threshold=0.5, shingle_n=2
     )
@@ -44,7 +45,7 @@ def _dedup_minhash_lsh(spark, sf_dir):
 def _dedup_ngram_jaccard(spark, sf_dir):
     from task_on_dataframes_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, max_df=50
     )
@@ -55,7 +56,7 @@ def _dedup_simhash(spark, sf_dir):
         simhash_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     fps = simhash_fingerprints(docs, "doc_id", "text")
     return simhash_pairs(fps, max_hamming=3)
 
@@ -69,7 +70,7 @@ def _dedup_components(spark, sf_dir):
         simhash_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = simhash_pairs(simhash_fingerprints(docs, "doc_id", "text"), max_hamming=3)
     return connected_components(pairs, src="a", dst="b")
 
@@ -94,7 +95,7 @@ def _decontaminate(spark, sf_dir):
     from task_on_dataframes_spark.operators.dedup import _word_ngrams
     from task_on_dataframes_spark.operators.sampling import assign_split
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     labeled = assign_split(docs, "doc_id")
     grams = _word_ngrams(docs, "doc_id", "text", 5)
     test_ids = labeled.filter(F.col("split") == "test").select(
@@ -133,7 +134,7 @@ def _dedup_keep_canonical(spark, sf_dir):
         simhash_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = simhash_pairs(
         simhash_fingerprints(docs, "doc_id", "text"), max_hamming=3
     )
@@ -149,7 +150,7 @@ def _dedup_spans(spark, sf_dir):
     state."""
     from task_on_dataframes_spark.operators.dedup import span_dedup
 
-    return span_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return span_dedup(_docs(spark, sf_dir), "doc_id", "text")
 
 def _dedup_cross_corpus(spark, sf_dir):
     """Incremental-ingest dedup: drop new documents whose normalized
@@ -157,7 +158,7 @@ def _dedup_cross_corpus(spark, sf_dir):
     the doc_id % 7 == 0 slice). One digest-keyed LEFT ANTI join — the
     shape of deduping a fresh crawl against an existing corpus; the
     existing side reduces to distinct digests before the join."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     digest = F.md5(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     )
@@ -196,7 +197,7 @@ def _dedup_winnow(spark, sf_dir):
     from task_on_dataframes_spark.operators.dedup import winnow_pairs
 
     return winnow_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        _docs(spark, sf_dir), "doc_id", "text",
         shingle=8, window=4, threshold=0.5, max_df=50,
     )
 
@@ -207,4 +208,4 @@ def _dedup_levenshtein(spark, sf_dir):
     test, exact on both engines."""
     from task_on_dataframes_spark.operators.dedup import levenshtein_pairs
 
-    return levenshtein_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return levenshtein_pairs(_docs(spark, sf_dir), "doc_id", "text")

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import (
+    _docs,
     _BM25_TERMS,
     _CLS_WEIGHTS_FP,
     _dec_disc,
@@ -28,7 +29,7 @@ def _mm_decode_meta(spark, sf_dir):
         make_media_table,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return decode_media_meta(make_media_table(docs))
 
 def _mm_frame_sample(spark, sf_dir):
@@ -38,7 +39,7 @@ def _mm_frame_sample(spark, sf_dir):
         sample_frames,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return sample_frames(decode_media_meta(make_media_table(docs)))
 
 def _mm_raw_decode(spark, sf_dir):
@@ -51,7 +52,7 @@ def _mm_raw_decode(spark, sf_dir):
         make_raw_media_table,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return decode_media_meta(make_raw_media_table(docs))
 
 def _mm_raw_pipeline(spark, sf_dir):
@@ -68,7 +69,7 @@ def _mm_raw_pipeline(spark, sf_dir):
         resize_media,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     feats = extract_features(
         resize_media(make_raw_media_table(docs), width=16, height=12),
         dims=8,

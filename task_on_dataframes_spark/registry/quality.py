@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import _events, _t
+from .common import _docs, _events, _t
 
 __all__: list = []  # underscore names are imported explicitly by the entry file
 
@@ -172,7 +172,7 @@ def _text_entropy(spark, sf_dir):
     entropy = repetitive/boilerplate). One explode + one (doc, token)
     agg + one doc agg; all shuffles keyed on doc_id, no global
     state."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     toks = (
         docs.select(
             "doc_id",

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import (
+    _docs,
     _BM25_TERMS,
     _CLS_WEIGHTS_FP,
     _dec_disc,
@@ -50,12 +51,12 @@ def _text_token_count(spark, sf_dir):
 def _text_fingerprint(spark, sf_dir):
     from task_on_dataframes_spark.operators.textstats import doc_fingerprint
 
-    return doc_fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return doc_fingerprint(_docs(spark, sf_dir), "doc_id", "text")
 
 def _text_tfidf(spark, sf_dir):
     from task_on_dataframes_spark.operators.text import tfidf_top_terms
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     return tfidf_top_terms(docs, "doc_id", "text", k=3)
 
 def _text_pack(spark, sf_dir):
@@ -65,7 +66,7 @@ def _text_pack(spark, sf_dir):
     operators/text.py:pack_sequences)."""
     from task_on_dataframes_spark.operators.text import chunk_text, pack_sequences
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     chunks = chunk_text(docs, "doc_id", "text", chunk_tokens=64)
     packed = pack_sequences(
         chunks, ["doc_id", "chunk_id"], "n_tokens", budget=2048
@@ -78,7 +79,7 @@ def _text_pack(spark, sf_dir):
 def _text_chunk(spark, sf_dir):
     from task_on_dataframes_spark.operators.text import chunk_text
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     return chunk_text(docs, "doc_id", "text", chunk_tokens=64)
 
 def _text_classifier(spark, sf_dir):
@@ -105,13 +106,13 @@ def _text_pii_redact(spark, sf_dir):
 def _text_ngram_counts(spark, sf_dir):
     from task_on_dataframes_spark.operators.text import ngram_counts
 
-    return ngram_counts(_t(spark, sf_dir, "documents"), "text", n=2, k=100)
+    return ngram_counts(_docs(spark, sf_dir), "text", n=2, k=100)
 
 def _text_sentences(spark, sf_dir):
     """Sentence segmentation + per-sentence token counts: one regex
     split (Java/RE2-common pattern, no lookbehind) + posexplode that
     preserves sentence order — scan-stage except the fan-out."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     ss = F.filter(
         F.split(F.col("text"), r"[.!?]+\s+"),
         lambda s: F.trim(s) != "",
@@ -137,7 +138,7 @@ def _curriculum_quality_bins(spark, sf_dir):
     corpus; threshold binning is the 100 TB shape)."""
     from task_on_dataframes_spark.operators.textstats import quality_score
 
-    q = quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    q = quality_score(_docs(spark, sf_dir), "doc_id", "text")
     th = q.agg(
         *[
             F.expr(
@@ -177,7 +178,7 @@ def _pipeline_c4_curation(spark, sf_dir):
         curation_verdicts,
     )
 
-    return curation_verdicts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return curation_verdicts(_docs(spark, sf_dir), "doc_id", "text")
 
 def _text_vocab_oov(spark, sf_dir):
     """Vocabulary build + OOV rate (the LM-preprocessing pair): vocab =
@@ -186,7 +187,7 @@ def _text_vocab_oov(spark, sf_dir):
     Scale shape: one shuffle builds the vocab (TakeOrdered), the vocab
     broadcasts into the per-doc membership check, the corpus token
     table never shuffles."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
@@ -217,7 +218,7 @@ def _text_winnow(spark, sf_dir):
     )
 
     return winnow_fingerprints(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", shingle=8, window=4
+        _docs(spark, sf_dir), "doc_id", "text", shingle=8, window=4
     )
 
 def _text_bm25(spark, sf_dir):
@@ -227,7 +228,7 @@ def _text_bm25(spark, sf_dir):
     scores pivot into fixed columns so the final score is a fixed-order
     scalar add — bit-identical across engines, no float
     summation-order hazard. Top-20 via TakeOrderedAndProject."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     toks = (
         docs.select(
             "doc_id",
@@ -297,7 +298,7 @@ def _text_bigram_lm(spark, sf_dir):
     doc bigrams to counts on (w1, w2) / w1 — three bounded keyed
     shuffles plus the final doc_id aggregation, no global sort, no
     driver-side model."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = F.split(F.lower(F.col("text")), r"\s+")
     base = docs.select("doc_id", toks.alias("toks"))
     bg = F.expr(

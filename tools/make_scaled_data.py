@@ -105,7 +105,11 @@ def scale_table(name: str, table: pa.Table, out_path: str) -> int:
                 )
         chunks.append(t)
     out = pa.concat_tables(chunks)
-    pq.write_table(out, out_path, row_group_size=1 << 20)
+    # row groups are Spark's parquet split boundary: one giant group
+    # would serialize every downstream pipeline onto a single task no
+    # matter what maxPartitionBytes says. Target ~64 groups per table.
+    rg = max(4096, out.num_rows // 64)
+    pq.write_table(out, out_path, row_group_size=rg)
     return out.num_rows
 
 
