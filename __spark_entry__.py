@@ -54,6 +54,9 @@ from task_on_dataframes_spark.registry.quality import (
     _dq_rules,
     _ev_windowed_topk,
     _s13_bucketed_join,
+    _sketch_heavy_hitters,
+    _sketch_hll_bound,
+    _sketch_quantile_bound,
     _text_entropy,
 )
 from task_on_dataframes_spark.registry.dedup import (
@@ -278,6 +281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_rules": _dq_rules,
         "ev_windowed_topk": _ev_windowed_topk,
         "text_entropy": _text_entropy,
+        "sketch_hll_bound": _sketch_hll_bound,
+        "sketch_quantile_bound": _sketch_quantile_bound,
+        "sketch_heavy_hitters": _sketch_heavy_hitters,
         "stream_dedup": _stream_dedup,
         "stream_enrich": _stream_enrich,
         "stream_stream_join": _stream_stream_join,
@@ -871,6 +877,23 @@ def oracle_sql() -> dict[str, str]:
             "sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy_bits, "
             "round(count(*) * 1.0 / sum(c), 5) AS ttr "
             "FROM c GROUP BY doc_id"
+        ),
+        "sketch_hll_bound": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_exact, "
+            "true AS within_bound FROM events GROUP BY event_type"
+        ),
+        "sketch_quantile_bound": (
+            "SELECT l_returnflag, count(*) AS n, true AS rank_ok "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "sketch_heavy_hitters": (
+            "WITH toks AS (SELECT t.tok FROM ("
+            "SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok "
+            "FROM documents) t WHERE length(t.tok) > 0), "
+            "exact AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok), "
+            "tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM exact) "
+            "SELECT e.tok, e.cnt, true AS found FROM exact e, tot "
+            "WHERE e.cnt > tot.n_total / 8"
         ),
         "planner_top90_tokens": top90,
         "w2_top90_tokens": top90,

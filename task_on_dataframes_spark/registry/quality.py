@@ -206,3 +206,93 @@ def _text_entropy(spark, sf_dir):
             F.round(F.col("n_types") / F.col("n_tokens"), 5).alias("ttr"),
         )
     )
+
+
+def _sketch_hll_bound(spark, sf_dir):
+    """HLL++ distinct-count sketch with its accuracy contract made
+    oracle-checkable: per event type, the approx_count_distinct(rsd=5%)
+    estimate must land within 3x rsd of the exact distinct count. The
+    output carries the exact count (engine-portable) plus the bound
+    verdict; the estimate itself is engine-specific and stays out of
+    the compared columns. Sketches are fixed-size and map-side
+    mergeable — the 100 TB profiling shape."""
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("est"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            / F.col("n_exact")
+            <= 0.15
+        ).alias("within_bound"),
+    )
+
+
+def _sketch_quantile_bound(spark, sf_dir):
+    """Greenwald-Khanna quantile sketch with its rank-error contract
+    made oracle-checkable: the percentile_approx(0.5, accuracy=1000)
+    estimate's true rank must lie within eps=1/1000 of the median rank
+    in each group. One sketch pass + one broadcast join back for the
+    rank count — the fact table shuffles once (keyed agg), never
+    sorts."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    est = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("est"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = li.join(F.broadcast(est), "l_returnflag")
+    ranks = joined.groupBy("l_returnflag").agg(
+        F.first("n").alias("n"),
+        F.sum((F.col("l_extendedprice") < F.col("est")).cast("long")).alias(
+            "r_lt"
+        ),
+        F.sum((F.col("l_extendedprice") <= F.col("est")).cast("long")).alias(
+            "r_le"
+        ),
+    )
+    eps = 0.001
+    return ranks.select(
+        "l_returnflag",
+        "n",
+        (
+            (F.col("r_lt") <= F.ceil(F.col("n") * (0.5 + eps)))
+            & (F.col("r_le") >= F.floor(F.col("n") * (0.5 - eps)))
+        ).alias("rank_ok"),
+    )
+
+
+def _sketch_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy-hitters sketch with its no-false-negative
+    contract made oracle-checkable: every token whose exact frequency
+    exceeds n/8 MUST appear in the merged MG candidate set (capacity
+    4096 counters/partition, top-32 candidates — undercount <= n/4096,
+    orders of magnitude under the n/8 threshold). Output = the true
+    heavy hitters with exact counts and the inclusion verdict."""
+    from task_on_dataframes_spark.operators.sketches import heavy_hitters
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    candidates = heavy_hitters(
+        toks, "tok", k=32, capacity_per_partition=4096
+    ).select(F.col("item").alias("cand"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = exact.agg(F.sum("cnt").alias("n_total"))
+    hh = exact.join(F.broadcast(total)).filter(
+        F.col("cnt") > F.col("n_total") / 8
+    )
+    return (
+        hh.join(F.broadcast(candidates), hh.tok == F.col("cand"), "left")
+        .select(
+            "tok",
+            "cnt",
+            F.col("cand").isNotNull().alias("found"),
+        )
+    )
