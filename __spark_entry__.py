@@ -54,6 +54,8 @@ from task_on_dataframes_spark.registry.quality import (
     _dq_rules,
     _ev_windowed_topk,
     _s13_bucketed_join,
+    _f_map_funcs,
+    _s14_compaction,
     _sketch_heavy_hitters,
     _sketch_hll_bound,
     _sketch_quantile_bound,
@@ -284,6 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_bound": _sketch_hll_bound,
         "sketch_quantile_bound": _sketch_quantile_bound,
         "sketch_heavy_hitters": _sketch_heavy_hitters,
+        "s14_compaction": _s14_compaction,
+        "f_map_funcs": _f_map_funcs,
         "stream_dedup": _stream_dedup,
         "stream_enrich": _stream_enrich,
         "stream_stream_join": _stream_stream_join,
@@ -877,6 +881,21 @@ def oracle_sql() -> dict[str, str]:
             "sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy_bits, "
             "round(count(*) * 1.0 / sum(c), 5) AS ttr "
             "FROM c GROUP BY doc_id"
+        ),
+        "s14_compaction": (
+            "SELECT l_returnflag, count(*) AS n, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+            "AS sum_qty FROM lineitem GROUP BY l_returnflag"
+        ),
+        "f_map_funcs": (
+            "WITH per_flag AS (SELECT l_orderkey, l_returnflag, count(*) AS c "
+            "FROM lineitem GROUP BY 1, 2) "
+            "SELECT l_orderkey, "
+            "CAST(count(*) AS INTEGER) AS n_flags, "
+            "coalesce(CAST(sum(c) FILTER (l_returnflag = 'R') AS BIGINT), 0) "
+            "AS r_lines, "
+            "CAST(sum(c) AS BIGINT) AS total_lines "
+            "FROM per_flag GROUP BY l_orderkey"
         ),
         "sketch_hll_bound": (
             "SELECT event_type, count(DISTINCT user_id) AS n_exact, "

@@ -296,3 +296,54 @@ def _sketch_heavy_hitters(spark, sf_dir):
             F.col("cand").isNotNull().alias("found"),
         )
     )
+
+
+def _s14_compaction(spark, sf_dir):
+    """Small-files compaction as a registry query: scatter a lineitem
+    projection into 48 tiny files, compact to ~2 files with
+    ``compact_parquet`` (atomic dir-swap, range-sort on l_orderkey so
+    rowgroup min/max stats stay tight), read back and aggregate. The
+    oracle aggregates the original parquet — compaction must be
+    byte-lossless. The 100 TB maintenance op: tiny files destroy scan
+    planning and footer-read time."""
+    import tempfile
+
+    from task_on_dataframes_spark.sources.writers import compact_parquet
+
+    out = tempfile.mkdtemp(prefix="tada_compact_") + "/li"
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    li.repartition(48).write.mode("overwrite").parquet(out)
+    compact_parquet(spark, out, target_file_mb=8, sort_cols=["l_orderkey"])
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+def _f_map_funcs(spark, sf_dir):
+    """Map construction + lookup + transform functions (⊕ §2.8
+    breadth): per-order map of lineitem return flags to their line
+    counts, then scalar lookups out of it — maps stay engine-side,
+    only portable scalars are compared."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_orderkey", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    as_map = per_flag.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_returnflag", "c")))
+        ).alias("m")
+    )
+    return as_map.select(
+        "l_orderkey",
+        F.size(F.map_keys(F.col("m"))).alias("n_flags"),
+        F.coalesce(F.element_at(F.col("m"), "R"), F.lit(0)).alias("r_lines"),
+        F.aggregate(
+            F.map_values(F.col("m")), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("total_lines"),
+    )
