@@ -912,7 +912,7 @@ def oracle_sql() -> dict[str, str]:
             "exact AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok), "
             "tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM exact) "
             "SELECT e.tok, e.cnt, true AS found FROM exact e, tot "
-            "WHERE e.cnt > tot.n_total / 8"
+            "WHERE e.cnt > tot.n_total / 64"
         ),
         "planner_top90_tokens": top90,
         "w2_top90_tokens": top90,

@@ -270,10 +270,11 @@ def _sketch_quantile_bound(spark, sf_dir):
 def _sketch_heavy_hitters(spark, sf_dir):
     """Misra-Gries heavy-hitters sketch with its no-false-negative
     contract made oracle-checkable: every token whose exact frequency
-    exceeds n/8 MUST appear in the merged MG candidate set (capacity
-    4096 counters/partition, top-32 candidates — undercount <= n/4096,
-    orders of magnitude under the n/8 threshold). Output = the true
-    heavy hitters with exact counts and the inclusion verdict."""
+    exceeds n/64 MUST appear in the merged MG candidate set (capacity
+    4096 counters/partition, top-64 candidates — undercount <= n/4096,
+    well under the n/64 threshold). The synthetic corpus' Zipf head has
+    ~30 such tokens at any SF. Output = the true heavy hitters with
+    exact counts and the inclusion verdict."""
     from task_on_dataframes_spark.operators.sketches import heavy_hitters
 
     docs = _docs(spark, sf_dir)
@@ -281,12 +282,12 @@ def _sketch_heavy_hitters(spark, sf_dir):
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
     ).filter(F.length("tok") > 0)
     candidates = heavy_hitters(
-        toks, "tok", k=32, capacity_per_partition=4096
+        toks, "tok", k=64, capacity_per_partition=4096
     ).select(F.col("item").alias("cand"))
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = exact.agg(F.sum("cnt").alias("n_total"))
     hh = exact.join(F.broadcast(total)).filter(
-        F.col("cnt") > F.col("n_total") / 8
+        F.col("cnt") > F.col("n_total") / 64
     )
     return (
         hh.join(F.broadcast(candidates), hh.tok == F.col("cand"), "left")
