@@ -80,6 +80,7 @@ from task_on_dataframes_spark.registry.dedup import (
 from task_on_dataframes_spark.registry.embeddings import (
     _ann_cosine_topk,
     _ann_ivf_topk,
+    _ann_pq_topk,
     _ann_lsh_multi_topk,
     _ann_lsh_topk,
     _emb_gram,
@@ -222,6 +223,92 @@ def entry(spark: SparkSession) -> DataFrame:
     return _planner_top90(spark, SF0001)
 
 
+def _pq_oracle_sql(
+    m: int = 4, k: int = 16, iters: int = 2, dims: int = 64, k_top: int = 10
+) -> str:
+    """Replay PQ training + encoding + ADC in DuckDB: per-subspace
+    hash-stratified init, Lloyd iterations with DECIMAL-exact means,
+    squared-L2 via the same dot-product composition as
+    operators/pq.py (rounded 6), ADC sum rounded 5, ties to the
+    smallest code / vec_id."""
+    d = dims // m
+    parts = ["WITH full_v AS (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings)"]
+    d2 = (
+        "round(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {b}) "
+        "+ list_dot_product({b}, {b}), 6)"
+    )
+    for j in range(m):
+        lo, hi = j * d + 1, (j + 1) * d
+        means = ", ".join(
+            f"round(CAST(sum(CAST(v[{i + 1}] AS DECIMAL(28,12))) AS DOUBLE)"
+            f" / count(1), 6)"
+            for i in range(d)
+        )
+        parts.append(
+            f"c{j} AS (SELECT vec_id, list_slice(fv, {lo}, {hi}) AS v "
+            "FROM full_v), "
+            f"ch{j} AS (SELECT vec_id, v, CAST(('0x' || substr(md5("
+            f"'pq{j}:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h "
+            f"FROM c{j}), "
+            f"cent{j}_0 AS (SELECT h % {k} AS code, v AS cv FROM "
+            f"(SELECT h, v, vec_id, row_number() OVER (PARTITION BY h % {k} "
+            f"ORDER BY h, vec_id) AS rn FROM ch{j}) WHERE rn = 1)"
+        )
+        for it in range(iters):
+            parts.append(
+                f"sc{j}_{it} AS (SELECT c.vec_id, c.v, t.code, "
+                + d2.format(a="c.v", b="t.cv")
+                + f" AS dd FROM c{j} c, cent{j}_{it} t), "
+                f"as{j}_{it} AS (SELECT vec_id, v, code FROM (SELECT *, "
+                "row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, "
+                f"code ASC) AS rn FROM sc{j}_{it}) WHERE rn = 1)"
+            )
+            if it < iters - 1:
+                parts.append(
+                    f"cent{j}_{it + 1} AS (SELECT code, list_value({means}) "
+                    f"AS cv FROM as{j}_{it} GROUP BY code)"
+                )
+    last = iters - 1
+    parts.append(
+        "codes AS ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, {j} AS sub, code FROM as{j}_{last}"
+            for j in range(m)
+        )
+        + ")"
+    )
+    parts.append(
+        "cents AS ("
+        + " UNION ALL ".join(
+            f"SELECT {j} AS sub, code, cv FROM cent{j}_{last}"
+            for j in range(m)
+        )
+        + ")"
+    )
+    parts.append(
+        "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+        "FROM embeddings WHERE vec_id < 10), "
+        "qsub AS (SELECT query_id, s.sub, "
+        f"list_slice(qv, s.sub * {d} + 1, s.sub * {d} + {d}) AS v "
+        f"FROM q, (SELECT unnest(generate_series(0, {m - 1})) AS sub) s), "
+        "lut AS (SELECT query_id, qsub.sub, cents.code, "
+        + d2.format(a="qsub.v", b="cents.cv")
+        + " AS dd FROM qsub JOIN cents ON qsub.sub = cents.sub), "
+        "adc AS (SELECT l.query_id, codes.vec_id, "
+        "CAST(round(sum(CAST(l.dd AS DECIMAL(18,6))), 5) AS DOUBLE) "
+        "AS adc_dist FROM codes "
+        "JOIN lut l ON codes.sub = l.sub AND codes.code = l.code "
+        "GROUP BY 1, 2)"
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT query_id, vec_id, adc_dist, CAST(rk AS INTEGER) AS rk "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY adc_dist ASC, vec_id ASC) AS rk FROM adc) "
+        f"WHERE rk <= {k_top}"
+    )
+
+
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dims: int = 64) -> str:
     """Generate the Lloyd-iteration CTE chain: init pick, then
     (assign_i, cent_{i+1}) per iteration — decimal-exact per-dimension
@@ -288,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters": _sketch_heavy_hitters,
         "s14_compaction": _s14_compaction,
         "f_map_funcs": _f_map_funcs,
+        "ann_pq_topk": _ann_pq_topk,
         "stream_dedup": _stream_dedup,
         "stream_enrich": _stream_enrich,
         "stream_stream_join": _stream_stream_join,
@@ -882,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
             "round(count(*) * 1.0 / sum(c), 5) AS ttr "
             "FROM c GROUP BY doc_id"
         ),
+        "ann_pq_topk": _pq_oracle_sql(m=8, k=32, iters=2, dims=64, k_top=10),
         "s14_compaction": (
             "SELECT l_returnflag, count(*) AS n, "
             "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "

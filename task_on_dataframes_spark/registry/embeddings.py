@@ -169,3 +169,21 @@ def _graph_pagerank(spark, sf_dir):
         F.col("n_nationkey").alias("node")
     )
     return pagerank(edges, nodes, iters=5, damping=0.85)
+
+
+def _ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-10 (m=8 subspaces x k=32 codes =
+    40 bits/vector, 2 Lloyd iterations per sub-quantizer,
+    deterministic hash init; recall@10 ~0.4 vs exact on the synthetic
+    random unit vectors — the PQ-pessimal case, real embedding
+    manifolds quantize far better) —
+    the compressed-domain ANN rung: query time touches the n x m code
+    table and a broadcast LUT, never the raw embedding matrix. The
+    DuckDB oracle replays training, encoding, and ADC exactly."""
+    from task_on_dataframes_spark.operators.pq import pq_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_ann_topk(emb, queries_df, k_top=10, m=8, k=32, iters=2)
