@@ -52,6 +52,7 @@ from task_on_dataframes_spark.registry.core import (
 )
 from task_on_dataframes_spark.registry.quality import (
     _dq_rules,
+    _s15_schema_merge,
     _ev_windowed_topk,
     _s13_bucketed_join,
     _f_map_funcs,
@@ -155,6 +156,7 @@ from task_on_dataframes_spark.registry.sampling import (
     _skew_salted_join,
 )
 from task_on_dataframes_spark.registry.streaming import (
+    _stream_windowed_topk,
     _stream_dedup,
     _stream_enrich,
     _stream_hourly_agg,
@@ -376,6 +378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s14_compaction": _s14_compaction,
         "f_map_funcs": _f_map_funcs,
         "ann_pq_topk": _ann_pq_topk,
+        "stream_windowed_topk": _stream_windowed_topk,
+        "s15_schema_merge": _s15_schema_merge,
         "stream_dedup": _stream_dedup,
         "stream_enrich": _stream_enrich,
         "stream_stream_join": _stream_stream_join,
@@ -971,6 +975,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM c GROUP BY doc_id"
         ),
         "ann_pq_topk": _pq_oracle_sql(m=8, k=32, iters=2, dims=64, k_top=10),
+        "stream_windowed_topk": (
+            "WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "count(*) AS n FROM events GROUP BY 1, 2), "
+            "r AS (SELECT hour, event_type, n, row_number() OVER "
+            "(PARTITION BY hour ORDER BY n DESC, event_type) AS rk FROM c) "
+            "SELECT hour, event_type, n, CAST(rk AS INTEGER) AS rk "
+            "FROM r WHERE rk <= 3"
+        ),
+        "s15_schema_merge": (
+            "SELECT coalesce(CASE WHEN doc_id % 2 = 1 THEN lang END, "
+            "'<pre-schema>') AS lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY 1"
+        ),
         "s14_compaction": (
             "SELECT l_returnflag, count(*) AS n, "
             "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "

@@ -348,3 +348,31 @@ def _f_map_funcs(spark, sf_dir):
             F.map_values(F.col("m")), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("total_lines"),
     )
+
+
+def _s15_schema_merge(spark, sf_dir):
+    """Parquet schema evolution: two generations of a dataset (the
+    second adds a ``lang`` column) read back as one table with
+    ``mergeSchema`` — the old generation's missing column surfaces as
+    NULL. The long-lived-dataset reality at 100 TB: schemas change,
+    rewrites don't happen. Aggregate proves both generations land and
+    NULL semantics hold."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="tada_evo_") + "/docs"
+    docs = _t(spark, sf_dir, "documents")
+    gen1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
+    gen2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "n_chars", "lang"
+    )
+    gen1.write.mode("overwrite").parquet(f"{out}/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{out}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen=1", f"{out}/gen=2"
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("lang"), F.lit("<pre-schema>")).alias("lang")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -190,3 +190,43 @@ def _stream_stream_join(spark, sf_dir):
         .groupBy(F.date_trunc("hour", F.col("l_ts")).alias("view_hour"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def _stream_windowed_topk(spark, sf_dir):
+    """Streaming-fed windowed top-k: the hourly counts come from a REAL
+    Structured Streaming execution (watermark + tumbling window +
+    state store, drained with availableNow), then the per-hour top-3
+    rank runs over the drained result — the lambda-free pattern for
+    "trending now" dashboards: the stream maintains the heavy windowed
+    state incrementally; ranking is a bounded post-aggregation. Checked
+    against the batch top-k oracle exactly."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from task_on_dataframes_spark.streaming.events import (
+        events_stream,
+        hourly_counts_stream,
+        run_available_now,
+    )
+
+    name = "stream_topk_" + uuid.uuid4().hex[:8]
+    stream = hourly_counts_stream(
+        events_stream(spark, f"{sf_dir}/events.parquet")
+    )
+    run_available_now(
+        stream,
+        name,
+        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
+        output_mode="complete",
+    )
+    agg = spark.table(name)
+    w = Window.partitionBy("hour").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("hour", "event_type", "n", "rk")
+    )
