@@ -81,6 +81,7 @@ from task_on_dataframes_spark.registry.dedup import (
 from task_on_dataframes_spark.registry.embeddings import (
     _ann_cosine_topk,
     _ann_ivf_topk,
+    _ann_ivfpq_topk,
     _ann_pq_topk,
     _ann_lsh_multi_topk,
     _ann_lsh_topk,
@@ -225,16 +226,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return _planner_top90(spark, SF0001)
 
 
-def _pq_oracle_sql(
-    m: int = 4, k: int = 16, iters: int = 2, dims: int = 64, k_top: int = 10
-) -> str:
-    """Replay PQ training + encoding + ADC in DuckDB: per-subspace
-    hash-stratified init, Lloyd iterations with DECIMAL-exact means,
-    squared-L2 via the same dot-product composition as
-    operators/pq.py (rounded 6), ADC sum rounded 5, ties to the
-    smallest code / vec_id."""
+def _pq_training_ctes(m: int, k: int, iters: int, dims: int) -> list:
+    """CTE parts replaying PQ training+encoding (shared by the PQ and
+    IVFPQ oracles): per-subspace hash-stratified init, Lloyd
+    iterations with DECIMAL-exact means, squared-L2 via the same
+    dot-product composition as operators/pq.py (rounded 6), ties to
+    the smallest code. Ends with ``codes`` and ``cents``."""
     d = dims // m
-    parts = ["WITH full_v AS (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings)"]
+    parts = [
+        "WITH full_v AS (SELECT vec_id, embedding::DOUBLE[] AS fv "
+        "FROM embeddings)"
+    ]
     d2 = (
         "round(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {b}) "
         "+ list_dot_product({b}, {b}), 6)"
@@ -287,7 +289,17 @@ def _pq_oracle_sql(
         )
         + ")"
     )
-    parts.append(
+    return parts
+
+
+def _pq_lut_ctes(m: int, dims: int) -> str:
+    """Query LUT CTEs shared by the PQ and IVFPQ oracles."""
+    d = dims // m
+    d2 = (
+        "round(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {b}) "
+        "+ list_dot_product({b}, {b}), 6)"
+    )
+    return (
         "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
         "FROM embeddings WHERE vec_id < 10), "
         "qsub AS (SELECT query_id, s.sub, "
@@ -295,12 +307,83 @@ def _pq_oracle_sql(
         f"FROM q, (SELECT unnest(generate_series(0, {m - 1})) AS sub) s), "
         "lut AS (SELECT query_id, qsub.sub, cents.code, "
         + d2.format(a="qsub.v", b="cents.cv")
-        + " AS dd FROM qsub JOIN cents ON qsub.sub = cents.sub), "
+        + " AS dd FROM qsub JOIN cents ON qsub.sub = cents.sub)"
+    )
+
+
+def _pq_oracle_sql(
+    m: int = 4, k: int = 16, iters: int = 2, dims: int = 64, k_top: int = 10
+) -> str:
+    """Replay PQ training + encoding + ADC in DuckDB (see
+    :func:`_pq_training_ctes`); ADC sums are DECIMAL-exact, ties to
+    the smallest vec_id."""
+    parts = _pq_training_ctes(m, k, iters, dims)
+    parts.append(_pq_lut_ctes(m, dims))
+    parts.append(
         "adc AS (SELECT l.query_id, codes.vec_id, "
         "CAST(round(sum(CAST(l.dd AS DECIMAL(18,6))), 5) AS DOUBLE) "
         "AS adc_dist FROM codes "
         "JOIN lut l ON codes.sub = l.sub AND codes.code = l.code "
         "GROUP BY 1, 2)"
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT query_id, vec_id, adc_dist, CAST(rk AS INTEGER) AS rk "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY adc_dist ASC, vec_id ASC) AS rk FROM adc) "
+        f"WHERE rk <= {k_top}"
+    )
+
+
+def _ivfpq_oracle_sql(
+    m: int = 8,
+    k: int = 32,
+    iters: int = 2,
+    dims: int = 64,
+    k_top: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """IVF coarse index (cosine, hash-stratified centroids — identical
+    CTEs to the ann_ivf_topk oracle) + PQ ADC over probed candidates
+    only, self-hits excluded."""
+    parts = _pq_training_ctes(m, k, iters, dims)
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 5)"
+    )
+    parts.append(
+        "ivf_ch AS (SELECT vec_id, fv AS v, "
+        "CAST(('0x' || substr(md5(CAST('ivf:' || CAST(vec_id AS VARCHAR) "
+        "AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM full_v), "
+        "ivf_cent AS (SELECT vec_id AS cid, v AS cv FROM ("
+        "SELECT vec_id, v, row_number() OVER "
+        f"(PARTITION BY h % {n_centroids} ORDER BY h, vec_id) AS rn "
+        "FROM ivf_ch) WHERE rn = 1), "
+        "ivf_assign AS (SELECT c.vec_id, c.fv AS v, t.cid, "
+        + cos.format(a="c.fv", b="t.cv")
+        + " AS sim FROM full_v c, ivf_cent t), "
+        "member AS (SELECT vec_id, cid FROM ("
+        "SELECT vec_id, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn "
+        "FROM ivf_assign) WHERE rn = 1), "
+        "probes AS (SELECT query_id, cid FROM ("
+        "SELECT vec_id AS query_id, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS pr "
+        "FROM ivf_assign WHERE vec_id < 10) WHERE pr <= "
+        f"{n_probe})"
+    )
+    parts.append(_pq_lut_ctes(m, dims))
+    parts.append(
+        "cand AS (SELECT p.query_id, mm.vec_id FROM member mm "
+        "JOIN probes p ON mm.cid = p.cid WHERE p.query_id != mm.vec_id), "
+        "adc AS (SELECT cand.query_id, cand.vec_id, "
+        "CAST(round(sum(CAST(l.dd AS DECIMAL(18,6))), 5) AS DOUBLE) "
+        "AS adc_dist FROM cand "
+        "JOIN codes ON codes.vec_id = cand.vec_id "
+        "JOIN lut l ON l.query_id = cand.query_id AND l.sub = codes.sub "
+        "AND l.code = codes.code GROUP BY 1, 2)"
     )
     return (
         ", ".join(parts)
@@ -378,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s14_compaction": _s14_compaction,
         "f_map_funcs": _f_map_funcs,
         "ann_pq_topk": _ann_pq_topk,
+        "ann_ivfpq_topk": _ann_ivfpq_topk,
         "stream_windowed_topk": _stream_windowed_topk,
         "s15_schema_merge": _s15_schema_merge,
         "stream_dedup": _stream_dedup,
@@ -975,6 +1059,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM c GROUP BY doc_id"
         ),
         "ann_pq_topk": _pq_oracle_sql(m=8, k=32, iters=2, dims=64, k_top=10),
+        "ann_ivfpq_topk": _ivfpq_oracle_sql(
+            m=8, k=32, iters=2, dims=64, k_top=10,
+            n_centroids=16, n_probe=4,
+        ),
         "stream_windowed_topk": (
             "WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type, "
             "count(*) AS n FROM events GROUP BY 1, 2), "

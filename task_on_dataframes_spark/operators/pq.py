@@ -190,3 +190,121 @@ def pq_ann_topk(
         .filter(F.col("rk") <= k_top)
         .select("query_id", "vec_id", "adc_dist", "rk")
     )
+
+
+def ivfpq_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k_top: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k: int = 32,
+    iters: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF + PQ hybrid (the production ANN shape): a coarse inverted
+    index restricts each query to ``n_probe`` cells, then ADC over PQ
+    codes ranks only those candidates — query cost is
+    ``(n / n_centroids) x n_probe`` code lookups, never a corpus scan.
+
+    Coarse assignment mirrors :func:`..similarity.ivf_ann_topk`
+    (hash-stratified centroid pick, broadcast + map-side argmax by
+    cosine); codes are non-residual PQ (documented divergence from
+    residual IVFPQ — keeps the two quantizers independently
+    oracle-replayable). Self-hits are excluded like the IVF operator.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import cosine
+    from .hashing import hash32
+
+    c = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vc"),
+    )
+    h = hash32(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
+    cents = (
+        c.withColumn("h", h)
+        .withColumn("stratum", F.col("h") % n_centroids)
+        .groupBy("stratum")
+        .agg(F.min(F.struct("h", "vec_id", "vc")).alias("mn"))
+        .select(F.col("mn.vec_id").alias("cid"), F.col("mn.vc").alias("cv"))
+        .persist()
+    )
+    assigned = c.join(F.broadcast(cents)).select(
+        "vec_id",
+        "vc",
+        "cid",
+        F.round(cosine("vc", "cv"), 5).alias("sim"),
+    )
+    member = (
+        assigned.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))
+            ).alias("mn")
+        )
+        .select("vec_id", (-F.col("mn.ncid")).alias("cid"))
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("qsim"), F.asc("cid")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "cid",
+            F.round(cosine("vq", "cv"), 5).alias("qsim"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "cid")
+    )
+    codes, pq_cents = pq_train_encode(
+        emb, m=m, k=k, iters=iters, dims=dims, id_col=id_col, vec_col=vec_col
+    )
+    d_sub = dims // m
+    q_sub = q.select(
+        "query_id",
+        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("sub"),
+        "qv" if "qv" in q.columns else "vq",
+    ).select(
+        "query_id",
+        "sub",
+        F.expr(f"slice(vq, sub * {d_sub} + 1, {d_sub})").alias("v"),
+    )
+    lut = q_sub.join(F.broadcast(pq_cents), on="sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(_d2("v", "cv"), 6).alias("d2"),
+    )
+    cand = member.join(F.broadcast(probes), on="cid").filter(
+        F.col("query_id") != F.col("vec_id")
+    ).select("query_id", "vec_id")
+    adc = (
+        cand.join(codes, on="vec_id")
+        .join(F.broadcast(lut), on=["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(F.sum(F.col("d2").cast("decimal(18,6)")), 5)
+            .cast("double")
+            .alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_top)
+        .select("query_id", "vec_id", "adc_dist", "rk")
+    )

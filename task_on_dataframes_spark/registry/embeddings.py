@@ -187,3 +187,21 @@ def _ann_pq_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_ann_topk(emb, queries_df, k_top=10, m=8, k=32, iters=2)
+
+
+def _ann_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ hybrid ADC top-10: coarse cosine inverted index
+    (16 cells, 4 probes — identical machinery to ann_ivf_topk)
+    restricts the candidate set; non-residual PQ codes (m=8, k=32)
+    rank candidates in the compressed domain. The full FAISS-style
+    production shape, exactly replayed by the DuckDB oracle."""
+    from task_on_dataframes_spark.operators.pq import ivfpq_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_ann_topk(
+        emb, queries_df, k_top=10, n_centroids=16, n_probe=4,
+        m=8, k=32, iters=2,
+    )

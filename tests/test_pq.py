@@ -57,3 +57,41 @@ def test_adc_join_is_broadcast_no_cartesian(spark, emb):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_no_self_hits_and_bounded(spark, emb):
+    from task_on_dataframes_spark.operators.pq import ivfpq_ann_topk
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivfpq_ann_topk(
+        emb, q, k_top=10, n_centroids=16, n_probe=4, m=4, k=16, iters=1
+    ).toPandas()
+    assert (got.query_id != got.vec_id).all()
+    assert got.groupby("query_id").size().max() <= 10
+    # ranks are dense 1..n per query
+    for _, g in got.groupby("query_id"):
+        assert sorted(g.rk) == list(range(1, len(g) + 1))
+
+
+def test_ivfpq_candidates_come_from_probed_cells_only(spark, emb):
+    # with n_probe == n_centroids the hybrid degrades to plain PQ over
+    # the whole corpus (minus self) — a containment sanity check
+    from task_on_dataframes_spark.operators.pq import (
+        ivfpq_ann_topk,
+        pq_ann_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = ivfpq_ann_topk(
+        emb, q, k_top=5, n_centroids=4, n_probe=4, m=4, k=16, iters=1
+    ).toPandas()
+    plain = pq_ann_topk(emb, q, k_top=6, m=4, k=16, iters=1).toPandas()
+    for qid in range(5):
+        a = list(full[full.query_id == qid].vec_id)
+        # plain PQ includes the self-hit (dist 0) at rank 1; drop it
+        b = [v for v in plain[plain.query_id == qid].vec_id if v != qid][:5]
+        assert a == b, (qid, a, b)
