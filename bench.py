@@ -77,6 +77,12 @@ def main() -> None:
         "pipeline_c4_curation",
         "graph_pagerank",
         "emb_gram",
+        # round-4 flagships
+        "ann_pq_topk",
+        "s13_bucketed_join",
+        "dq_rules",
+        "sketch_heavy_hitters",
+        "text_entropy",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -57,71 +57,83 @@ def pq_train_encode(
     centroids = (sub, code, cv array<double> of dims/m).
     """
     d_sub = dims // m
-    all_codes = []
-    all_cents = []
-    for sub in range(m):
-        c = emb.select(
+    # ALL m sub-quantizers train in ONE fused plan keyed by (sub, code):
+    # the per-subspace-loop formulation launches m x iters separate
+    # broadcast-build job chains (measured 4.6 s at sf0.1, almost all
+    # scheduling); fusing them is pure re-keying — the per-(sub, vec)
+    # hashes, distances, and DECIMAL means are bit-identical, so the
+    # per-subspace oracle replay still matches.
+    c_sub = (
+        emb.select(
             F.col(id_col).alias("vec_id"),
-            F.slice(
-                F.col(vec_col).cast("array<double>"), sub * d_sub + 1, d_sub
-            ).alias("v"),
+            F.col(vec_col).cast("array<double>").alias("fv"),
         )
-        h = hash32(
-            F.concat(F.lit(f"pq{sub}:"), F.col("vec_id").cast("string"))
+        .select(
+            "vec_id",
+            F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("sub"),
+            "fv",
         )
-        cents = (
-            c.withColumn("h", h)
-            .withColumn("code", F.col("h") % k)
-            .groupBy("code")
-            .agg(F.min(F.struct("h", "vec_id", "v")).alias("mn"))
-            .select("code", F.col("mn.v").alias("cv"))
-            .persist()
+        .select(
+            "vec_id",
+            "sub",
+            F.expr(f"slice(fv, sub * {d_sub} + 1, {d_sub})").alias("v"),
         )
-        mean_aggs = [
-            F.expr(
-                f"round(CAST(sum(CAST(element_at(v, {i + 1}) AS "
-                f"DECIMAL(28,12))) AS DOUBLE) / count(1), 6)"
-            ).alias(f"s{i}")
-            for i in range(d_sub)
-        ]
-        assign = None
-        for it in range(iters):
-            scored = c.join(F.broadcast(cents)).select(
-                "vec_id",
-                "v",
-                "code",
-                F.round(_d2("v", "cv"), 6).alias("d2"),
+    )
+    h = hash32(
+        F.concat(
+            F.lit("pq"),
+            F.col("sub").cast("string"),
+            F.lit(":"),
+            F.col("vec_id").cast("string"),
+        )
+    )
+    cents = (
+        c_sub.withColumn("h", h)
+        .withColumn("code", F.col("h") % k)
+        .groupBy("sub", "code")
+        .agg(F.min(F.struct("h", "vec_id", "v")).alias("mn"))
+        .select("sub", "code", F.col("mn.v").alias("cv"))
+        .persist()
+    )
+    mean_aggs = [
+        F.expr(
+            f"round(CAST(sum(CAST(element_at(v, {i + 1}) AS "
+            f"DECIMAL(28,12))) AS DOUBLE) / count(1), 6)"
+        ).alias(f"s{i}")
+        for i in range(d_sub)
+    ]
+    assign = None
+    for it in range(iters):
+        scored = c_sub.join(F.broadcast(cents), on="sub").select(
+            "vec_id",
+            "sub",
+            "v",
+            "code",
+            F.round(_d2("v", "cv"), 6).alias("d2"),
+        )
+        assign = (
+            scored.groupBy("vec_id", "sub")
+            .agg(
+                F.min(F.struct("d2", "code")).alias("mn"),
+                F.first("v").alias("v"),
             )
-            assign = (
-                scored.groupBy("vec_id")
-                .agg(
-                    F.min(F.struct("d2", "code")).alias("mn"),
-                    F.first("v").alias("v"),
-                )
-                .select("vec_id", "v", F.col("mn.code").alias("code"))
-            )
-            if it < iters - 1:
-                cents = (
-                    assign.groupBy("code")
-                    .agg(*mean_aggs)
-                    .select(
-                        "code",
-                        F.array(
-                            *[F.col(f"s{i}") for i in range(d_sub)]
-                        ).alias("cv"),
-                    )
-                    .persist()
-                )
-        all_codes.append(
-            assign.select("vec_id", F.lit(sub).alias("sub"), "code")
+            .select("vec_id", "sub", "v", F.col("mn.code").alias("code"))
         )
-        all_cents.append(cents.select(F.lit(sub).alias("sub"), "code", "cv"))
-    codes = all_codes[0]
-    cents_all = all_cents[0]
-    for j in range(1, m):
-        codes = codes.unionByName(all_codes[j])
-        cents_all = cents_all.unionByName(all_cents[j])
-    return codes, cents_all
+        if it < iters - 1:
+            cents = (
+                assign.groupBy("sub", "code")
+                .agg(*mean_aggs)
+                .select(
+                    "sub",
+                    "code",
+                    F.array(
+                        *[F.col(f"s{i}") for i in range(d_sub)]
+                    ).alias("cv"),
+                )
+                .persist()
+            )
+    codes = assign.select("vec_id", "sub", "code")
+    return codes, cents.select("sub", "code", "cv")
 
 
 def pq_ann_topk(
