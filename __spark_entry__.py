@@ -94,6 +94,7 @@ from task_on_dataframes_spark.registry.embeddings import (
     _graph_pagerank,
 )
 from task_on_dataframes_spark.registry.events import (
+    _ev_session_window_builtin,
     _ev_funnel,
     _ev_gap_fill,
     _ev_hourly_agg,
@@ -464,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": _ann_ivfpq_topk,
         "stream_windowed_topk": _stream_windowed_topk,
         "s15_schema_merge": _s15_schema_merge,
+        "ev_session_window_builtin": _ev_session_window_builtin,
         "stream_dedup": _stream_dedup,
         "stream_enrich": _stream_enrich,
         "stream_stream_join": _stream_stream_join,
@@ -1070,6 +1072,21 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY hour ORDER BY n DESC, event_type) AS rk FROM c) "
             "SELECT hour, event_type, n, CAST(rk AS INTEGER) AS rk "
             "FROM r WHERE rk <= 3"
+        ),
+        "ev_session_window_builtin": (
+            "WITH o AS (SELECT user_id, ts, value, epoch_us(ts) AS us, "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev_us FROM events), "
+            "f AS (SELECT user_id, ts, value, us, CASE WHEN prev_us IS NULL "
+            "OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_s "
+            "FROM o), "
+            "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM f) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "max(ts) + INTERVAL 30 MINUTE AS session_end, "
+            "count(*) AS n_events, "
+            "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "
+            "AS session_value FROM g GROUP BY user_id, sid"
         ),
         "s15_schema_merge": (
             "SELECT coalesce(CASE WHEN doc_id % 2 = 1 THEN lang END, "

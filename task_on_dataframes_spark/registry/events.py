@@ -250,3 +250,34 @@ def _ev_retention(spark, sf_dir):
         .groupBy("cohort_day", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+def _ev_session_window_builtin(spark, sf_dir):
+    """Spark's built-in ``session_window`` aggregation (the canonical
+    dynamic-gap session primitive — state-store-backed in streaming,
+    a single keyed aggregation in batch). Semantics differ from the
+    gaps-and-islands twin ``ev_sessionize`` at the exact boundary: an
+    event merges into the open window only while its time is STRICTLY
+    before window end (gap < 30min continues; gap >= 30min splits),
+    and the window end extends past the last event by the gap. The
+    DuckDB oracle replays the >= boundary islands formulation in exact
+    microseconds."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
