@@ -78,6 +78,10 @@ def pq_train_encode(
             "sub",
             F.expr(f"slice(fv, sub * {d_sub} + 1, {d_sub})").alias("v"),
         )
+        # per-(vec, sub) squared norm computed ONCE instead of once per
+        # candidate codeword in the x k scoring fan-out; reusing the
+        # identical fold result keeps the oracle bit-exact
+        .withColumn("v2", dot("v", "v"))
     )
     h = hash32(
         F.concat(
@@ -93,6 +97,7 @@ def pq_train_encode(
         .groupBy("sub", "code")
         .agg(F.min(F.struct("h", "vec_id", "v")).alias("mn"))
         .select("sub", "code", F.col("mn.v").alias("cv"))
+        .withColumn("cv2", dot("cv", "cv"))
         .persist()
     )
     mean_aggs = [
@@ -108,16 +113,23 @@ def pq_train_encode(
             "vec_id",
             "sub",
             "v",
+            "v2",
             "code",
-            F.round(_d2("v", "cv"), 6).alias("d2"),
+            # same expression tree as _d2 with the two self-dots reused
+            F.round(
+                F.col("v2") - 2.0 * dot("v", "cv") + F.col("cv2"), 6
+            ).alias("d2"),
         )
         assign = (
             scored.groupBy("vec_id", "sub")
             .agg(
                 F.min(F.struct("d2", "code")).alias("mn"),
                 F.first("v").alias("v"),
+                F.first("v2").alias("v2"),
             )
-            .select("vec_id", "sub", "v", F.col("mn.code").alias("code"))
+            .select(
+                "vec_id", "sub", "v", "v2", F.col("mn.code").alias("code")
+            )
         )
         if it < iters - 1:
             cents = (
@@ -130,6 +142,7 @@ def pq_train_encode(
                         *[F.col(f"s{i}") for i in range(d_sub)]
                     ).alias("cv"),
                 )
+                .withColumn("cv2", dot("cv", "cv"))
                 .persist()
             )
     codes = assign.select("vec_id", "sub", "code")
