@@ -52,6 +52,7 @@ from task_on_dataframes_spark.registry.core import (
 )
 from task_on_dataframes_spark.registry.quality import (
     _dq_rules,
+    _snapshot_diff,
     _s15_schema_merge,
     _ev_windowed_topk,
     _s13_bucketed_join,
@@ -64,6 +65,8 @@ from task_on_dataframes_spark.registry.quality import (
 )
 from task_on_dataframes_spark.registry.dedup import (
     _decontaminate,
+    _decontaminate_bloom,
+    _dedup_semantic,
     _dedup_components,
     _dedup_cross_corpus,
     _dedup_daily_first,
@@ -80,6 +83,7 @@ from task_on_dataframes_spark.registry.dedup import (
 )
 from task_on_dataframes_spark.registry.embeddings import (
     _ann_cosine_topk,
+    _ann_recall_eval,
     _ann_ivf_topk,
     _ann_ivfpq_topk,
     _ann_pq_topk,
@@ -146,6 +150,8 @@ from task_on_dataframes_spark.registry.relational import (
     _w8_first_last,
 )
 from task_on_dataframes_spark.registry.sampling import (
+    _mix_domains,
+    _sample_interleave,
     _sample_negatives,
     _sample_bottomk,
     _sample_split,
@@ -395,11 +401,13 @@ def _ivfpq_oracle_sql(
     )
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dims: int = 64) -> str:
-    """Generate the Lloyd-iteration CTE chain: init pick, then
-    (assign_i, cent_{i+1}) per iteration — decimal-exact per-dimension
-    means rounded to 6, cosine rounded to 5, ties to the smallest
-    cluster id, mirroring operators/clustering.py bit for bit."""
+def _kmeans_ctes(k: int = 8, iters: int = 3, dims: int = 64) -> list:
+    """Lloyd-iteration CTE chain shared by the kmeans and semantic-dedup
+    oracles: init pick, then (assign_i, cent_{i+1}) per iteration —
+    decimal-exact per-dimension means rounded to 6, cosine rounded to
+    5, ties to the smallest cluster id, mirroring
+    operators/clustering.py bit for bit. The final assignment CTE is
+    ``as{iters-1}`` with columns (vec_id, v, cl, sim)."""
     cos = (
         "round(list_dot_product(c.v, {t}.cv) / "
         "(sqrt(list_dot_product(c.v, c.v)) * "
@@ -433,9 +441,76 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dims: int = 64) -> str:
                 f"cent{it + 1} AS (SELECT cl, list_value({means}) AS cv "
                 f"FROM as{it} GROUP BY cl)"
             )
+    return parts
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dims: int = 64) -> str:
+    return (
+        ", ".join(_kmeans_ctes(k, iters, dims))
+        + f" SELECT vec_id, cl AS cluster, sim AS cos FROM as{iters - 1}"
+    )
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = 8, iters: int = 3, dims: int = 64, threshold: float = 0.4
+) -> str:
+    """Replay SemDeDup: the identical Lloyd chain, then within-cluster
+    pairs only (a.vec_id < b.vec_id), cosine rounded to 5, min partner
+    as the canonical survivor."""
+    parts = _kmeans_ctes(k, iters, dims)
+    last = f"as{iters - 1}"
+    pair_cos = (
+        "round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b.v, b.v))), 5)"
+    )
+    parts.append(
+        f"pr AS (SELECT b.vec_id, b.cl, a.vec_id AS a_id, {pair_cos} AS cos "
+        f"FROM {last} a JOIN {last} b ON a.cl = b.cl AND a.vec_id < b.vec_id)"
+    )
     return (
         ", ".join(parts)
-        + f" SELECT vec_id, cl AS cluster, sim AS cos FROM as{iters - 1}"
+        + " SELECT vec_id, cl AS cluster, min(a_id) AS dup_of, "
+        "max(cos) AS max_cos FROM pr "
+        f"WHERE cos >= {threshold} GROUP BY 1, 2"
+    )
+
+
+def _bloom_decontaminate_oracle_sql(k: int = 3, m: int = 1 << 16) -> str:
+    """Replay the Bloom decontamination bit for bit: same portable md5
+    bit positions, same all-k-bits membership rule — false positives
+    and all."""
+    from task_on_dataframes_spark.operators.bloom import bloom_bit_sql
+
+    bit_union = " UNION ALL ".join(
+        f"SELECT {bloom_bit_sql('tok', i, m)} AS bit FROM bg"
+        for i in range(k)
+    )
+    all_hit = " AND ".join(
+        f"{bloom_bit_sql('tok', i, m)} IN (SELECT bit FROM bits)"
+        for i in range(k)
+    )
+    return (
+        "WITH lab AS (SELECT doc_id, CAST(('0x' || substr(md5(CAST("
+        "('split:' || CAST(doc_id AS VARCHAR)) AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 1000 AS bucket FROM documents), "
+        "t AS (SELECT doc_id AS did, "
+        "string_split_regex(lower(text), '\\s+') AS ts FROM documents), "
+        "g AS (SELECT DISTINCT did, "
+        "ts[i.i] || ' ' || ts[i.i+1] || ' ' || ts[i.i+2] || ' ' || "
+        "ts[i.i+3] || ' ' || ts[i.i+4] AS tok "
+        "FROM t, LATERAL unnest(generate_series(1, len(ts) - 4)) AS i(i) "
+        "WHERE len(ts) >= 5), "
+        "test_ids AS (SELECT doc_id AS did FROM lab WHERE bucket >= 950), "
+        "train_ids AS (SELECT doc_id AS did FROM lab WHERE bucket < 900), "
+        "bg AS (SELECT DISTINCT g.tok FROM g JOIN test_ids USING (did)), "
+        f"bits AS (SELECT DISTINCT bit FROM ({bit_union})), "
+        "tg AS (SELECT g.did, g.tok FROM g JOIN train_ids USING (did)), "
+        f"hit AS (SELECT did, count(*) AS hit_grams FROM tg WHERE {all_hit} "
+        "GROUP BY did) "
+        "SELECT train_ids.did, coalesce(hit_grams, 0) AS hit_grams, "
+        "coalesce(hit_grams, 0) > 0 AS contaminated "
+        "FROM train_ids LEFT JOIN hit USING (did)"
     )
 
 
@@ -451,6 +526,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sessionize queries whose gap semantics changed this round,
         # then the stalest green rows (r1-era). Long-green sentinels
         # sit in the tail. Re-rotate each round as rows come back.
+        # --- newest this round (no driver row yet, wave 2)
+        "dedup_semantic": _dedup_semantic,
+        "decontaminate_bloom": _decontaminate_bloom,
+        "mix_domains": _mix_domains,
+        "sample_interleave": _sample_interleave,
+        "snapshot_diff": _snapshot_diff,
+        "ann_recall_eval": _ann_recall_eval,
+        # --- changed this round (gap semantics; re-validate)
+        "ev_sessionize": _ev_sessionize,
+        "stream_sessionize": _stream_sessionize,
         # --- new this round (no driver row yet)
         "s13_bucketed_join": _s13_bucketed_join,
         "dq_rules": _dq_rules,
@@ -504,9 +589,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": _text_winnow,
         "emb_quantize": _emb_quantize,
         "sample_split": _sample_split,
-        # --- changed this round (re-validate)
-        "ev_sessionize": _ev_sessionize,
-        "stream_sessionize": _stream_sessionize,
         # --- stalest green driver rows
         "dedup_simhash": _dedup_simhash,
         "dedup_components": _dedup_components,
@@ -1007,7 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         _TOKEN_CTE
         + 'SELECT c.tok AS top90_token FROM clean c JOIN top ON c.tok = top.tok'
     )
-    return {
+    sql = {
         "s13_bucketed_join": (
             "SELECT o_orderstatus, count(*) AS n, "
             "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
@@ -2545,4 +2627,71 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END > 0.18) AS is_repetitive "
             "FROM g LEFT JOIN top2 ON g.doc_id = top2.doc_id"
         ),
+        "dedup_semantic": _semantic_dedup_oracle_sql(),
+        "mix_domains": (
+            # integer per-mille rates (floor `//`), same md5 bucket as
+            # operators/sampling.split_bucket(salt='mix'); DuckDB
+            # sum() widens to HUGEINT, so every sum casts back
+            "WITH t AS (SELECT source AS domain, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_size "
+            "FROM documents GROUP BY 1), "
+            "g AS (SELECT CAST(sum(total_size) AS BIGINT) AS g, "
+            "count(*) AS nd FROM t), "
+            "r AS (SELECT domain, n_docs, total_size, "
+            "least(CAST(1000 AS BIGINT), "
+            "(g.g * 500) // (g.nd * total_size)) AS rate_pm FROM t, g), "
+            "k AS (SELECT d.source AS domain, count(*) AS docs_kept, "
+            "CAST(sum(d.n_chars) AS BIGINT) AS size_kept "
+            "FROM documents d JOIN r ON d.source = r.domain "
+            "WHERE (" + hash32_sql("'mix:' || CAST(doc_id AS VARCHAR)")
+            + " % 1000) < r.rate_pm GROUP BY 1) "
+            "SELECT r.domain, r.n_docs, r.total_size, r.rate_pm, "
+            "coalesce(k.docs_kept, 0) AS docs_kept, "
+            "coalesce(k.size_kept, 0) AS size_kept "
+            "FROM r LEFT JOIN k USING (domain)"
+        ),
+        "sample_interleave": (
+            "WITH doms AS (SELECT domain, "
+            "row_number() OVER (ORDER BY domain) - 1 AS dom_ix, "
+            "(SELECT count(DISTINCT source) FROM documents) AS n_dom "
+            "FROM (SELECT DISTINCT source AS domain FROM documents)), "
+            "ranked AS (SELECT doc_id AS key, source AS domain, "
+            "row_number() OVER (PARTITION BY source ORDER BY "
+            + hash32_sql("'interleave:' || CAST(doc_id AS VARCHAR)")
+            + ", doc_id) AS rnk FROM documents) "
+            "SELECT (rnk - 1) * n_dom + dom_ix AS position, key, domain "
+            "FROM ranked JOIN doms USING (domain) "
+            "WHERE (rnk - 1) * n_dom + dom_ix < 100 ORDER BY position"
+        ),
+        "snapshot_diff": (
+            "WITH o AS (SELECT doc_id, md5(text) AS od FROM documents "
+            "WHERE doc_id % 10 != 0), "
+            "n AS (SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 "
+            "THEN text || ' v2' ELSE text END) AS nd FROM documents "
+            "WHERE doc_id % 7 != 0) "
+            "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN od IS NULL THEN 'added' "
+            "WHEN nd IS NULL THEN 'removed' "
+            "WHEN od != nd THEN 'changed' "
+            "ELSE 'unchanged' END AS status "
+            "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"
+        ),
+        "decontaminate_bloom": _bloom_decontaminate_oracle_sql(),
     }
+    # ANN recall eval composes the two search oracles verbatim (DuckDB
+    # allows a WITH inside a derived table), guaranteeing the eval's
+    # ground truth is the same statement the driver already validates
+    sql["ann_recall_eval"] = (
+        "WITH exact AS (SELECT query_id, vec_id FROM ("
+        + sql["ann_cosine_topk"]
+        + ")), approx AS (SELECT query_id, vec_id FROM ("
+        + sql["ann_lsh_multi_topk"]
+        + ")), hits AS (SELECT e.query_id, count(*) AS h FROM exact e "
+        "JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id "
+        "GROUP BY 1) "
+        "SELECT q.vec_id AS query_id, "
+        "round(CAST(coalesce(h.h, 0) AS DOUBLE) / 10, 3) AS recall_at_10 "
+        "FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q "
+        "LEFT JOIN hits h ON q.vec_id = h.query_id"
+    )
+    return sql

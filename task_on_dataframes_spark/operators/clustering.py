@@ -111,3 +111,63 @@ def kmeans_assignments(
     return assign.select(
         "vec_id", F.col("cl").alias("cluster"), F.col("sim").alias("cos")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pruning (Abbas et al.
+    2023): k-means the embedding space, then compare vectors only
+    WITHIN their cluster and mark every vector that has a
+    smaller-id cluster-mate above the cosine threshold. Returns the
+    prune list ``(vec_id, cluster, dup_of, max_cos)`` where ``dup_of``
+    is the smallest qualifying partner id (the canonical survivor).
+
+    Scale shape: the quadratic comparison is confined to single
+    clusters — the algorithm's defining trick. The cluster-keyed
+    self-join shuffles the corpus once on ``cluster``; pair volume is
+    sum over clusters of |c|^2, so ``k`` must grow with n to hold
+    |c| ~ n/k at a constant target (SemDeDup runs k ~ 50k on
+    LAION-scale data). With bounded cluster sizes this is a linear
+    plan; clusters never form a global cartesian product. Determinism
+    matches :func:`kmeans_assignments` (the DuckDB oracle replays the
+    identical Lloyd chain, cosine rounded to 5).
+    """
+    assign = kmeans_assignments(emb, k=k, iters=iters, dims=dims,
+                                id_col=id_col, vec_col=vec_col)
+    members = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .join(assign.select("vec_id", "cluster"), on="vec_id")
+    )
+    a = members.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cluster").alias("cluster"),
+        F.col("v").alias("va"),
+    )
+    b = members.select(
+        "vec_id", "cluster", F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, on="cluster")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            "cluster",
+            "a_id",
+            F.round(cosine("va", "vb"), 5).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs.groupBy("vec_id", "cluster").agg(
+        F.min("a_id").alias("dup_of"),
+        F.max("cos").alias("max_cos"),
+    )

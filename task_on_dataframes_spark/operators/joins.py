@@ -141,3 +141,34 @@ def upsert(
     survivors = base.join(F.broadcast(updates.select(*keys)), on=keys,
                           how="left_anti")
     return survivors.select(*cols).unionByName(updates.select(*cols))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    payload_col: str,
+) -> DataFrame:
+    """Classify every key across two corpus snapshots as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` — the audit
+    step an incremental ingestion pipeline runs between crawl dumps
+    before deciding what to re-process. Compares md5 digests of the
+    payload, not the payload itself, so the shuffle carries 32-byte
+    digests instead of document bodies; the full-outer hash join is
+    ONE shuffle keyed on the snapshot key (or zero with pre-bucketed
+    snapshots). Returns ``(key, status)``.
+    """
+    o = old.select(
+        F.col(key_col).alias("key"), F.md5(F.col(payload_col)).alias("od")
+    )
+    n = new.select(
+        F.col(key_col).alias("key"), F.md5(F.col(payload_col)).alias("nd")
+    )
+    return o.join(n, on="key", how="full_outer").select(
+        "key",
+        F.when(F.col("od").isNull(), "added")
+        .when(F.col("nd").isNull(), "removed")
+        .when(F.col("od") != F.col("nd"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import hash32
@@ -101,3 +101,141 @@ def stratified_sample(
         else F.lit(int(round(default_fraction * 1000)))
     )
     return df.filter(bucket < thresh)
+
+
+def domain_mix(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    size_col: str,
+    budget_pm: int = 500,
+    salt: str = "mix",
+) -> DataFrame:
+    """Token-budget corpus mixing (the DoReMi/Pile-style "domain
+    weights" apply step): give every domain an equal share of a global
+    size budget (``budget_pm``/1000 of the corpus total), derive each
+    domain's deterministic keep-rate, apply it by stable key hash, and
+    return the per-domain audit
+    ``(domain, n_docs, total_size, rate_pm, docs_kept, size_kept)``.
+
+    A domain smaller than its share keeps everything (rate capped at
+    1000 per-mille); oversized domains are down-sampled toward the
+    uniform share — the standard rebalance that stops one crawl dump
+    from dominating the mixture. All rate arithmetic is INTEGER
+    (per-mille floor division), so Spark and the DuckDB oracle derive
+    bit-identical rates; the keep decision is the same pure
+    hash-of-key predicate as :func:`deterministic_sample`, so reruns
+    and incremental loads keep exactly the same documents.
+
+    Scale shape: one scan-stage aggregation to domain totals (dim
+    cardinality), a broadcast of the <= |domains| rate table back onto
+    the scan, and one final keyed aggregation — the corpus shuffles
+    only as map-side partial aggregates on the domain key.
+    """
+    totals = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(size_col).cast("bigint")).alias("total_size"),
+    )
+    grand = totals.agg(
+        F.sum("total_size").alias("g"), F.count(F.lit(1)).alias("nd")
+    )
+    rates = (
+        totals.crossJoin(F.broadcast(grand))
+        .withColumn(
+            "rate_pm",
+            # integer floor division (`div`), NOT `/` (which is double
+            # division in Spark SQL): keeps the rate bit-identical to
+            # the oracle's integer arithmetic with no FP boundary risk
+            F.least(
+                F.lit(1000).cast("bigint"),
+                F.expr(f"(g * {budget_pm}) div (nd * total_size)"),
+            ),
+        )
+        .select("domain", "n_docs", "total_size", "rate_pm")
+    )
+    kept = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.col(size_col).cast("bigint").alias("sz"),
+            split_bucket(F.col(key_col), salt).alias("bucket"),
+        )
+        .join(F.broadcast(rates.select("domain", "rate_pm")), on="domain")
+        .filter(F.col("bucket") < F.col("rate_pm"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("sz").alias("size_kept"),
+        )
+    )
+    return (
+        rates.join(kept, on="domain", how="left")
+        .select(
+            "domain",
+            "n_docs",
+            "total_size",
+            "rate_pm",
+            F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
+            F.coalesce("size_kept", F.lit(0)).alias("size_kept"),
+        )
+    )
+
+
+def interleave_order(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    limit: int,
+    salt: str = "interleave",
+) -> DataFrame:
+    """Deterministic round-robin training order: hash-shuffle rows
+    within each domain (rank by stable hash — no RNG), then interleave
+    the domains one row at a time. Returns the first ``limit`` rows as
+    ``(position, key, domain)`` — the "epoch order" construction that
+    gives a stratified stream without ever materializing a global
+    sort.
+
+    position = (domain_rank - 1) * n_domains + domain_index, i.e.
+    round r of the epoch emits the r-th ranked row of every domain.
+    Scale shape: the only windows are per-domain (corpus partitions on
+    the domain key) and over the dim-sized domain list; computing the
+    first ``limit`` positions prunes each domain to its first
+    ceil(limit / n_domains) rows BEFORE the final top-k, which
+    compiles to TakeOrderedAndProject — no global sort of the corpus.
+    """
+    doms = (
+        df.select(F.col(domain_col).alias("domain"))
+        .distinct()
+        .withColumn(
+            "dom_ix",
+            F.row_number().over(Window.orderBy("domain")) - 1,
+        )
+        .withColumn("n_dom", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    h = hash32(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    ranked = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(domain_col).alias("domain"),
+            h.alias("h"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("domain").orderBy("h", "key")
+            ),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(doms), on="domain")
+        # per-domain prune: only ranks that can land inside the limit
+        .filter(F.col("rnk") <= (F.lit(limit) + F.col("n_dom") - 1) / F.col("n_dom"))
+        .select(
+            ((F.col("rnk") - 1) * F.col("n_dom") + F.col("dom_ix")).alias(
+                "position"
+            ),
+            "key",
+            "domain",
+        )
+        .filter(F.col("position") < limit)
+        .orderBy("position")
+    )

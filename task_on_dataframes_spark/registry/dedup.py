@@ -209,3 +209,58 @@ def _dedup_levenshtein(spark, sf_dir):
     from task_on_dataframes_spark.operators.dedup import levenshtein_pairs
 
     return levenshtein_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    prune within clusters only — the quadratic compare is confined to
+    bounded clusters, so k (not an all-pairs join) is the scale knob.
+    Deterministic Lloyd chain identical to emb_kmeans; the oracle
+    replays clustering AND pruning exactly."""
+    from task_on_dataframes_spark.operators.clustering import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=3, threshold=0.4
+    )
+
+
+def _decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination: the bounded-state variant of the
+    exact-join `decontaminate` query. Benchmark (test-split) 5-grams
+    compress to <= 65536 bit positions; train docs are flagged by k=3
+    broadcast semi-joins on the bit table — corpus never shuffles, and
+    the shipped state is capped regardless of benchmark size. False
+    positives are deterministic (portable md5 hashes), so the oracle
+    reproduces the flagged set bit for bit."""
+    from task_on_dataframes_spark.operators.bloom import (
+        bloom_probe_hits,
+        build_bloom_bits,
+    )
+    from task_on_dataframes_spark.operators.dedup import _word_ngrams
+    from task_on_dataframes_spark.operators.sampling import assign_split
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    labeled = assign_split(docs, "doc_id")
+    grams = _word_ngrams(docs, "doc_id", "text", 5)
+    test_ids = labeled.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("did")
+    )
+    train_ids = labeled.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("did")
+    )
+    bench_grams = grams.join(F.broadcast(test_ids), on="did").select("tok")
+    bits = build_bloom_bits(bench_grams, "tok")
+    train_grams = grams.join(train_ids, on="did", how="left_semi")
+    hits = (
+        bloom_probe_hits(train_grams, bits, "tok")
+        .groupBy("did")
+        .agg(F.count(F.lit(1)).alias("hit_grams"))
+    )
+    return (
+        train_ids.join(hits, on="did", how="left")
+        .select(
+            "did",
+            F.coalesce("hit_grams", F.lit(0)).alias("hit_grams"),
+            (F.coalesce("hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -205,3 +205,39 @@ def _ann_ivfpq_topk(spark, sf_dir):
         emb, queries_df, k_top=10, n_centroids=16, n_probe=4,
         m=8, k=32, iters=2,
     )
+
+
+def _ann_recall_eval(spark, sf_dir):
+    """ANN quality evaluation: recall@10 of the multi-table LSH index
+    against the exact cosine top-10, per query — the measurement loop
+    that tunes (planes, n_tables) in production. Intersection is an
+    equi-join on (query_id, vec_id) of two 10-row-per-query lists; the
+    corpus cost is the two underlying searches themselves."""
+    from task_on_dataframes_spark.operators.similarity import (
+        cosine_topk,
+        lsh_ann_topk_multi,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries_df, k=10).select("query_id", "vec_id")
+    approx = lsh_ann_topk_multi(
+        emb, queries_df, k=10, dims=64, planes=4, n_tables=2
+    ).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, on=["query_id", "vec_id"], how="left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        queries_df.select("query_id")
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("h"), F.lit(0)) / 10.0, 3).alias(
+                "recall_at_10"
+            ),
+        )
+    )

@@ -389,3 +389,26 @@ def _s15_schema_merge(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+def _snapshot_diff(spark, sf_dir):
+    """Snapshot-to-snapshot corpus diff: classify every doc_id as
+    added/removed/changed/unchanged between two derived snapshots
+    (old = ids not divisible by 10; new = ids not divisible by 7, with
+    ids divisible by 5 re-crawled with ' v2' appended). Digest-only
+    full-outer join: the shuffle carries md5 digests, never bodies."""
+    from task_on_dataframes_spark.operators.joins import snapshot_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new, "doc_id", "text").withColumnRenamed(
+        "key", "doc_id"
+    )

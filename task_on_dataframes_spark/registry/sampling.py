@@ -15,6 +15,7 @@ from .common import (
     _dec_disc,
     _dec_ep,
     _dec_qty,
+    _docs,
     _events,
     _t,
 )
@@ -210,4 +211,26 @@ def _sample_negatives(spark, sf_dir):
     )
     return pairs.join(targets, "neg_id").select(
         "anchor_id", "neg_rank", "neg_id", "neg_chars"
+    )
+
+
+def _mix_domains(spark, sf_dir):
+    """Token-budget domain mixing audit: uniform per-source share of a
+    50% corpus-size budget, integer per-mille rates, stable-hash keep
+    decisions. One scan-stage agg + one broadcast-back + one keyed agg."""
+    from task_on_dataframes_spark.operators.sampling import domain_mix
+
+    return domain_mix(
+        _docs(spark, sf_dir), "doc_id", "source", "n_chars", budget_pm=500
+    )
+
+
+def _sample_interleave(spark, sf_dir):
+    """Deterministic round-robin epoch order over sources: per-domain
+    hash ranking + interleave, pruned per-domain before the final
+    top-k — a stratified global training order with no global sort."""
+    from task_on_dataframes_spark.operators.sampling import interleave_order
+
+    return interleave_order(
+        _docs(spark, sf_dir), "doc_id", "source", limit=100
     )

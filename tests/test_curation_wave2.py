@@ -1,0 +1,172 @@
+"""Round-4 wave-2 curation operators: SemDeDup, Bloom decontamination,
+domain mixing, interleave order, snapshot diff, ANN recall eval."""
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_semantic_dedup_pairs_are_intra_cluster_and_above_threshold(
+    spark, sf_dir
+):
+    from task_on_dataframes_spark.operators.clustering import (
+        kmeans_assignments,
+        semantic_dedup,
+    )
+    from task_on_dataframes_spark.operators.dedup import cosine
+
+    emb = _emb(spark, sf_dir)
+    pruned = semantic_dedup(emb, k=4, iters=2, threshold=0.3).collect()
+    assert pruned, "synthetic embeddings should contain semantic dups"
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assignments(emb, k=4, iters=2).collect()
+    }
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    left = vecs.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("va")
+    )
+    right = vecs.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("vb")
+    )
+    cos = {
+        (r["a"], r["b"]): r["c"]
+        for r in left.join(right, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine("va", "vb"), 5).alias("c"))
+        .collect()
+    }
+    for r in pruned:
+        # canonical partner precedes the pruned vector, shares its
+        # cluster, and really is above the threshold
+        assert r["dup_of"] < r["vec_id"]
+        assert assign[r["dup_of"]] == assign[r["vec_id"]] == r["cluster"]
+        assert cos[(r["dup_of"], r["vec_id"])] >= 0.3
+        assert r["max_cos"] >= 0.3
+
+
+def test_bloom_flags_are_superset_of_exact_overlap(spark, sf_dir):
+    """Bloom membership admits false positives but NEVER false
+    negatives: every doc the exact gram-join flags must be flagged by
+    the bloom probe too."""
+    from task_on_dataframes_spark.operators.bloom import (
+        bloom_probe_hits,
+        build_bloom_bits,
+    )
+    from task_on_dataframes_spark.operators.dedup import _word_ngrams
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    bgrams = _word_ngrams(bench, "doc_id", "text", 3).select("tok")
+    tgrams = _word_ngrams(train, "doc_id", "text", 3)
+    exact = {
+        r["did"]
+        for r in tgrams.join(
+            bgrams.distinct(), on="tok", how="left_semi"
+        )
+        .select("did")
+        .distinct()
+        .collect()
+    }
+    bits = build_bloom_bits(bgrams, "tok")
+    bloom = {
+        r["did"]
+        for r in bloom_probe_hits(tgrams, bits, "tok")
+        .select("did")
+        .distinct()
+        .collect()
+    }
+    assert exact, "splits should share some 3-grams"
+    assert exact <= bloom, "bloom must never produce a false negative"
+
+
+def test_bloom_bits_bounded(spark, sf_dir):
+    from task_on_dataframes_spark.operators.bloom import (
+        M_BITS,
+        build_bloom_bits,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    bits = build_bloom_bits(toks, "tok").collect()
+    assert 0 < len(bits) <= M_BITS
+    assert all(0 <= r["bit"] < M_BITS for r in bits)
+
+
+def test_domain_mix_budget_and_determinism(spark, sf_dir):
+    from task_on_dataframes_spark.operators.sampling import domain_mix
+
+    docs = _docs(spark, sf_dir)
+    audit = domain_mix(docs, "doc_id", "source", "n_chars", budget_pm=500)
+    rows = {r["domain"]: r for r in audit.collect()}
+    assert set(rows) == {
+        r["source"] for r in docs.select("source").distinct().collect()
+    }
+    for r in rows.values():
+        assert 0 <= r["rate_pm"] <= 1000
+        assert r["docs_kept"] <= r["n_docs"]
+        assert r["size_kept"] <= r["total_size"]
+        # a domain at/below its uniform share keeps everything
+        if r["rate_pm"] == 1000:
+            assert r["docs_kept"] == r["n_docs"]
+    again = {r["domain"]: r for r in audit.collect()}
+    assert {d: r["docs_kept"] for d, r in rows.items()} == {
+        d: r["docs_kept"] for d, r in again.items()
+    }
+
+
+def test_interleave_order_positions_contiguous_and_stratified(
+    spark, sf_dir
+):
+    from task_on_dataframes_spark.operators.sampling import interleave_order
+
+    docs = _docs(spark, sf_dir)
+    n_dom = docs.select("source").distinct().count()
+    rows = interleave_order(docs, "doc_id", "source", limit=60).collect()
+    positions = [r["position"] for r in rows]
+    assert positions == list(range(60))
+    # round-robin: any window of n_dom consecutive positions touches
+    # n_dom distinct domains
+    doms = [r["domain"] for r in rows]
+    for start in range(0, 60 - n_dom + 1, n_dom):
+        window = doms[start : start + n_dom]
+        assert len(set(window)) == len(window)
+
+
+def test_snapshot_diff_statuses(spark):
+    from task_on_dataframes_spark.operators.joins import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], ["id", "text"]
+    )
+    out = {
+        r["key"]: r["status"]
+        for r in snapshot_diff(old, new, "id", "text").collect()
+    }
+    assert out == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "added",
+    }
+
+
+def test_ann_recall_eval_bounds(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["ann_recall_eval"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(0.0 <= r["recall_at_10"] <= 1.0 for r in rows)
