@@ -173,6 +173,8 @@ from task_on_dataframes_spark.registry.streaming import (
 )
 from task_on_dataframes_spark.registry.text import (
     _text_bigram_lm,
+    _text_bpe_apply,
+    _text_bpe_train,
     _curriculum_quality_bins,
     _pipeline_c4_curation,
     _text_bm25,
@@ -476,6 +478,69 @@ def _semantic_dedup_oracle_sql(
     )
 
 
+def _bpe_ctes(merges: int = 6) -> list:
+    """BPE training CTE chain (shared by the train and apply oracles):
+    word table -> per-iteration pair counts (p{i}), argmax (b{i}), and
+    merged word table (w{i}) — identical greedy replace semantics and
+    lexicographic tie-breaks to operators/bpe.py."""
+    parts = [
+        "WITH w0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') "
+        "AS repr, cnt FROM (SELECT w, count(*) AS cnt FROM "
+        "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w "
+        "FROM documents) WHERE regexp_matches(w, '^[a-z]+$') "
+        "GROUP BY w))"
+    ]
+    for i in range(1, merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"p{i} AS (SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS pc "
+            "FROM (SELECT syms[i.i] AS lhs, syms[i.i+1] AS rhs, cnt "
+            "FROM (SELECT regexp_extract_all(repr, '\\(([^)]*)\\)', 1) "
+            f"AS syms, cnt FROM {prev}), "
+            "LATERAL unnest(generate_series(1, len(syms) - 1)) AS i(i) "
+            "WHERE len(syms) >= 2) GROUP BY lhs, rhs), "
+            f"b{i} AS (SELECT CAST({i} AS INT) AS step, lhs, rhs, "
+            "lhs || rhs AS merged, pc AS pair_count "
+            f"FROM p{i} ORDER BY pc DESC, lhs, rhs LIMIT 1)"
+        )
+        if i < merges:
+            parts.append(
+                f"w{i} AS (SELECT replace(repr, "
+                "'(' || b.lhs || ')(' || b.rhs || ')', "
+                "'(' || b.merged || ')') AS repr, cnt "
+                f"FROM w{i - 1}, b{i} b)"
+            )
+    return parts
+
+
+def _bpe_train_oracle_sql(merges: int = 6) -> str:
+    parts = _bpe_ctes(merges)
+    union = " UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(1, merges + 1))
+    return ", ".join(parts) + f" SELECT * FROM ({union}) ORDER BY step"
+
+
+def _bpe_apply_oracle_sql(merges: int = 6) -> str:
+    parts = _bpe_ctes(merges)
+    parts.append(
+        "r0 AS (SELECT doc_id, regexp_replace(w, '(.)', '(\\1)', 'g') "
+        "AS r FROM (SELECT doc_id, "
+        "unnest(string_split_regex(lower(text), '\\s+')) AS w "
+        "FROM documents) WHERE regexp_matches(w, '^[a-z]+$'))"
+    )
+    for i in range(1, merges + 1):
+        parts.append(
+            f"r{i} AS (SELECT doc_id, replace(r, "
+            "'(' || b.lhs || ')(' || b.rhs || ')', "
+            f"'(' || b.merged || ')') AS r FROM r{i - 1}, b{i} b)"
+        )
+    return (
+        ", ".join(parts)
+        + " SELECT doc_id, CAST(sum(len(regexp_extract_all(r, "
+        f"'\\(([^)]*)\\)', 1))) AS BIGINT) AS bpe_tokens FROM r{merges} "
+        "GROUP BY doc_id"
+    )
+
+
 def _bloom_decontaminate_oracle_sql(k: int = 3, m: int = 1 << 16) -> str:
     """Replay the Bloom decontamination bit for bit: same portable md5
     bit positions, same all-k-bits membership rule — false positives
@@ -527,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then the stalest green rows (r1-era). Long-green sentinels
         # sit in the tail. Re-rotate each round as rows come back.
         # --- newest this round (no driver row yet, wave 2)
+        "text_bpe_train": _text_bpe_train,
+        "text_bpe_apply": _text_bpe_apply,
         "dedup_semantic": _dedup_semantic,
         "decontaminate_bloom": _decontaminate_bloom,
         "mix_domains": _mix_domains,
@@ -2677,6 +2744,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"
         ),
         "decontaminate_bloom": _bloom_decontaminate_oracle_sql(),
+        "text_bpe_train": _bpe_train_oracle_sql(),
+        "text_bpe_apply": _bpe_apply_oracle_sql(),
     }
     # ANN recall eval composes the two search oracles verbatim (DuckDB
     # allows a WITH inside a derived table), guaranteeing the eval's

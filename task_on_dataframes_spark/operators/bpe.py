@@ -1,0 +1,171 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+byte-pair merges from the corpus — the vocabulary-induction step that
+precedes every token-count, pack, and curriculum operator in an LLM
+data pipeline.
+
+Formulation (fully declarative — no driver-side loop state):
+
+* **word table** — one pass over the corpus: lowercase whitespace
+  tokens filtered to ``^[a-z]+$``, grouped to (word, count). All merge
+  statistics are weighted by word frequency over this VOCABULARY-sized
+  table, so every BPE iteration touches |vocab| rows, never the corpus
+  again — the same trick every production BPE trainer uses.
+* **symbol representation** — each word's symbol sequence is a string
+  of wrapped symbols ``(a)(b)(c)``. Applying a merge (a,b)->ab is ONE
+  literal ``replace('(a)(b)' -> '(ab)')``: both Spark (Java
+  ``String.replace``) and DuckDB scan left-to-right non-overlapping,
+  which is exactly greedy BPE merge application (verified:
+  ``(a)(a)(a)(a)`` -> ``(aa)(aa)``, ``(a)(a)(a)`` -> ``(aa)(a)``).
+  The parens cannot collide with symbol text (alphabet is [a-z]), so
+  a match is always symbol-boundary aligned.
+* **per iteration** — adjacent pairs explode from the symbol arrays
+  (weighted by word count), one keyed aggregation ranks them, and the
+  argmax (ties: lexicographically smallest pair — engine-identical)
+  becomes a ONE-ROW frame that broadcasts back into the next
+  iteration's replace. The word table is persisted per iteration
+  (vocabulary-sized, the same discipline as
+  :func:`..operators.clustering.kmeans_assignments`' centroid frames)
+  so the best-pair branch and the next word table share one cached
+  subplan instead of doubling the lineage every step.
+
+Scale shape: the corpus is read once; each of the ``merges``
+iterations costs one shuffle of vocabulary-sized pair counts with
+map-side partial aggregation plus a 1-row broadcast. At 100 TB the
+vocabulary (even hundreds of millions of words) partitions freely;
+nothing ever gathers more than the single winning pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: extract the wrapped symbols back out of the representation string
+_SYMS = r"regexp_extract_all(repr, '\\(([^)]*)\\)', 1)"
+
+
+def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """(repr, cnt): wrapped-symbol representation per distinct word."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.regexp_replace("w", "(.)", "($1)").alias("repr"), "cnt"
+        )
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(lhs, rhs, pc): frequency-weighted adjacent symbol pairs."""
+    syms = F.expr(_SYMS)
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("lhs"),
+                F.element_at(syms, i + 1).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+    return (
+        words.select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("cnt").alias("pc"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: int = 6,
+) -> DataFrame:
+    """Learn ``merges`` BPE merge rules; returns the merge table
+    ``(step, lhs, rhs, merged, pair_count)`` ordered by step — the
+    tokenizer-training artifact."""
+    words = _word_table(docs, text_col).persist()
+    best_frames = []
+    for step in range(1, merges + 1):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("pc"), "lhs", "rhs")
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                F.col("pc").alias("pair_count"),
+            )
+        )
+        best_frames.append(best)
+        if step < merges:
+            words = (
+                words.crossJoin(
+                    F.broadcast(best.select("lhs", "rhs", "merged"))
+                )
+                .select(
+                    F.replace(
+                        F.col("repr"),
+                        F.concat(
+                            F.lit("("),
+                            F.col("lhs"),
+                            F.lit(")("),
+                            F.col("rhs"),
+                            F.lit(")"),
+                        ),
+                        F.concat(F.lit("("), F.col("merged"), F.lit(")")),
+                    ).alias("repr"),
+                    "cnt",
+                )
+                .persist()
+            )
+    out = best_frames[0]
+    for b in best_frames[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def bpe_apply_token_counts(
+    docs: DataFrame,
+    merge_table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a learned merge table: per document, the BPE
+    token count after applying every merge rule in order. The merge
+    table (tokenizer-sized) collects to the driver and the whole
+    application compiles to a chain of scan-stage ``replace`` calls
+    over the corpus — zero shuffles beyond the final count.
+
+    Returns ``(doc_id, bpe_tokens)``.
+    """
+    rules = [
+        (r["lhs"], r["rhs"], r["merged"])
+        for r in merge_table.orderBy("step").collect()
+    ]
+    # per-word representation inline (no vocab join: the replace chain
+    # is cheap enough to run on the token stream directly, keeping the
+    # operator shuffle-free until the count)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    repr_col = F.regexp_replace("w", "(.)", "($1)")
+    for lhs, rhs, merged in rules:
+        repr_col = F.replace(
+            repr_col, F.lit(f"({lhs})({rhs})"), F.lit(f"({merged})")
+        )
+    n_syms = F.size(F.expr(_SYMS.replace("repr", "r")))
+    return (
+        toks.select("doc_id", repr_col.alias("r"))
+        .select("doc_id", n_syms.alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("bigint").alias("bpe_tokens"))
+    )

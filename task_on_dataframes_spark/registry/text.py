@@ -327,3 +327,28 @@ def _text_bigram_lm(spark, sf_dir):
             F.round(F.avg(logp), 6).alias("avg_logp"),
         )
     )
+
+
+def _text_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training: 6 merge rules learned from
+    frequency-weighted adjacent-symbol counts over the vocabulary-sized
+    word table. Corpus read once; each iteration is one keyed shuffle
+    of pair counts + a 1-row broadcast. Oracle replays the full
+    training chain (same greedy replace semantics, same tie-breaks)."""
+    from task_on_dataframes_spark.operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), "text", merges=6)
+
+
+def _text_bpe_apply(spark, sf_dir):
+    """Apply the learned BPE merge table to the corpus: per-document
+    token counts under the trained vocabulary. The 6-rule table is the
+    only driver-side state; application is a scan-stage replace chain
+    with a single final aggregation."""
+    from task_on_dataframes_spark.operators.bpe import (
+        bpe_apply_token_counts,
+        bpe_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return bpe_apply_token_counts(docs, bpe_train(docs, "text", merges=6))

@@ -170,3 +170,70 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
     rows = entry.queries()["ann_recall_eval"](spark, sf_dir).collect()
     assert len(rows) == 10
     assert all(0.0 <= r["recall_at_10"] <= 1.0 for r in rows)
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    from task_on_dataframes_spark.operators.bpe import bpe_train
+
+    # corpus 'abc abc abd' -> pairs: (a,b)x3, (b,c)x2, (b,d)x1
+    docs = spark.createDataFrame(
+        [(1, "abc abc abd")], ["doc_id", "text"]
+    )
+    rules = bpe_train(docs, "text", merges=2).orderBy("step").collect()
+    # step 1: (a,b) wins with count 2 (distinct words abc, abd — the
+    # word table weights by occurrence: abc x2 + abd x1 = 3)
+    assert (rules[0]["lhs"], rules[0]["rhs"]) == ("a", "b")
+    assert rules[0]["pair_count"] == 3
+    assert rules[0]["merged"] == "ab"
+    # step 2: (ab, c) with weight 2 beats (ab, d) weight 1
+    assert (rules[1]["lhs"], rules[1]["rhs"]) == ("ab", "c")
+    assert rules[1]["pair_count"] == 2
+
+
+def test_bpe_greedy_nonoverlapping_merge(spark):
+    from task_on_dataframes_spark.operators.bpe import (
+        bpe_apply_token_counts,
+        bpe_train,
+    )
+
+    # 'aaaa' under merge (a,a): greedy left-to-right -> (aa)(aa) = 2
+    # tokens; 'aaa' -> (aa)(a) = 2 tokens
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaa")], ["doc_id", "text"]
+    )
+    table = bpe_train(docs, "text", merges=1)
+    r = table.collect()[0]
+    assert (r["lhs"], r["rhs"]) == ("a", "a")
+    counts = {
+        row["doc_id"]: row["bpe_tokens"]
+        for row in bpe_apply_token_counts(docs, table).collect()
+    }
+    assert counts == {1: 2, 2: 2}
+
+
+def test_bpe_apply_bounds(spark, sf_dir):
+    from task_on_dataframes_spark.operators.bpe import (
+        bpe_apply_token_counts,
+        bpe_train,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    table = bpe_train(docs, "text", merges=4)
+    assert table.count() == 4
+    out = bpe_apply_token_counts(docs, table)
+    # merging only ever reduces token counts: word count <= bpe_tokens
+    # <= char count of the alpha tokens
+    bounds = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"),
+                lambda w: w.rlike("^[a-z]+$"),
+            )
+        ).alias("n_words"),
+    )
+    joined = out.join(bounds, on="doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r["bpe_tokens"] >= r["n_words"]
