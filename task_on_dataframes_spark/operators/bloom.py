@@ -63,7 +63,11 @@ def build_bloom_bits(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
-    return out.distinct()
+    # the bit table is probed k times downstream (one semi-join per
+    # hash function); Catalyst will not dedupe the aliased subplan, so
+    # persist the <= m-row result to compute the benchmark-gram pass
+    # once instead of k times
+    return out.distinct().persist()
 
 
 def bloom_probe_hits(
