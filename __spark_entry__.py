@@ -52,6 +52,8 @@ from task_on_dataframes_spark.registry.core import (
 )
 from task_on_dataframes_spark.registry.quality import (
     _dq_rules,
+    _s16_zorder_stats,
+    _s17_incremental_read,
     _snapshot_diff,
     _s15_schema_merge,
     _ev_windowed_topk,
@@ -84,6 +86,7 @@ from task_on_dataframes_spark.registry.dedup import (
 from task_on_dataframes_spark.registry.embeddings import (
     _ann_cosine_topk,
     _ann_recall_eval,
+    _emb_pca_top2,
     _ann_ivf_topk,
     _ann_ivfpq_topk,
     _ann_pq_topk,
@@ -541,6 +544,12 @@ def _bpe_apply_oracle_sql(merges: int = 6) -> str:
     )
 
 
+def _morton_sql_xy(bits: int = 10) -> str:
+    from task_on_dataframes_spark.operators.layout import morton_code_sql
+
+    return morton_code_sql("x", "y", bits)
+
+
 def _bloom_decontaminate_oracle_sql(k: int = 3, m: int = 1 << 16) -> str:
     """Replay the Bloom decontamination bit for bit: same portable md5
     bit positions, same all-k-bits membership rule — false positives
@@ -591,7 +600,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sessionize queries whose gap semantics changed this round,
         # then the stalest green rows (r1-era). Long-green sentinels
         # sit in the tail. Re-rotate each round as rows come back.
-        # --- newest this round (no driver row yet, wave 2)
+        # --- newest this round (no driver row yet, waves 2-3)
+        "s16_zorder_stats": _s16_zorder_stats,
+        "s17_incremental_read": _s17_incremental_read,
+        "emb_pca_top2": _emb_pca_top2,
         "text_bpe_train": _text_bpe_train,
         "text_bpe_apply": _text_bpe_apply,
         "dedup_semantic": _dedup_semantic,
@@ -1136,6 +1148,66 @@ def _pca_oracle_sql(dims: int = 64, iters: int = 8) -> str:
 def _pca_oracle_sql_final() -> str:
     """Top-direction loadings (query emb_pca_top)."""
     return _pca_oracle_sql() + "SELECT pos, loading FROM d"
+
+
+def _pca2_oracle_sql(dims: int = 64, iters: int = 8) -> str:
+    """DuckDB replay of operators.linalg.pca_power_top2: v1 chain over
+    g0, Rayleigh lam1 (rounded 6), deflated g2 entries (rounded 6 —
+    identical on both engines, re-synchronizing IEEE noise), v2 chain
+    over g2, same sign rule and round-5 loadings as the rank-1
+    oracle."""
+
+    def chain(mat: str, tag: str) -> str:
+        s = f"v{tag}0 AS (SELECT pos, 1.0 AS x FROM p), "
+        prev = f"v{tag}0"
+        for k in range(1, iters + 1):
+            s += (
+                f"m{tag}{k} AS MATERIALIZED (SELECT {mat}.i AS pos, "
+                f"sum({mat}.v * {prev}.x) AS y "
+                f"FROM {mat} JOIN {prev} ON {mat}.j = {prev}.pos "
+                "GROUP BY 1), "
+                f"n{tag}{k} AS MATERIALIZED (SELECT sqrt(sum(y * y)) "
+                f"AS nrm FROM m{tag}{k}), "
+                f"v{tag}{k} AS MATERIALIZED (SELECT pos, "
+                f"y / n{tag}{k}.nrm AS x FROM m{tag}{k}, n{tag}{k}), "
+            )
+            prev = f"v{tag}{k}"
+        s += (
+            f"sg{tag} AS (SELECT CASE WHEN (SELECT x FROM {prev} "
+            "ORDER BY abs(round(x, 12)) DESC, pos LIMIT 1) < 0 "
+            "THEN -1.0 ELSE 1.0 END AS s), "
+            f"d{tag} AS MATERIALIZED (SELECT {prev}.pos, "
+            f"round({prev}.x * sg{tag}.s, 5) AS loading "
+            f"FROM {prev}, sg{tag}), "
+        )
+        return s
+
+    sql = (
+        f"WITH p AS (SELECT unnest(generate_series(1, {dims})) AS pos), "
+        "e AS MATERIALIZED (SELECT vec_id, p.pos, "
+        "CAST(embedding[p.pos] AS DOUBLE) AS x FROM embeddings, p), "
+        "g0 AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j, "
+        "round(sum(a.x * b.x), 6) "
+        "AS v FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2), "
+    )
+    sql += chain("g0", "a")
+    sql += (
+        "lam AS (SELECT round("
+        "(SELECT sum(g0.v * a.loading * b.loading) FROM g0, da a, da b "
+        "WHERE a.pos = g0.i AND b.pos = g0.j) / "
+        "(SELECT sum(loading * loading) FROM da), 6) AS l), "
+        "g2 AS MATERIALIZED (SELECT g0.i, g0.j, "
+        "round(g0.v - lam.l * a.loading * b.loading, 6) AS v "
+        "FROM g0, lam, da a, da b "
+        "WHERE a.pos = g0.i AND b.pos = g0.j), "
+    )
+    sql += chain("g2", "b")
+    sql = sql.rstrip(", ")
+    return sql + (
+        " SELECT CAST(1 AS INT) AS component, pos, loading FROM da "
+        "UNION ALL "
+        "SELECT CAST(2 AS INT) AS component, pos, loading FROM db"
+    )
 
 
 def _pca_project_oracle_sql() -> str:
@@ -2746,6 +2818,24 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": _bloom_decontaminate_oracle_sql(),
         "text_bpe_train": _bpe_train_oracle_sql(),
         "text_bpe_apply": _bpe_apply_oracle_sql(),
+        "emb_pca_top2": _pca2_oracle_sql(),
+        "s16_zorder_stats": (
+            # the layout rewrite must be lossless, so the oracle
+            # aggregates the ORIGINAL table with the same interleave
+            "WITH b AS (SELECT (l_partkey % 1024) AS x, "
+            "(l_suppkey % 1024) AS y FROM lineitem) "
+            "SELECT ("
+            + _morton_sql_xy()
+            + " >> 12) AS zbucket, count(*) AS n, "
+            "min(x) AS min_x, max(x) AS max_x, "
+            "min(y) AS min_y, max(y) AS max_y FROM b GROUP BY 1"
+        ),
+        "s17_incremental_read": (
+            "SELECT o_orderstatus, count(*) AS n, "
+            "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) "
+            "AS DOUBLE) AS sum_price FROM orders "
+            "WHERE o_orderkey % 3 = 0 GROUP BY 1"
+        ),
     }
     # ANN recall eval composes the two search oracles verbatim (DuckDB
     # allows a WITH inside a derived table), guaranteeing the eval's

@@ -123,3 +123,51 @@ def pca_power_top(
         v = -v
     rows = [(i + 1, float(x)) for i, x in enumerate(np.round(v, 5))]
     return spark.createDataFrame(rows, "pos int, loading double")
+
+
+def pca_power_top2(
+    spark: SparkSession,
+    gram: DataFrame,
+    dims: int = 64,
+    iters: int = 8,
+) -> DataFrame:
+    """Top TWO principal directions via power iteration + Hotelling
+    deflation on the distributed-reduced Gram matrix: v1 as in
+    :func:`pca_power_top` (rounded to 5), then the Rayleigh quotient
+    lam1 = v1'Gv1 / v1'v1 (rounded 6), the deflated matrix
+    G2 = G - lam1*v1*v1' (entries rounded 6), and the same fixed
+    power iteration on G2 for v2. Every rounding is an engine
+    synchronization point: both Spark and the DuckDB oracle iterate
+    on IDENTICAL deflated entries, so IEEE noise cannot diverge the
+    chains. Driver cost is d x d (dimension-bounded — the corpus
+    never leaves the distributed Gram reduction). Returns
+    (component, pos, loading), pos 1-based."""
+    import numpy as np
+
+    g = np.zeros((dims, dims))
+    for r in gram.collect():
+        g[r["i"] - 1, r["j"] - 1] = r["v"]
+        g[r["j"] - 1, r["i"] - 1] = r["v"]
+
+    def _power(mat):
+        v = np.ones(dims)
+        for _ in range(iters):
+            v = mat @ v
+            v = v / np.sqrt((v * v).sum())
+        lead = int(np.argmax(np.abs(np.round(v, 12))))
+        if v[lead] < 0:
+            v = -v
+        return np.round(v, 5)
+
+    v1 = _power(g)
+    lam1 = round(float(v1 @ g @ v1) / float(v1 @ v1), 6)
+    g2 = np.round(g - lam1 * np.outer(v1, v1), 6)
+    v2 = _power(g2)
+    rows = [
+        (c, i + 1, float(x))
+        for c, v in ((1, v1), (2, v2))
+        for i, x in enumerate(v)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, pos int, loading double"
+    )

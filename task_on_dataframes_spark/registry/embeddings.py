@@ -241,3 +241,19 @@ def _ann_recall_eval(spark, sf_dir):
             ),
         )
     )
+
+
+def _emb_pca_top2(spark, sf_dir):
+    """Top-2 PCA via power iteration + Hotelling deflation: v1 from
+    the distributed Gram, Rayleigh lam1, deflated G2 = G - lam1*v1*v1'
+    (entries rounded 6 — the engine-sync point), v2 from the same
+    fixed iteration on G2. Driver work is d x d; the corpus only ever
+    feeds the Gram reduction. Full CTE-chain oracle replays both
+    chains and the deflation."""
+    from task_on_dataframes_spark.operators.linalg import (
+        gram_matrix,
+        pca_power_top2,
+    )
+
+    gram = gram_matrix(_t(spark, sf_dir, "embeddings"))
+    return pca_power_top2(spark, gram)

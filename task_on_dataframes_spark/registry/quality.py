@@ -412,3 +412,72 @@ def _snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new, "doc_id", "text").withColumnRenamed(
         "key", "doc_id"
     )
+
+
+def _s16_zorder_stats(spark, sf_dir):
+    """Z-order layout: write lineitem keys Morton-clustered (range
+    partition + in-partition sort on the interleaved code), read back,
+    and aggregate per Morton bucket. The oracle computes the same
+    buckets from the original table — the layout rewrite must be
+    lossless, and the bit-interleave arithmetic engine-identical.
+    (test_curation_wave3 asserts the layout actually tightens rowgroup
+    min/max rectangles for two-column pruning.)"""
+    import tempfile
+
+    from task_on_dataframes_spark.operators.layout import (
+        morton_code,
+        zorder_write,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 1024).alias("x"),
+        (F.col("l_suppkey") % 1024).alias("y"),
+    )
+    out = tempfile.mkdtemp(prefix="tada_zorder_") + "/li"
+    zorder_write(li, "x", "y", out, bits=10, files=8)
+    back = spark.read.parquet(out)
+    z = morton_code(F.col("x"), F.col("y"), 10)
+    return (
+        back.withColumn("zbucket", F.shiftright(z, 12))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+def _s17_incremental_read(spark, sf_dir):
+    """Incremental ingestion without table-format metadata: write
+    batch 1, snapshot the file manifest, append batch 2, then read
+    ONLY the files new since the manifest. The oracle aggregates
+    batch 2 straight from the source — exactly-once batch processing
+    by file-listing diff; old files are never reopened."""
+    import tempfile
+
+    from task_on_dataframes_spark.sources.writers import (
+        manifest_snapshot,
+        read_new_files,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="tada_incr_") + "/orders"
+    orders.filter(F.col("o_orderkey") % 3 != 0).write.mode(
+        "overwrite"
+    ).parquet(out)
+    manifest = manifest_snapshot(out)
+    orders.filter(F.col("o_orderkey") % 3 == 0).write.mode(
+        "append"
+    ).parquet(out)
+    inc = read_new_files(spark, out, manifest)
+    return inc.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -114,3 +114,38 @@ def bucketed_table_sink(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def manifest_snapshot(path: str) -> list:
+    """Sorted list of data-file names currently in a parquet
+    directory — the checkpoint an incremental consumer records after
+    each processed batch. File-name based (parquet part files are
+    immutable once written; appends only ever ADD files), so the
+    manifest is tiny — names, not data — and works on any
+    Hadoop-compatible filesystem."""
+    import os
+
+    return sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def read_new_files(spark, path: str, manifest: list):
+    """Read ONLY the files appended since ``manifest`` was taken — the
+    incremental-ingestion primitive (process each crawl batch exactly
+    once without Delta/Iceberg metadata). Returns None when nothing is
+    new. Scan cost is proportional to the NEW data: the listing diff
+    happens on file names; old files are never opened."""
+    import os
+
+    seen = set(manifest)
+    new = [
+        os.path.join(path, f)
+        for f in manifest_snapshot(path)
+        if f not in seen
+    ]
+    if not new:
+        return None
+    return spark.read.parquet(*new)
