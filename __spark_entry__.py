@@ -101,6 +101,7 @@ from task_on_dataframes_spark.registry.embeddings import (
     _graph_pagerank,
 )
 from task_on_dataframes_spark.registry.events import (
+    _ev_markov,
     _ev_session_window_builtin,
     _ev_funnel,
     _ev_gap_fill,
@@ -155,6 +156,7 @@ from task_on_dataframes_spark.registry.relational import (
 from task_on_dataframes_spark.registry.sampling import (
     _mix_domains,
     _sample_interleave,
+    _sample_kcenter,
     _sample_negatives,
     _sample_bottomk,
     _sample_split,
@@ -167,6 +169,7 @@ from task_on_dataframes_spark.registry.sampling import (
     _skew_salted_join,
 )
 from task_on_dataframes_spark.registry.streaming import (
+    _stream_mv_upsert,
     _stream_windowed_topk,
     _stream_dedup,
     _stream_enrich,
@@ -544,6 +547,41 @@ def _bpe_apply_oracle_sql(merges: int = 6) -> str:
     )
 
 
+def _kcenter_oracle_sql(k: int = 8) -> str:
+    """Replay greedy k-center exactly: same squared-L2 composition
+    rounded to 5, same (mind DESC, vec_id ASC) argmax, same constant
+    seed round."""
+    d2 = (
+        "round(list_dot_product(w.v, w.v) - 2*list_dot_product(w.v, c.v) "
+        "+ list_dot_product(c.v, c.v), 5)"
+    )
+    parts = [
+        "WITH full_v AS (SELECT vec_id, embedding::DOUBLE[] AS fv "
+        "FROM embeddings), "
+        "w0 AS MATERIALIZED (SELECT vec_id, fv AS v, "
+        "CAST(1e18 AS DOUBLE) AS mind FROM full_v)"
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"c{i} AS (SELECT {i} AS step, vec_id, mind, v FROM w{i - 1} "
+            "ORDER BY mind DESC, vec_id ASC LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f"w{i} AS MATERIALIZED (SELECT w.vec_id, w.v, "
+                f"least(w.mind, {d2}) AS mind FROM w{i - 1} w, c{i} c)"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT step, vec_id, mind FROM c{i}" for i in range(1, k + 1)
+    )
+    return (
+        ", ".join(parts)
+        + f" SELECT CAST(step AS INT) AS sel_order, vec_id, "
+        "CASE WHEN step = 1 THEN NULL ELSE mind END AS min_dist "
+        f"FROM ({union})"
+    )
+
+
 def _morton_sql_xy(bits: int = 10) -> str:
     from task_on_dataframes_spark.operators.layout import morton_code_sql
 
@@ -600,7 +638,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sessionize queries whose gap semantics changed this round,
         # then the stalest green rows (r1-era). Long-green sentinels
         # sit in the tail. Re-rotate each round as rows come back.
-        # --- newest this round (no driver row yet, waves 2-3)
+        # --- newest this round (no driver row yet, waves 2-4)
+        "stream_mv_upsert": _stream_mv_upsert,
+        "sample_kcenter": _sample_kcenter,
+        "ev_markov": _ev_markov,
         "s16_zorder_stats": _s16_zorder_stats,
         "s17_incremental_read": _s17_incremental_read,
         "emb_pca_top2": _emb_pca_top2,
@@ -2835,6 +2876,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) "
             "AS DOUBLE) AS sum_price FROM orders "
             "WHERE o_orderkey % 3 = 0 GROUP BY 1"
+        ),
+        # the incremental 3-batch foreachBatch merge must equal the
+        # one-pass batch aggregate (batching-invariance IS the claim)
+        "stream_mv_upsert": (
+            "SELECT user_id, count(*) AS n, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) "
+            "AS sum_value FROM events GROUP BY 1"
+        ),
+        "sample_kcenter": _kcenter_oracle_sql(),
+        "ev_markov": (
+            "WITH pairs AS (SELECT from_type, to_type FROM ("
+            "SELECT event_type AS from_type, lead(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS to_type "
+            "FROM events) WHERE to_type IS NOT NULL), "
+            "c AS (SELECT from_type, to_type, count(*) AS n FROM pairs "
+            "GROUP BY 1, 2) "
+            "SELECT from_type, to_type, n, round(n / CAST(sum(n) OVER "
+            "(PARTITION BY from_type) AS DOUBLE), 6) AS p FROM c"
         ),
     }
     # ANN recall eval composes the two search oracles verbatim (DuckDB

@@ -239,3 +239,77 @@ def interleave_order(
         .filter(F.col("position") < limit)
         .orderBy("position")
     )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) selection: the diversity
+    sampler — pick the point farthest from everything chosen so far,
+    k times (2-approximation of the k-center objective; the coreset
+    construction curation pipelines use to cover an embedding space
+    with a small representative set).
+
+    Formulation: the corpus carries a running ``mind`` (min squared L2
+    distance to the chosen set, rounded 5 — the engine-sync point).
+    Each iteration: ONE map-side argmax (``max(struct(mind, -id,
+    vec))`` — no sort, no shuffle beyond the 1-row reduce) picks the
+    next center, which broadcasts back so the ``mind`` update is pure
+    scan-stage arithmetic. k corpus passes total, nothing but 1-row
+    frames ever gathers. The seed falls out of the same argmax run on
+    a constant ``mind`` (= smallest id). Per-iteration persist stops
+    the argmax branch from doubling the lineage (k-means discipline).
+
+    Returns ``(sel_order, vec_id, min_dist)`` — ``min_dist`` is the
+    distance at selection time (NULL for the seed), the monotone
+    non-increasing sequence that doubles as a coverage-radius curve.
+    """
+    from .pq import _d2  # squared-L2 via the dot-product composition
+
+    w = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.lit(1e18).alias("mind"),
+    ).persist()
+    picks = []
+    for step in range(1, k + 1):
+        c = (
+            w.agg(
+                F.max(
+                    F.struct(
+                        F.col("mind").alias("d"),
+                        (-F.col("vec_id")).alias("nid"),
+                        F.col("v").alias("cv"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.lit(step).alias("sel_order"),
+                (-F.col("m.nid")).alias("vec_id"),
+                F.when(F.lit(step) > 1, F.col("m.d"))
+                .cast("double")
+                .alias("min_dist"),
+                F.col("m.cv").alias("cv"),
+            )
+            .persist()
+        )
+        picks.append(c.select("sel_order", "vec_id", "min_dist"))
+        if step < k:
+            w = (
+                w.crossJoin(F.broadcast(c.select("cv")))
+                .select(
+                    "vec_id",
+                    "v",
+                    F.least(
+                        F.col("mind"), F.round(_d2("v", "cv"), 5)
+                    ).alias("mind"),
+                )
+                .persist()
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out

@@ -281,3 +281,30 @@ def _ev_session_window_builtin(spark, sf_dir):
             "session_value",
         )
     )
+
+
+def _ev_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() within (user, ts, event_id) order gives the next
+    event type; counts + per-source-state probabilities (round 6) form
+    the behavior model. One window shuffle keyed on user, one pair
+    aggregation keyed on the 25-cell transition space."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )

@@ -234,3 +234,14 @@ def _sample_interleave(spark, sf_dir):
     return interleave_order(
         _docs(spark, sf_dir), "doc_id", "source", limit=100
     )
+
+
+def _sample_kcenter(spark, sf_dir):
+    """Greedy k-center diversity selection (k=8): farthest-point
+    coreset over the embedding table — k scan-stage passes, one
+    map-side argmax reduce each, centers broadcast back. The oracle
+    replays the identical chain (squared-L2 rounded 5, smallest-id
+    ties)."""
+    from task_on_dataframes_spark.operators.sampling import kcenter_select
+
+    return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)

@@ -230,3 +230,37 @@ def _stream_windowed_topk(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("hour", "event_type", "n", "rk")
     )
+
+
+def _stream_mv_upsert(spark, sf_dir):
+    """Incrementally maintained materialized aggregate: the events file
+    is re-staged as THREE parquet files and drained one file per
+    micro-batch, each batch foreachBatch-merged (update-mode key
+    replacement) into a parquet state table. Three real incremental
+    merges; the oracle computes the same per-user aggregate in one
+    batch pass — final state must be batching-invariant (DECIMAL sums
+    make the values exact, update-mode cumulative semantics make the
+    keys exact)."""
+    import tempfile
+
+    from task_on_dataframes_spark.streaming.events import (
+        materialized_user_agg,
+    )
+
+    base = tempfile.mkdtemp(prefix="tada_mv_")
+    src = base + "/src"
+    _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).repartition(3).write.mode("overwrite").parquet(src)
+    state = materialized_user_agg(
+        spark,
+        src,
+        state_dir=base + "/state",
+        checkpoint=base + "/ck",
+        max_files_per_trigger=1,
+    )
+    return state.select(
+        "user_id",
+        "n",
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+    )

@@ -373,3 +373,69 @@ def stream_stream_window_join(
     ).select(
         F.col("l_key").alias(key), "l_event_id", "l_ts", "r_event_id", "r_ts"
     )
+
+
+def materialized_user_agg(
+    spark: SparkSession,
+    src: str,
+    state_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Incrementally maintained materialized aggregate: a streaming
+    per-user (count, decimal-exact sum) in UPDATE mode, merged into a
+    parquet state table by ``foreachBatch`` — the Spark-native
+    materialized view (keep an aggregate table fresh as event batches
+    land, without a table format's MERGE).
+
+    Update mode emits the CUMULATIVE aggregate for every key touched
+    in a micro-batch, so the merge is a pure key replacement:
+    ``state = state[keys not in batch] ∪ batch``. The final state is
+    therefore identical for ANY batching of the input — asserted by
+    the oracle, which computes the aggregate in one batch pass.
+    DECIMAL sums make the value itself batching-order-proof.
+
+    Scale: the state table is key-cardinality sized (users), not
+    event sized. The rewrite-and-swap merge below is right for
+    dim-sized state; corpus-sized state would partition the state
+    table by key bucket and selectively overwrite touched buckets
+    (partitionOverwriteMode=dynamic) — same foreachBatch shape.
+    Returns the final state DataFrame.
+    """
+    import os
+    import shutil
+
+    ev = events_stream(spark, src, max_files_per_trigger)
+    updates = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+    )
+
+    def _merge(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        if os.path.exists(state_dir):
+            state = batch_df.sparkSession.read.parquet(state_dir)
+            keep = state.join(
+                F.broadcast(batch_df.select("user_id")),
+                on="user_id",
+                how="left_anti",
+            )
+            merged = keep.unionByName(batch_df)
+        else:
+            merged = batch_df
+        tmp = state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        batch_df.unpersist()
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    q = (
+        updates.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_dir)

@@ -107,3 +107,77 @@ def test_pca_top2_orthogonal_unit_directions(spark, sf_dir):
     # 0.71+ for a random pair of unit vectors in 64-d)
     dot = abs(sum(a * b for a, b in zip(v1, v2)))
     assert dot < 0.1, f"deflated directions not near-orthogonal: {dot}"
+
+
+def test_materialized_agg_multi_batch_equals_batch_and_idempotent(
+    spark, sf_dir
+):
+    from task_on_dataframes_spark.sources.readers import read_events
+    from task_on_dataframes_spark.streaming.events import (
+        materialized_user_agg,
+    )
+
+    base = tempfile.mkdtemp(prefix="tada_mvtest_")
+    ev = read_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = base + "/src"
+    ev.repartition(3).write.parquet(src)
+    state = materialized_user_agg(
+        spark, src, base + "/state", base + "/ck1", max_files_per_trigger=1
+    )
+    got = {
+        r["user_id"]: (r["n"], r["sum_value"])
+        for r in state.collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["sum_value"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    # replaying the same input into the same state (fresh checkpoint)
+    # REPLACES keys with identical cumulative values — idempotent
+    state2 = materialized_user_agg(
+        spark, src, base + "/state", base + "/ck2", max_files_per_trigger=1
+    )
+    got2 = {
+        r["user_id"]: (r["n"], r["sum_value"]) for r in state2.collect()
+    }
+    assert got2 == want
+
+
+def test_kcenter_farthest_point_properties(spark, sf_dir):
+    from task_on_dataframes_spark.operators.sampling import kcenter_select
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = sorted(
+        kcenter_select(emb, k=6).collect(), key=lambda r: r["sel_order"]
+    )
+    assert [r["sel_order"] for r in rows] == list(range(1, 7))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 6
+    # seed is the smallest id; its distance is undefined
+    assert ids[0] == emb.agg(F.min("vec_id")).collect()[0][0]
+    assert rows[0]["min_dist"] is None
+    # coverage radius is monotone non-increasing
+    dists = [r["min_dist"] for r in rows[1:]]
+    assert all(
+        a >= b for a, b in zip(dists, dists[1:])
+    ), f"min_dist not monotone: {dists}"
+    assert all(d > 0 for d in dists)
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["ev_markov"](spark, sf_dir).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r["p"])
+    for ft, ps in by_from.items():
+        assert abs(sum(ps) - 1.0) < 1e-4, (ft, sum(ps))
