@@ -52,6 +52,8 @@ from task_on_dataframes_spark.registry.core import (
 )
 from task_on_dataframes_spark.registry.quality import (
     _dq_rules,
+    _quality_linear_probe,
+    _sketch_cms,
     _s16_zorder_stats,
     _s17_incremental_read,
     _snapshot_diff,
@@ -81,6 +83,7 @@ from task_on_dataframes_spark.registry.dedup import (
     _dedup_ngram_jaccard,
     _dedup_simhash,
     _dedup_spans,
+    _dedup_substring,
     _dedup_winnow,
 )
 from task_on_dataframes_spark.registry.embeddings import (
@@ -638,7 +641,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sessionize queries whose gap semantics changed this round,
         # then the stalest green rows (r1-era). Long-green sentinels
         # sit in the tail. Re-rotate each round as rows come back.
-        # --- newest this round (no driver row yet, waves 2-4)
+        # --- newest this round (no driver row yet, waves 2-5)
+        "quality_linear_probe": _quality_linear_probe,
+        "sketch_cms": _sketch_cms,
+        "dedup_substring": _dedup_substring,
         "stream_mv_upsert": _stream_mv_upsert,
         "sample_kcenter": _sample_kcenter,
         "ev_markov": _ev_markov,
@@ -1269,7 +1275,63 @@ def oracle_sql() -> dict[str, str]:
         _TOKEN_CTE
         + 'SELECT c.tok AS top90_token FROM clean c JOIN top ON c.tok = top.tok'
     )
+    from task_on_dataframes_spark.operators.hashing import perm_hash_sql
+    from task_on_dataframes_spark.operators.probe import (
+        linear_probe_oracle_sql,
+    )
+
+    _cms_h = hash32_sql("tok")
+    _cms_buckets = " UNION ALL ".join(
+        f"SELECT tok, {r} AS r, {perm_hash_sql(_cms_h, r)} % 1024 AS bk"
+        " FROM toks"
+        for r in range(3)
+    )
     sql = {
+        "quality_linear_probe": linear_probe_oracle_sql(iters=4),
+        "sketch_cms": (
+            "WITH toks AS (SELECT t.tok FROM (SELECT "
+            "unnest(string_split_regex(lower(text), '\\s+')) AS tok "
+            "FROM documents) t WHERE length(t.tok) > 0), "
+            f"b AS ({_cms_buckets}), "
+            "counters AS (SELECT r, bk, count(*) AS c FROM b "
+            "GROUP BY r, bk), "
+            "exact AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok), "
+            "top20 AS (SELECT tok, cnt FROM exact "
+            "ORDER BY cnt DESC, tok LIMIT 20), "
+            "probes AS (SELECT p.tok, p.cnt, b.r, b.bk FROM top20 p "
+            "JOIN b ON b.tok = p.tok), "
+            "est AS (SELECT p.tok, any_value(p.cnt) AS cnt, "
+            "min(c.c) AS est FROM (SELECT DISTINCT tok, cnt, r, bk "
+            "FROM probes) p JOIN counters c USING (r, bk) GROUP BY p.tok) "
+            "SELECT tok, cnt, est, est - cnt AS overcount FROM est"
+        ),
+        "dedup_substring": (
+            "WITH base AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), "
+            "t -> len(t) > 0) AS arr FROM documents), "
+            "tok AS (SELECT doc_id, len(arr) AS n_tokens, "
+            "unnest(arr) AS tok, "
+            "unnest(generate_series(1, len(arr))) AS pos "
+            "FROM base WHERE len(arr) >= 5), "
+            "gr AS (SELECT doc_id, n_tokens, pos, "
+            "md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || "
+            "lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w || ' ' || "
+            "lead(tok, 4) OVER w) AS dg FROM tok "
+            "WINDOW w AS (PARTITION BY doc_id ORDER BY pos) "
+            "QUALIFY pos <= n_tokens - 4), "
+            "c AS (SELECT dg FROM gr GROUP BY dg HAVING count(*) >= 2), "
+            "dup AS (SELECT g.doc_id, g.n_tokens, g.pos FROM gr g "
+            "JOIN c USING (dg)), "
+            "isl AS (SELECT doc_id, n_tokens, pos, pos - row_number() "
+            "OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dup), "
+            "sp AS (SELECT doc_id, any_value(n_tokens) AS n_tokens, "
+            "min(pos) AS s, max(pos) AS e FROM isl GROUP BY doc_id, grp) "
+            "SELECT doc_id, count(*) AS n_spans, "
+            "CAST(sum(e - s + 5) AS BIGINT) AS dup_tokens, "
+            "any_value(n_tokens) AS n_tokens, "
+            "round(sum(e - s + 5) / CAST(any_value(n_tokens) AS DOUBLE), 5)"
+            " AS dup_frac FROM sp GROUP BY doc_id"
+        ),
         "s13_bucketed_join": (
             "SELECT o_orderstatus, count(*) AS n, "
             "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "

@@ -725,3 +725,91 @@ def span_dedup(
             ).alias("text_deduped"),
         )
     )
+
+
+def repeated_gram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Cross-document repeated-substring detection (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" move,
+    approximated at word granularity): mark every position whose
+    ``k``-token gram occurs more than once ANYWHERE in the corpus
+    (other documents or elsewhere in the same one), merge adjacent
+    duplicated positions into maximal spans, and report per-document
+    span counts and the duplicated-token fraction.
+
+    Unlike :func:`span_dedup` (fixed non-overlapping chunks) this
+    catches repeats at ARBITRARY alignment: a boilerplate sentence
+    pasted mid-paragraph lights up as one island regardless of where
+    the chunk grid falls.
+
+    Scale shape — a gram inverted index, never a suffix array:
+
+    * gram construction is scan-stage (array ``transform`` over the
+      token list, no explode-then-window);
+    * duplicated grams come from ONE md5-digest-keyed groupBy
+      (map-side partial count) with an ``occ >= 2`` cut — the join
+      back to positions is digest-keyed, so the corpus shuffles at
+      gram granularity exactly twice and nothing is ever all-pairs;
+    * island-merge windows partition by document — per-doc bounded,
+      no global sort.
+
+    Returns (id, n_spans, dup_tokens, n_tokens, dup_frac) for
+    documents with at least one repeated span. A span covering gram
+    positions ``s..e`` duplicates ``e - s + k`` tokens.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    base = (
+        df.select(F.col(id_col).alias("did"), arr.alias("arr"))
+        .withColumn("n_tokens", F.size("arr"))
+        .filter(F.col("n_tokens") >= k)
+    )
+    grams = base.select(
+        "did",
+        "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice("arr", i, k), " ")),
+            )
+        ).alias("pos0", "dg"),
+    ).select("did", "n_tokens", (F.col("pos0") + 1).alias("pos"), "dg")
+    dup_grams = (
+        grams.groupBy("dg")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("dg")
+    )
+    dup_pos = grams.join(dup_grams, "dg").select("did", "n_tokens", "pos")
+    w = Window.partitionBy("did").orderBy("pos")
+    islands = dup_pos.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    spans = islands.groupBy("did", "grp").agg(
+        F.min("pos").alias("s"),
+        F.max("pos").alias("e"),
+        F.first("n_tokens").alias("n_tokens"),
+    )
+    return (
+        spans.groupBy("did")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + k).alias("dup_tokens"),
+            F.first("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            F.col("did").alias(id_col),
+            "n_spans",
+            "dup_tokens",
+            "n_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 5).alias(
+                "dup_frac"
+            ),
+        )
+    )

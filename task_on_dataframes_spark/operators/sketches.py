@@ -118,3 +118,78 @@ def heavy_hitters(
     )
     merged = partials.groupBy("item").agg(F.sum("c").alias("est_count"))
     return merged.orderBy(F.desc("est_count"), "item").limit(k)
+
+
+def cms_counters(
+    df: DataFrame,
+    col: str,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch counter table: ``depth`` independent hash rows
+    of ``width`` buckets. UNLIKE the HLL/GK sketches above, every
+    counter is an EXACT sum over deterministic portable hashes
+    (md5-derived universal family, :mod:`.hashing`), so the full
+    counter table — and any estimate read from it — is bit-replayable
+    by the DuckDB oracle. The sketch property is structural: the table
+    is fixed-size (``depth * width`` rows) no matter the corpus, built
+    by one map-side-combined aggregation of ``depth`` scan-stage
+    bucket ids per item — the mergeable shape that profiles a 100 TB
+    stream in one pass with kilobytes of state.
+
+    Returns (r, bk, c): hash-row index, bucket, exact count.
+    """
+    from .hashing import hash32, perm_hash
+
+    h = hash32(F.col(col))
+    buckets = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (perm_hash(h, r) % width).alias("bk"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.r", "rb.bk")
+    return buckets.groupBy("r", "bk").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_estimate(
+    items: DataFrame,
+    counters: DataFrame,
+    col: str,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each row of ``items``: the estimate
+    is the MIN over the item's ``depth`` counters — always >= the true
+    count, over by at most the collisions in its emptiest row. The
+    counter table is broadcast (fixed-size), so lookups never shuffle
+    the probe side."""
+    from .hashing import hash32, perm_hash
+
+    h = hash32(F.col(col))
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (perm_hash(h, r) % width).alias("bk"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("*", "rb.r", "rb.bk")
+    keep = [c for c in items.columns]
+    return (
+        probes.join(F.broadcast(counters), ["r", "bk"])
+        .groupBy(*keep)
+        .agg(F.min("c").alias("est"))
+    )

@@ -264,3 +264,14 @@ def _decontaminate_bloom(spark, sf_dir):
             (F.coalesce("hit_grams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def _dedup_substring(spark, sf_dir):
+    """Cross-document repeated 5-gram spans (Lee et al. substring-level
+    dedup at word granularity): per-doc maximal duplicated spans and
+    duplicated-token fraction. Gram inverted index — two digest-keyed
+    shuffles, per-doc island windows, nothing all-pairs."""
+    from task_on_dataframes_spark.operators.dedup import repeated_gram_spans
+
+    docs = _docs(spark, sf_dir)
+    return repeated_gram_spans(docs, "doc_id", "text", k=5)

@@ -481,3 +481,50 @@ def _s17_incremental_read(spark, sf_dir):
         .cast("double")
         .alias("sum_price"),
     )
+
+
+def _quality_linear_probe(spark, sf_dir):
+    """Supervised training loop as a first-class operator: least-squares
+    linear probe (stopword fraction ~ length/digit features) fit by 4
+    full-batch GD iterations. Integer fixed-point end-to-end — exact
+    decimal gradient sums make every iteration partitioning-invariant
+    and bit-replayable by the chained-CTE DuckDB oracle. Per iteration:
+    ONE scan-stage gradient aggregation (d-sized result); the corpus
+    never shuffles. At 100 TB you'd persist the feature projection once
+    and reuse it across iterations; at test SF the 4 re-scans of a
+    2-column pruned parquet read are cheaper than the cache."""
+    from task_on_dataframes_spark.operators.probe import linear_probe_weights
+
+    docs = _docs(spark, sf_dir)
+    return linear_probe_weights(docs, "text", iters=4)
+
+
+def _sketch_cms(spark, sf_dir):
+    """Count-min sketch with an EXACT-replay oracle: 3x1024 counters
+    over the document token stream (portable md5 hash family), point
+    queries for the exact top-20 tokens, overcount = est - true. The
+    counter build is one map-side-combined aggregation to a fixed
+    3072-row table; estimates broadcast-join that table — the bounded-
+    state frequency profile of an unbounded stream. CMS guarantees
+    est >= true always; the overcount column shows the collision mass
+    directly."""
+    from task_on_dataframes_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    counters = cms_counters(toks, "tok", depth=3, width=1024)
+    top20 = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(20)
+    )
+    est = cms_estimate(top20, counters, "tok", depth=3, width=1024)
+    return est.select(
+        "tok", "cnt", "est", (F.col("est") - F.col("cnt")).alias("overcount")
+    )
