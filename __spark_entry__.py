@@ -53,6 +53,7 @@ from task_on_dataframes_spark.registry.core import (
 from task_on_dataframes_spark.registry.quality import (
     _dq_rules,
     _quality_linear_probe,
+    _quality_probe_by_lang,
     _sketch_cms,
     _s16_zorder_stats,
     _s17_incremental_read,
@@ -643,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sit in the tail. Re-rotate each round as rows come back.
         # --- newest this round (no driver row yet, waves 2-5)
         "quality_linear_probe": _quality_linear_probe,
+        "quality_probe_by_lang": _quality_probe_by_lang,
         "sketch_cms": _sketch_cms,
         "dedup_substring": _dedup_substring,
         "stream_mv_upsert": _stream_mv_upsert,
@@ -1286,8 +1288,13 @@ def oracle_sql() -> dict[str, str]:
         " FROM toks"
         for r in range(3)
     )
+    from task_on_dataframes_spark.operators.probe import (
+        grouped_probe_oracle_sql,
+    )
+
     sql = {
         "quality_linear_probe": linear_probe_oracle_sql(iters=4),
+        "quality_probe_by_lang": grouped_probe_oracle_sql("lang", iters=4),
         "sketch_cms": (
             "WITH toks AS (SELECT t.tok FROM (SELECT "
             "unnest(string_split_regex(lower(text), '\\s+')) AS tok "

@@ -46,20 +46,25 @@ FEATURES = ("bias", "len_tok", "len_char", "digit_frac")
 PROBE_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 
-def probe_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def probe_features(
+    df: DataFrame, text_col: str = "text", group_col: str | None = None
+) -> DataFrame:
     """Scan-stage integer fixed-point features + target.
 
     x0 = 1.0 (bias), x1 = min(n_tok, 1000)/1000, x2 = min(n_chars,
     5000)/5000, x3 = digit fraction — all in 1e-3 units; target y =
     stopword fraction of tokens in 1e-9 units. Rows with no tokens
-    are dropped (the target is undefined there).
+    are dropped (the target is undefined there). With ``group_col``
+    the group key is carried through for per-group training.
     """
     stop_list = ", ".join(f"'{w}'" for w in PROBE_STOPWORDS)
     arr = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"),
         lambda t: F.length(t) > 0,
     )
+    carry = [F.col(group_col).alias("grp")] if group_col else []
     base = df.select(
+        *carry,
         arr.alias("arr"),
         F.length(text_col).alias("tlen"),
         (
@@ -69,6 +74,7 @@ def probe_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("n_chars"),
     ).withColumn("n_tok", F.size("arr"))
     return base.filter(F.col("n_tok") > 0).select(
+        *([F.col("grp")] if group_col else []),
         F.lit(1000).cast("bigint").alias("x0"),
         F.least("n_tok", F.lit(1000)).cast("bigint").alias("x1"),
         F.expr("least(n_chars, 5000) div 5").cast("bigint").alias("x2"),
@@ -195,6 +201,139 @@ def linear_probe_oracle_sql(
         prev = f"w{it}_"
     rows = " UNION ALL ".join(
         f"SELECT '{name}' AS feature, w{j} AS weight_micro FROM {prev}"
+        for j, name in enumerate(FEATURES)
+    )
+    return "WITH " + ", ".join(ctes) + " " + rows
+
+
+def grouped_probe_weights(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    iters: int = 4,
+    lr_num: int = 1,
+    lr_den: int = 10,
+) -> DataFrame:
+    """(group, feature, weight_micro): one independent linear probe per
+    group (language, domain, source...), all fit in the SAME pass — the
+    grouped-training shape a 100 TB pipeline needs when per-domain
+    calibration replaces one global model.
+
+    Identical arithmetic contract to :func:`linear_probe_weights`;
+    the differences are purely structural:
+
+    * gradients aggregate ``GROUP BY`` the group key, so one
+      aggregation per iteration yields EVERY group's d-sized gradient
+      (shuffle volume = n_groups x n_partitions partial rows);
+    * weights live in an n_groups-row frame that broadcast-joins back
+      onto the features each iteration — the corpus side never
+      shuffles on the group key more than the aggregation itself.
+    """
+    feat = probe_features(df, text_col, group_col=group_col)
+    w = (
+        feat.select("grp")
+        .distinct()
+        .select(
+            "grp",
+            *[F.lit(0).cast("bigint").alias(f"w{j}") for j in range(4)],
+        )
+    )
+    for _ in range(iters):
+        joined = feat.join(F.broadcast(w), "grp")
+        err = (
+            F.col("w0") * F.col("x0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+            - F.col("y")
+        )
+        grads = joined.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((err * F.col(f"x{j}")).cast("decimal(38,0)")).alias(
+                    f"g{j}"
+                )
+                for j in range(4)
+            ],
+            *[F.first(f"w{j}").alias(f"w{j}") for j in range(4)],
+        )
+        w = grads.select(
+            "grp",
+            *[
+                F.expr(
+                    f"w{j} - (cast({lr_num} as bigint) * cast(g{j} as"
+                    f" bigint)) div (n * {lr_den} * 1000000)"
+                )
+                .cast("bigint")
+                .alias(f"w{j}")
+                for j in range(4)
+            ],
+        )
+    names = F.array(*[F.lit(n) for n in FEATURES])
+    return (
+        w.select(
+            F.col("grp").alias(group_col),
+            F.posexplode(
+                F.array(*[F.col(f"w{j}") for j in range(4)])
+            ).alias("j", "weight_micro"),
+            names.alias("names"),
+        )
+        .select(
+            group_col,
+            F.element_at(F.col("names"), F.col("j") + 1).alias("feature"),
+            "weight_micro",
+        )
+    )
+
+
+def grouped_probe_oracle_sql(
+    group_col: str,
+    iters: int = 4,
+    lr_num: int = 1,
+    lr_den: int = 10,
+    table: str = "documents",
+) -> str:
+    """Chained-CTE DuckDB twin of :func:`grouped_probe_weights`."""
+    stop_list = ", ".join(f"'{w}'" for w in PROBE_STOPWORDS)
+    feat = (
+        f"SELECT grp, CAST(1000 AS BIGINT) AS x0, "
+        "CAST(least(len(arr), 1000) AS BIGINT) AS x1, "
+        "CAST(least(n_chars, 5000) // 5 AS BIGINT) AS x2, "
+        "CAST(((length(text) - length(regexp_replace(text, '[0-9]', '',"
+        " 'g'))) * 1000) // length(text) AS BIGINT) AS x3, "
+        f"CAST((len(list_filter(arr, t -> t IN ({stop_list}))) *"
+        " 1000000000) // len(arr) AS BIGINT) AS y "
+        f"FROM (SELECT {group_col} AS grp, n_chars, text, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"t -> len(t) > 0) AS arr FROM {table}) WHERE len(arr) > 0"
+    )
+    ctes = [f"feat AS ({feat})"]
+    ctes.append(
+        "w0_ AS (SELECT DISTINCT grp, CAST(0 AS BIGINT) AS w0,"
+        " CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,"
+        " CAST(0 AS BIGINT) AS w3 FROM feat)"
+    )
+    prev = "w0_"
+    for it in range(1, iters + 1):
+        err = "(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 - f.y)"
+        gsums = ", ".join(
+            f"sum({err} * f.x{j}) AS g{j}" for j in range(4)
+        )
+        ws = ", ".join(f"any_value(w.w{j}) AS w{j}" for j in range(4))
+        ctes.append(
+            f"g{it}_ AS (SELECT f.grp, count(*) AS n, {gsums}, {ws} "
+            f"FROM feat f JOIN {prev} w USING (grp) GROUP BY f.grp)"
+        )
+        upd = ", ".join(
+            f"CAST(w{j} - (CAST({lr_num} AS HUGEINT) * g{j})"
+            f" // (n * {lr_den} * 1000000) AS BIGINT) AS w{j}"
+            for j in range(4)
+        )
+        ctes.append(f"w{it}_ AS (SELECT grp, {upd} FROM g{it}_)")
+        prev = f"w{it}_"
+    rows = " UNION ALL ".join(
+        f"SELECT grp AS {group_col}, '{name}' AS feature,"
+        f" w{j} AS weight_micro FROM {prev}"
         for j, name in enumerate(FEATURES)
     )
     return "WITH " + ", ".join(ctes) + " " + rows

@@ -528,3 +528,17 @@ def _sketch_cms(spark, sf_dir):
     return est.select(
         "tok", "cnt", "est", (F.col("est") - F.col("cnt")).alias("overcount")
     )
+
+
+def _quality_probe_by_lang(spark, sf_dir):
+    """Per-language linear probes trained simultaneously: the grouped
+    variant of quality_linear_probe — one GROUP BY gradient aggregation
+    per iteration yields every language's d-sized gradient at once, and
+    the n_groups-row weight frame broadcast-joins back. Per-domain
+    calibration at corpus scale without per-domain jobs."""
+    from task_on_dataframes_spark.operators.probe import (
+        grouped_probe_weights,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return grouped_probe_weights(docs, "lang", "text", iters=4)

@@ -113,3 +113,30 @@ def test_repeated_gram_spans_finds_planted_duplicate(spark):
         assert out[d]["dup_tokens"] == 9
     assert out[1]["n_tokens"] == 14
     assert 0 < out[1]["dup_frac"] < 1
+
+
+def test_grouped_probe_equals_per_group_training(spark, sf_dir):
+    # the grouped single-pass trainer must produce EXACTLY the weights
+    # of training each group's subset independently — group isolation
+    # is the whole contract of per-domain calibration
+    from task_on_dataframes_spark.operators.probe import (
+        grouped_probe_weights,
+        linear_probe_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grouped = {
+        (r["lang"], r["feature"]): r["weight_micro"]
+        for r in grouped_probe_weights(docs, "lang", "text", iters=3).collect()
+    }
+    langs = sorted({k[0] for k in grouped})
+    assert len(langs) >= 2, "need multiple groups for the test to bite"
+    solo_lang = langs[0]
+    solo = {
+        (solo_lang, r["feature"]): r["weight_micro"]
+        for r in linear_probe_weights(
+            docs.filter(F.col("lang") == solo_lang), "text", iters=3
+        ).collect()
+    }
+    for key, wm in solo.items():
+        assert grouped[key] == wm
