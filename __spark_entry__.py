@@ -54,6 +54,7 @@ from task_on_dataframes_spark.registry.quality import (
     _dq_rules,
     _quality_linear_probe,
     _quality_probe_by_lang,
+    _s18_bloom_join_prune,
     _sketch_cms,
     _s16_zorder_stats,
     _s17_incremental_read,
@@ -86,6 +87,7 @@ from task_on_dataframes_spark.registry.dedup import (
     _dedup_spans,
     _dedup_substring,
     _dedup_winnow,
+    _text_containment,
 )
 from task_on_dataframes_spark.registry.embeddings import (
     _ann_cosine_topk,
@@ -173,6 +175,7 @@ from task_on_dataframes_spark.registry.sampling import (
     _skew_salted_join,
 )
 from task_on_dataframes_spark.registry.streaming import (
+    _stream_cms,
     _stream_mv_upsert,
     _stream_windowed_topk,
     _stream_dedup,
@@ -647,6 +650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_probe_by_lang": _quality_probe_by_lang,
         "sketch_cms": _sketch_cms,
         "dedup_substring": _dedup_substring,
+        "stream_cms": _stream_cms,
+        "s18_bloom_join_prune": _s18_bloom_join_prune,
+        "text_containment": _text_containment,
         "stream_mv_upsert": _stream_mv_upsert,
         "sample_kcenter": _sample_kcenter,
         "ev_markov": _ev_markov,
@@ -1292,9 +1298,44 @@ def oracle_sql() -> dict[str, str]:
         grouped_probe_oracle_sql,
     )
 
+    _cms_ev_h = hash32_sql("tok")
+    _cms_ev_buckets = " UNION ALL ".join(
+        f"SELECT {r} AS r, {perm_hash_sql(_cms_ev_h, r)} % 1024 AS bk"
+        " FROM items"
+        for r in range(3)
+    )
     sql = {
         "quality_linear_probe": linear_probe_oracle_sql(iters=4),
         "quality_probe_by_lang": grouped_probe_oracle_sql("lang", iters=4),
+        "stream_cms": (
+            "WITH items AS (SELECT CAST(user_id AS VARCHAR) AS tok "
+            "FROM events), "
+            f"b AS ({_cms_ev_buckets}) "
+            "SELECT r, bk, count(*) AS c FROM b GROUP BY r, bk"
+        ),
+        "s18_bloom_join_prune": (
+            "SELECT o_orderstatus, count(*) AS n, "
+            "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) "
+            "AS DOUBLE) AS total "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_nationkey = 3 GROUP BY o_orderstatus"
+        ),
+        "text_containment": (
+            _lsh_cand_ctes()
+            + """,
+sz AS (SELECT did, count(*) AS sz FROM g GROUP BY did),
+inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+          JOIN g ga ON ga.did = c.a
+          JOIN g gb ON gb.did = c.b AND gb.tok = ga.tok
+          GROUP BY c.a, c.b)
+SELECT i.a AS a, i.b AS b,
+       round(i.inter / sa.sz, 6) AS cont_a,
+       round(i.inter / sb.sz, 6) AS cont_b
+FROM inter i JOIN sz sa ON i.a = sa.did JOIN sz sb ON i.b = sb.did
+WHERE round(i.inter / sa.sz, 6) >= 0.6
+   OR round(i.inter / sb.sz, 6) >= 0.6
+"""
+        ),
         "sketch_cms": (
             "WITH toks AS (SELECT t.tok FROM (SELECT "
             "unnest(string_split_regex(lower(text), '\\s+')) AS tok "

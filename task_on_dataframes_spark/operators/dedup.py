@@ -813,3 +813,38 @@ def repeated_gram_spans(
             ),
         )
     )
+
+
+def containment_verify(
+    candidates: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact asymmetric containment |A∩B| / |A| for candidate (a, b)
+    pairs over distinct (did, tok) sets — the near-SUPERSET detector.
+    Jaccard misses the case a short boilerplate doc is wholly embedded
+    in a long one (the union term dilutes it); containment of the
+    smaller side catches exactly that, which is why quote/template
+    detection keys on it. Emits both directions' scores and keeps
+    pairs where EITHER side is >= threshold contained."""
+    sizes = sets.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sets.select(F.col("did").alias("a"), "tok")
+    sb = sets.select(F.col("did").alias("b"), "tok")
+    inter = (
+        candidates.join(sa, on="a").join(sb, on=["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("did").alias("a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("did").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(za, on="a")
+        .join(zb, on="b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("inter") / F.col("sza"), 6).alias("cont_a"),
+            F.round(F.col("inter") / F.col("szb"), 6).alias("cont_b"),
+        )
+        .filter(
+            (F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold)
+        )
+    )

@@ -275,3 +275,21 @@ def _dedup_substring(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     return repeated_gram_spans(docs, "doc_id", "text", k=5)
+
+
+def _text_containment(spark, sf_dir):
+    """Asymmetric containment |A∩B|/|A| over the shared minhash-LSH
+    candidate front end: the near-SUPERSET detector Jaccard misses
+    (short boilerplate embedded in a long doc dilutes the union). Same
+    banded candidate generation as every verified near-dup strategy;
+    exact containment only on candidates."""
+    from task_on_dataframes_spark.operators.dedup import (
+        containment_verify,
+        lsh_candidates,
+    )
+
+    docs = _docs(spark, sf_dir)
+    candidates, toks = lsh_candidates(
+        docs, "doc_id", "text", num_perm=16, bands=4, shingle_n=2
+    )
+    return containment_verify(candidates, toks, threshold=0.6)

@@ -542,3 +542,43 @@ def _quality_probe_by_lang(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     return grouped_probe_weights(docs, "lang", "text", iters=4)
+
+
+def _s18_bloom_join_prune(spark, sf_dir):
+    """Runtime Bloom-filter join pruning: the selective dim predicate
+    (customers of one nation) compresses to a <=65536-bit Bloom set,
+    probed scan-side on orders BEFORE the real join — k broadcast
+    semi-joins on int keys, so at 100 TB the fact side sheds ~24/25 of
+    its rows before the join shuffle even starts, while the shipped
+    state stays ~0.5 MB no matter how large the dim grows (the regime
+    where the dim itself is too big to broadcast but its key Bloom
+    isn't). False negatives are impossible and false positives are
+    removed by the real join, so the aggregate equals the plain join's
+    — which is exactly what the oracle computes."""
+    from task_on_dataframes_spark.operators.bloom import (
+        bloom_probe_hits,
+        build_bloom_bits,
+    )
+
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 3)
+        .select("c_custkey")
+    )
+    bits = build_bloom_bits(dim, "c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    pruned = bloom_probe_hits(orders, bits, "o_custkey")
+    return (
+        pruned.join(dim, pruned.o_custkey == dim.c_custkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("total"),
+        )
+    )

@@ -264,3 +264,30 @@ def _stream_mv_upsert(spark, sf_dir):
         "n",
         F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
     )
+
+
+def _stream_cms(spark, sf_dir):
+    """Continuously maintained count-min sketch: events re-staged as
+    three files, drained one per micro-batch, each batch's partial
+    3x1024 counter table ADDED into parquet state by foreachBatch.
+    Counters are purely additive, so the final state is identical for
+    any batching — the oracle computes the same counters (portable md5
+    hash family over user_id) in one batch pass. Bounded kilobytes of
+    state against an unbounded stream: the continuous-profiling shape."""
+    import tempfile
+
+    from task_on_dataframes_spark.streaming.events import cms_stream
+
+    base = tempfile.mkdtemp(prefix="tada_cms_")
+    src = base + "/src"
+    _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).repartition(3).write.mode("overwrite").parquet(src)
+    state = cms_stream(
+        spark,
+        src,
+        state_dir=base + "/state",
+        checkpoint=base + "/ck",
+        max_files_per_trigger=1,
+    )
+    return state.select("r", "bk", "c")

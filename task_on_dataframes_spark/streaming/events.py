@@ -439,3 +439,74 @@ def materialized_user_agg(
     )
     q.awaitTermination()
     return spark.read.parquet(state_dir)
+
+
+def cms_stream(
+    spark: SparkSession,
+    src: str,
+    state_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: Optional[int] = None,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Continuously maintained count-min sketch: each micro-batch's
+    partial counter table (depth x width, exact portable-hash counts)
+    is ADDED into a parquet state table by ``foreachBatch``.
+
+    CMS counters are purely additive, so the merge is a full-outer
+    coalesce-sum on (r, bk) — state stays <= depth*width rows forever
+    while the stream is unbounded, and the final table is identical
+    for ANY batching of the input (each event contributes +1 to the
+    same ``depth`` cells no matter which batch carries it). The oracle
+    computes the same counters in one batch pass; equality IS the
+    mergeability proof. This is the bounded-state continuous profiling
+    shape: a 100 TB/day stream keeps a kilobytes-sized frequency
+    sketch fresh without ever storing per-key state.
+    """
+    import os
+    import shutil
+
+    from task_on_dataframes_spark.operators.sketches import cms_counters
+
+    ev = events_stream(spark, src, max_files_per_trigger)
+
+    def _merge(batch_df, batch_id: int) -> None:
+        part = cms_counters(
+            batch_df.select(F.col("user_id").cast("string").alias("item")),
+            "item",
+            depth=depth,
+            width=width,
+        ).persist()
+        if os.path.exists(state_dir):
+            state = part.sparkSession.read.parquet(state_dir)
+            merged = (
+                state.withColumnRenamed("c", "c_old")
+                .join(part.withColumnRenamed("c", "c_new"),
+                      ["r", "bk"], "full_outer")
+                .select(
+                    "r",
+                    "bk",
+                    (
+                        F.coalesce("c_old", F.lit(0))
+                        + F.coalesce("c_new", F.lit(0))
+                    ).alias("c"),
+                )
+            )
+        else:
+            merged = part
+        tmp = state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        part.unpersist()
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_dir)

@@ -140,3 +140,89 @@ def test_grouped_probe_equals_per_group_training(spark, sf_dir):
     }
     for key, wm in solo.items():
         assert grouped[key] == wm
+
+
+def test_containment_catches_embedded_boilerplate(spark):
+    # a short doc wholly embedded in a long one: containment of the
+    # short side must be 1.0 even though Jaccard vs the long doc is low
+    from task_on_dataframes_spark.operators.dedup import (
+        containment_verify,
+        lsh_candidates,
+    )
+
+    boiler = "all rights reserved contact us for licensing terms today"
+    filler = " ".join(f"word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, boiler), (2, filler + " " + boiler)],
+        "doc_id long, text string",
+    )
+    # seed the candidate pair directly: a 0.17-Jaccard superset pair is
+    # exactly what minhash-LSH banding is ALLOWED to miss (its recall
+    # contract is on Jaccard, not containment) — the operator under
+    # test here is the containment verifier's math, front end agnostic
+    _, toks = lsh_candidates(
+        docs, "doc_id", "text", num_perm=16, bands=4, shingle_n=2
+    )
+    cand = spark.createDataFrame([(1, 2)], "a long, b long")
+    rows = containment_verify(cand, toks, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["cont_a"] == 1.0  # doc 1 fully contained in doc 2
+    assert r["cont_b"] < 0.5
+
+
+def test_stream_cms_state_equals_single_batch(spark, sf_dir):
+    # additivity: draining in 1-file micro-batches must land on the
+    # SAME counter table as one batch pass over everything
+    import tempfile
+
+    from task_on_dataframes_spark.operators.sketches import cms_counters
+    from task_on_dataframes_spark.sources.readers import read_events
+    from task_on_dataframes_spark.streaming.events import cms_stream
+
+    base = tempfile.mkdtemp(prefix="tada_cms_test_")
+    ev = read_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(base + "/src")
+    streamed = {
+        (r["r"], r["bk"]): r["c"]
+        for r in cms_stream(
+            spark,
+            base + "/src",
+            state_dir=base + "/state",
+            checkpoint=base + "/ck",
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    batch = {
+        (r["r"], r["bk"]): r["c"]
+        for r in cms_counters(
+            ev.select(F.col("user_id").cast("string").alias("item")),
+            "item",
+        ).collect()
+    }
+    assert streamed == batch
+
+
+def test_bloom_prune_preserves_join_result_and_plan(spark, sf_dir, queries):
+    # the pruned aggregate must equal the plain join's, and the plan
+    # must actually contain the k Bloom semi-join filters
+    from pyspark.sql import functions as F2
+
+    df = queries["s18_bloom_join_prune"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 3, "bloom probe semi-joins missing"
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F2.col("c_nationkey") == 3
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderstatus")
+        .agg(F2.count(F2.lit(1)).alias("n"))
+    )
+    got = {r["o_orderstatus"]: r["n"] for r in df.collect()}
+    want = {r["o_orderstatus"]: r["n"] for r in plain.collect()}
+    assert got == want
