@@ -83,6 +83,10 @@ def main() -> None:
         "dq_rules",
         "sketch_heavy_hitters",
         "text_entropy",
+        # round-4 waves 5-6
+        "quality_linear_probe",
+        "dedup_substring",
+        "s18_bloom_join_prune",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}
