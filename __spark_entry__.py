@@ -52,6 +52,7 @@ from task_on_dataframes_spark.registry.core import (
 )
 from task_on_dataframes_spark.registry.quality import (
     _dq_rules,
+    _quality_domain_calibrate,
     _quality_linear_probe,
     _quality_probe_by_lang,
     _s18_bloom_join_prune,
@@ -107,6 +108,7 @@ from task_on_dataframes_spark.registry.embeddings import (
     _graph_pagerank,
 )
 from task_on_dataframes_spark.registry.events import (
+    _ev_cdc_apply,
     _ev_markov,
     _ev_session_window_builtin,
     _ev_funnel,
@@ -653,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms": _stream_cms,
         "s18_bloom_join_prune": _s18_bloom_join_prune,
         "text_containment": _text_containment,
+        "quality_domain_calibrate": _quality_domain_calibrate,
+        "ev_cdc_apply": _ev_cdc_apply,
         "stream_mv_upsert": _stream_mv_upsert,
         "sample_kcenter": _sample_kcenter,
         "ev_markov": _ev_markov,
@@ -1307,6 +1311,36 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "quality_linear_probe": linear_probe_oracle_sql(iters=4),
         "quality_probe_by_lang": grouped_probe_oracle_sql("lang", iters=4),
+        "quality_domain_calibrate": (
+            "WITH scored AS (SELECT doc_id, source, "
+            "(CAST(len(list_filter(arr, t -> t IN ('the', 'a', 'of',"
+            " 'and', 'to', 'in', 'is', 'it'))) AS BIGINT) * 1000)"
+            " // len(arr) AS bin "
+            "FROM (SELECT doc_id, source, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), "
+            "t -> len(t) > 0) AS arr FROM documents) WHERE len(arr) > 0), "
+            "cdf AS (SELECT source, bin, count(*) AS c FROM scored "
+            "GROUP BY source, bin), "
+            "cdf2 AS (SELECT source, bin, "
+            "CAST(sum(c) OVER (PARTITION BY source ORDER BY bin) - c "
+            "AS BIGINT) AS below, "
+            "CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n "
+            "FROM cdf) "
+            "SELECT s.doc_id, s.source, s.bin, "
+            "round(below / CAST(n AS DOUBLE), 6) AS pctile "
+            "FROM scored s JOIN cdf2 USING (source, bin)"
+        ),
+        "ev_cdc_apply": (
+            "WITH latest AS (SELECT user_id, event_type, value, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events), "
+            "c AS (SELECT user_id, count(*) AS n_ops FROM events "
+            "GROUP BY user_id) "
+            "SELECT l.user_id, l.event_type AS last_op, "
+            "round(CAST(l.value AS DOUBLE), 6) AS last_value, c.n_ops "
+            "FROM latest l JOIN c USING (user_id) "
+            "WHERE rn = 1 AND event_type <> 'error'"
+        ),
         "stream_cms": (
             "WITH items AS (SELECT CAST(user_id AS VARCHAR) AS tok "
             "FROM events), "

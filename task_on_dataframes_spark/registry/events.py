@@ -308,3 +308,35 @@ def _ev_markov(spark, sf_dir):
         "n",
         F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
     )
+
+
+def _ev_cdc_apply(spark, sf_dir):
+    """Ordered changelog fold: treat the event stream as a CDC log
+    (signup/view/click/purchase upsert a user's value, error is a
+    tombstone) and materialize the CURRENT state — the last-writer-wins
+    row per key, dropped if the final op is a delete. One window per
+    user key (bounded per key, never global), ordered by (ts,
+    event_id) so concurrent-timestamp ties are deterministic on any
+    engine. This is the full-log fold that complements j8_upsert's
+    single-batch SCD-1 merge; at 100 TB the log shuffles once on its
+    key and state is key-cardinality sized."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ops"))
+    return (
+        latest.filter(F.col("event_type") != "error")
+        .join(counts, "user_id")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.round(F.col("value").cast("double"), 6).alias("last_value"),
+            "n_ops",
+        )
+    )

@@ -582,3 +582,64 @@ def _s18_bloom_join_prune(spark, sf_dir):
             .alias("total"),
         )
     )
+
+
+def _quality_domain_calibrate(spark, sf_dir):
+    """Per-domain score calibration WITHOUT a per-domain global sort:
+    a raw quality score (stopword fraction, integer fixed-point) is
+    binned to per-mille resolution, counted per (domain, bin) — ONE
+    keyed aggregation with bounded output (<=1001 rows per domain) —
+    cumulated over the tiny bin table, and broadcast-joined back to
+    assign each doc its within-domain percentile. The obvious
+    ``percent_rank() OVER (PARTITION BY domain ORDER BY score)``
+    computes the same number but sorts each domain in one task — a
+    30 TB domain at corpus scale is a single-machine sort, the exact
+    anti-pattern this repo rejected for w6_ntile_bins. Binned-CDF
+    calibration is the scale-safe equivalent (resolution = bin width,
+    here 1/1000). Output: doc_id, source, score bin, percentile of
+    strictly-lower-binned docs."""
+    docs = _docs(spark, sf_dir)
+    stop_list = ", ".join(
+        f"'{w}'" for w in (
+            "the", "a", "of", "and", "to", "in", "is", "it"
+        )
+    )
+    scored = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(
+                "filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)"
+            ).alias("arr"),
+        )
+        .withColumn("n_tok", F.size("arr"))
+        .filter(F.col("n_tok") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"(cast(size(filter(arr, t -> t IN ({stop_list}))) as"
+                " bigint) * 1000) div n_tok"
+            ).alias("bin"),
+        )
+    )
+    counts = scored.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = Window.partitionBy("source").orderBy("bin")
+    cdf = counts.select(
+        "source",
+        "bin",
+        (F.sum("c").over(wcum) - F.col("c")).alias("below"),
+        F.sum("c").over(
+            Window.partitionBy("source").orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    return scored.join(F.broadcast(cdf), ["source", "bin"]).select(
+        "doc_id",
+        "source",
+        "bin",
+        F.round(F.col("below") / F.col("n"), 6).alias("pctile"),
+    )

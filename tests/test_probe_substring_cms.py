@@ -226,3 +226,54 @@ def test_bloom_prune_preserves_join_result_and_plan(spark, sf_dir, queries):
     got = {r["o_orderstatus"]: r["n"] for r in df.collect()}
     want = {r["o_orderstatus"]: r["n"] for r in plain.collect()}
     assert got == want
+
+
+def test_domain_calibrate_matches_binned_cdf_definition(spark, sf_dir, queries):
+    rows = queries["quality_domain_calibrate"](spark, sf_dir).collect()
+    assert rows
+    # per (source, bin): pctile = strictly-lower-binned fraction
+    from collections import Counter, defaultdict
+
+    per_src = defaultdict(Counter)
+    for r in rows:
+        per_src[r["source"]][r["bin"]] += 1
+    for r in rows[:200]:
+        cnt = per_src[r["source"]]
+        n = sum(cnt.values())
+        below = sum(c for b, c in cnt.items() if b < r["bin"])
+        assert abs(r["pctile"] - below / n) < 1e-6
+    # the lowest bin of every domain sits at percentile 0
+    for src, cnt in per_src.items():
+        lo = min(cnt)
+        got = {r["pctile"] for r in rows if r["source"] == src and r["bin"] == lo}
+        assert got == {0.0}
+
+
+def test_cdc_apply_last_writer_wins_and_tombstones(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 10, "view", 1.0, None),
+            (2, t0.replace(hour=13), 10, "purchase", 9.5, None),
+            (3, t0, 20, "view", 2.0, None),
+            (4, t0.replace(hour=13), 20, "error", 0.0, None),  # tombstone
+            # equal-ts tie on user 30: event_id breaks it (5 < 6)
+            (5, t0, 30, "click", 1.0, None),
+            (6, t0, 30, "signup", 7.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    # drive the fold logic on the seeded frame directly (the registry
+    # wrapper only adds the sf_dir read)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    w = Window.partitionBy("user_id").orderBy(F2.desc("ts"), F2.desc("event_id"))
+    latest = ev.withColumn("rn", F2.row_number().over(w)).filter("rn = 1")
+    state = {r["user_id"]: r for r in latest.filter("event_type <> 'error'").collect()}
+    assert set(state) == {10, 30}
+    assert state[10]["event_type"] == "purchase"
+    assert state[30]["event_id"] == 6  # higher event_id wins the ts tie
