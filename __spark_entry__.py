@@ -85,8 +85,10 @@ from task_on_dataframes_spark.registry.dedup import (
     _dedup_minhash_lsh,
     _dedup_ngram_jaccard,
     _dedup_simhash,
+    _dedup_recall_eval,
     _dedup_spans,
     _dedup_substring,
+    _dedup_substring_rewrite,
     _dedup_winnow,
     _text_containment,
 )
@@ -657,6 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_containment": _text_containment,
         "quality_domain_calibrate": _quality_domain_calibrate,
         "ev_cdc_apply": _ev_cdc_apply,
+        "dedup_substring_rewrite": _dedup_substring_rewrite,
+        "dedup_recall_eval": _dedup_recall_eval,
         "stream_mv_upsert": _stream_mv_upsert,
         "sample_kcenter": _sample_kcenter,
         "ev_markov": _ev_markov,
@@ -1311,6 +1315,64 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "quality_linear_probe": linear_probe_oracle_sql(iters=4),
         "quality_probe_by_lang": grouped_probe_oracle_sql("lang", iters=4),
+        "dedup_substring_rewrite": (
+            "WITH base AS (SELECT doc_id AS did, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), "
+            "t -> len(t) > 0) AS arr FROM documents), "
+            "tok AS (SELECT did, len(arr) AS n_tokens, "
+            "unnest(arr) AS tok, "
+            "unnest(generate_series(1, len(arr))) AS pos "
+            "FROM base WHERE len(arr) >= 5), "
+            "gr AS (SELECT did, n_tokens, pos, "
+            "md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || "
+            "lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w || ' ' || "
+            "lead(tok, 4) OVER w) AS dg FROM tok "
+            "WINDOW w AS (PARTITION BY did ORDER BY pos) "
+            "QUALIFY pos <= n_tokens - 4), "
+            "st AS (SELECT dg, count(*) AS occ, "
+            "min(did * 100000000 + pos) AS first_key FROM gr GROUP BY dg), "
+            "rem AS (SELECT g.did, g.n_tokens, g.pos FROM gr g "
+            "JOIN st USING (dg) WHERE occ >= 2 "
+            "AND g.did * 100000000 + g.pos <> first_key), "
+            "dropped AS (SELECT DISTINCT did, "
+            "unnest(generate_series(pos, pos + 4)) AS tpos FROM rem), "
+            "aff AS (SELECT did, count(*) AS n_removed FROM dropped "
+            "GROUP BY did), "
+            "kept AS (SELECT t.did, t.pos, t.tok FROM "
+            "(SELECT tok.did, tok.pos, tok.tok FROM tok "
+            "JOIN aff USING (did)) t "
+            "ANTI JOIN dropped d ON t.did = d.did AND t.pos = d.tpos), "
+            "reb AS (SELECT did, string_agg(tok, ' ' ORDER BY pos) "
+            "AS text_clean FROM kept GROUP BY did), "
+            "nt AS (SELECT did, any_value(n_tokens) AS n_tokens "
+            "FROM tok GROUP BY did) "
+            "SELECT a.did AS doc_id, nt.n_tokens, a.n_removed, "
+            "coalesce(r.text_clean, '') AS text_clean "
+            "FROM aff a JOIN nt USING (did) LEFT JOIN reb r USING (did)"
+        ),
+        "dedup_recall_eval": (
+            _lsh_cand_ctes()
+            + """,
+shared AS (SELECT DISTINCT x.did AS a, y.did AS b
+           FROM g x JOIN g y ON x.tok = y.tok WHERE x.did < y.did),
+sz AS (SELECT did, count(*) AS sz FROM g GROUP BY did),
+inter AS (SELECT s.a, s.b, count(*) AS inter FROM shared s
+          JOIN g ga ON ga.did = s.a
+          JOIN g gb ON gb.did = s.b AND gb.tok = ga.tok
+          GROUP BY s.a, s.b),
+exact AS (SELECT i.a, i.b FROM inter i
+          JOIN sz sa ON i.a = sa.did JOIN sz sb ON i.b = sb.did
+          WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5),
+ne AS (SELECT count(*) AS n_exact FROM exact),
+nc AS (SELECT count(*) AS n_candidates FROM cand),
+nh AS (SELECT count(*) AS n_hit FROM exact e
+       WHERE EXISTS (SELECT 1 FROM cand c
+                     WHERE c.a = e.a AND c.b = e.b))
+SELECT n_exact, n_candidates, n_hit,
+       round(n_hit / CAST(n_exact AS DOUBLE), 6) AS recall
+FROM ne, nc, nh
+"""
+        ),
         "quality_domain_calibrate": (
             "WITH scored AS (SELECT doc_id, source, "
             "(CAST(len(list_filter(arr, t -> t IN ('the', 'a', 'of',"

@@ -848,3 +848,105 @@ def containment_verify(
             (F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold)
         )
     )
+
+
+def repeated_gram_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """The REWRITE step of substring-level dedup: remove duplicated
+    spans from every document except the globally-first occurrence
+    (:func:`repeated_gram_spans` is the matching stats/audit pass).
+
+    Removal contract (well-defined and engine-replayable): a token
+    position is dropped iff it lies in the extent of a duplicated
+    ``k``-gram's NON-FIRST occurrence (first = minimal ``(doc, pos)``
+    over the corpus, encoded as ``doc*1e8 + pos`` for a portable
+    scalar argmin) — i.e. every duplicated >=k-token substring is cut
+    everywhere except where it first appears, exactly the Lee et al.
+    move at word granularity. The canonical first copy's tokens
+    survive even where later copies overlap it, because its own grams
+    are firsts. (Corner: with 3+ documents whose duplicated runs
+    interleave so that adjacent grams have firsts in DIFFERENT docs,
+    overlap tokens can lose every copy — the character-level
+    suffix-array formulation shares this edge.)
+
+    Scale shape: one digest-keyed groupBy (count + scalar argmin), one
+    digest-keyed join back, a bounded x``k`` fan-out of REMOVABLE gram
+    positions only, and one doc-keyed reassembly groupBy. Documents
+    with nothing to remove are filtered before reassembly, so the
+    rebuild shuffle carries only affected docs. Returns (id, n_tokens,
+    n_removed, text_clean) for documents that changed.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    base = (
+        df.select(F.col(id_col).alias("did"), arr.alias("arr"))
+        .withColumn("n_tokens", F.size("arr"))
+        .filter(F.col("n_tokens") >= k)
+    )
+    grams = base.select(
+        "did",
+        "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice("arr", i, k), " ")),
+            )
+        ).alias("pos0", "dg"),
+    ).select("did", "n_tokens", (F.col("pos0") + 1).alias("pos"), "dg")
+    enc = F.col("did") * F.lit(100_000_000) + F.col("pos")
+    stats = grams.groupBy("dg").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.min(enc).alias("first_key"),
+    )
+    removable = (
+        grams.join(stats, "dg")
+        .filter((F.col("occ") >= 2) & (enc != F.col("first_key")))
+        .select("did", "n_tokens", "pos")
+    )
+    dropped = removable.select(
+        "did",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+        ).alias("tpos"),
+    ).distinct()
+    affected = dropped.groupBy("did").agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    toks = (
+        base.join(affected.select("did"), "did")
+        .select("did", F.posexplode("arr").alias("tpos0", "tok"))
+        .select("did", (F.col("tpos0") + 1).alias("tpos"), "tok")
+    )
+    rebuilt = (
+        toks.join(dropped, ["did", "tpos"], "left_anti")
+        .groupBy("did")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tpos", "tok"))
+                    ),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    # left join so a fully-deduplicated document still reports, with
+    # empty rebuilt text
+    return (
+        affected.join(base.select("did", "n_tokens"), "did")
+        .join(rebuilt, "did", "left")
+        .select(
+            F.col("did").alias(id_col),
+            "n_tokens",
+            "n_removed",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

@@ -293,3 +293,60 @@ def _text_containment(spark, sf_dir):
         docs, "doc_id", "text", num_perm=16, bands=4, shingle_n=2
     )
     return containment_verify(candidates, toks, threshold=0.6)
+
+
+def _dedup_substring_rewrite(spark, sf_dir):
+    """The rewrite step of substring-level dedup: duplicated 5-gram
+    spans removed everywhere except the globally-first occurrence
+    (portable scalar argmin over (doc, pos)); tokens protected by any
+    unique gram survive. Returns only the documents that changed."""
+    from task_on_dataframes_spark.operators.dedup import (
+        repeated_gram_rewrite,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return repeated_gram_rewrite(docs, "doc_id", "text", k=5)
+
+
+def _dedup_recall_eval(spark, sf_dir):
+    """Candidate recall of the minhash-LSH front end vs the exact
+    Jaccard>=0.5 pair set — the tuning loop for (num_perm, bands),
+    mirroring ann_recall_eval's methodology. The exact side is an
+    eval-corpus-confined shingle-join (the same sub-quadratic shape as
+    ngram_jaccard_pairs, no minhash approximation); at production
+    scale this harness runs on a sampled eval slice, never the corpus.
+    Output: one row (n_exact, n_candidates, n_hit, recall)."""
+    from task_on_dataframes_spark.operators.dedup import (
+        _word_ngrams,
+        jaccard_verify,
+        lsh_candidates,
+    )
+
+    docs = _docs(spark, sf_dir)
+    grams = _word_ngrams(docs, "doc_id", "text", 2).persist()
+    pa = grams.select(F.col("did").alias("a"), "tok")
+    pb = grams.select(F.col("did").alias("b"), "tok")
+    shared = (
+        pa.join(pb, "tok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    exact = jaccard_verify(shared, grams, threshold=0.5).select("a", "b")
+    cand, _ = lsh_candidates(
+        docs, "doc_id", "text", num_perm=16, bands=4, shingle_n=2
+    )
+    hit = exact.join(cand, ["a", "b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_cand)
+        .join(n_hit)
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )

@@ -277,3 +277,39 @@ def test_cdc_apply_last_writer_wins_and_tombstones(spark):
     assert set(state) == {10, 30}
     assert state[10]["event_type"] == "purchase"
     assert state[30]["event_id"] == 6  # higher event_id wins the ts tie
+
+
+def test_substring_rewrite_keeps_first_occurrence_only(spark):
+    from task_on_dataframes_spark.operators.dedup import (
+        repeated_gram_rewrite,
+    )
+
+    boiler = "one two three four five six seven eight nine"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail for document one"),
+            (2, "prefix for doc two " + boiler),
+            (3, boiler),  # third copy: removed entirely
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repeated_gram_rewrite(docs, "doc_id", "text", k=5).collect()
+    }
+    # doc 1 holds the globally-first occurrence -> unchanged, so it is
+    # NOT in the changed set; docs 2 and 3 lose the boilerplate
+    assert set(out) == {2, 3}
+    assert out[2]["text_clean"] == "prefix for doc two"
+    assert out[2]["n_removed"] == 9
+    assert out[3]["text_clean"] == ""  # fully deduplicated away
+    assert out[3]["n_removed"] == 9
+
+
+def test_lsh_recall_eval_shape(spark, sf_dir, queries):
+    r = queries["dedup_recall_eval"](spark, sf_dir).collect()[0]
+    assert r["n_hit"] <= r["n_exact"]
+    assert 0.0 <= r["recall"] <= 1.0
+    # the banded front end is tuned to catch >= 0.5-Jaccard pairs: on
+    # the synthetic corpus it should recover the large majority
+    assert r["recall"] >= 0.8
