@@ -44,6 +44,7 @@ from task_on_dataframes_spark.registry.core import (
     _p5_null_safe_flag_filter,
     _p6_distinct_subset,
     _planner_llm_chunks,
+    _planner_pack,
     _planner_top90,
     _s1_glob_source,
     _s2_whole_file_read,
@@ -94,6 +95,7 @@ from task_on_dataframes_spark.registry.dedup import (
 )
 from task_on_dataframes_spark.registry.embeddings import (
     _ann_cosine_topk,
+    _ann_filtered_topk,
     _ann_recall_eval,
     _emb_pca_top2,
     _ann_ivf_topk,
@@ -661,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_cdc_apply": _ev_cdc_apply,
         "dedup_substring_rewrite": _dedup_substring_rewrite,
         "dedup_recall_eval": _dedup_recall_eval,
+        "ann_filtered_topk": _ann_filtered_topk,
+        "planner_pack": _planner_pack,
         "stream_mv_upsert": _stream_mv_upsert,
         "sample_kcenter": _sample_kcenter,
         "ev_markov": _ev_markov,
@@ -1281,6 +1285,50 @@ def _pca_project_oracle_sql() -> str:
         "SELECT e.vec_id, round(CAST(sum(CAST(e.x * d.loading "
         "AS DECIMAL(28,12))) AS DOUBLE), 6) AS proj "
         "FROM e JOIN d ON e.pos = d.pos GROUP BY 1"
+    )
+
+
+def _ivf_oracle(where: str = "") -> str:
+    """IVF ANN oracle (mirrors similarity.ivf_ann_topk): centroids from
+    a deterministic hash-stratified sample, probe the 4 nearest lists,
+    exact cosine within them. ``where`` pre-filters the corpus — the
+    filtered-search variant trains its centroids on the filtered
+    sub-corpus, exactly like the Spark plan it replays."""
+    return (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        f"FROM embeddings{where}), "
+        "ch AS (SELECT vec_id, v, "
+        "CAST(('0x' || substr(md5(CAST('ivf:' || CAST(vec_id AS VARCHAR) "
+        "AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM c), "
+        "cent AS (SELECT vec_id AS cid, v AS cv FROM ("
+        "SELECT vec_id, v, row_number() OVER "
+        "(PARTITION BY h % 16 ORDER BY h, vec_id) AS rn FROM ch) "
+        "WHERE rn = 1), "
+        "assign AS (SELECT c.vec_id, c.v, cent.cid, "
+        "round(list_dot_product(c.v, cent.cv) / "
+        "(sqrt(list_dot_product(c.v, c.v)) * "
+        "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS sim "
+        "FROM c, cent), "
+        "member AS (SELECT vec_id, v, cid FROM ("
+        "SELECT vec_id, v, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM assign) "
+        "WHERE rn = 1), "
+        "qa AS (SELECT vec_id AS query_id, v, cid, sim FROM assign "
+        "WHERE vec_id < 10), "
+        "probes AS (SELECT query_id, v, cid FROM ("
+        "SELECT query_id, v, cid, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, cid ASC) AS pr FROM qa) "
+        "WHERE pr <= 4), "
+        "s AS (SELECT p.query_id, m.vec_id, "
+        "round(list_dot_product(p.v, m.v) / "
+        "(sqrt(list_dot_product(p.v, p.v)) * "
+        "sqrt(list_dot_product(m.v, m.v))), 5) AS cos "
+        "FROM member m JOIN probes p ON m.cid = p.cid "
+        "WHERE p.query_id != m.vec_id), "
+        "r AS (SELECT query_id, vec_id, cos, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s) "
+        "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
+        "FROM r WHERE rank <= 10"
     )
 
 
@@ -1990,42 +2038,26 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
             "FROM r WHERE rank <= 10"
         ),
-        "ann_ivf_topk": (
-            # centroids: deterministic hash-stratified sample — one
-            # min-hash row per stratum (mirrors similarity.ivf_ann_topk)
-            "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
-            "ch AS (SELECT vec_id, v, "
-            "CAST(('0x' || substr(md5(CAST('ivf:' || CAST(vec_id AS VARCHAR) "
-            "AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM c), "
-            "cent AS (SELECT vec_id AS cid, v AS cv FROM ("
-            "SELECT vec_id, v, row_number() OVER "
-            "(PARTITION BY h % 16 ORDER BY h, vec_id) AS rn FROM ch) "
-            "WHERE rn = 1), "
-            "assign AS (SELECT c.vec_id, c.v, cent.cid, "
-            "round(list_dot_product(c.v, cent.cv) / "
-            "(sqrt(list_dot_product(c.v, c.v)) * "
-            "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS sim "
-            "FROM c, cent), "
-            "member AS (SELECT vec_id, v, cid FROM ("
-            "SELECT vec_id, v, cid, row_number() OVER "
-            "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM assign) "
-            "WHERE rn = 1), "
-            "qa AS (SELECT vec_id AS query_id, v, cid, sim FROM assign "
-            "WHERE vec_id < 10), "
-            "probes AS (SELECT query_id, v, cid FROM ("
-            "SELECT query_id, v, cid, row_number() OVER "
-            "(PARTITION BY query_id ORDER BY sim DESC, cid ASC) AS pr FROM qa) "
-            "WHERE pr <= 4), "
-            "s AS (SELECT p.query_id, m.vec_id, "
-            "round(list_dot_product(p.v, m.v) / "
-            "(sqrt(list_dot_product(p.v, p.v)) * "
-            "sqrt(list_dot_product(m.v, m.v))), 5) AS cos "
-            "FROM member m JOIN probes p ON m.cid = p.cid "
-            "WHERE p.query_id != m.vec_id), "
-            "r AS (SELECT query_id, vec_id, cos, row_number() OVER "
-            "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s) "
-            "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
-            "FROM r WHERE rank <= 10"
+        "ann_ivf_topk": _ivf_oracle(),
+        "ann_filtered_topk": _ivf_oracle(" WHERE label % 4 = 0"),
+        "planner_pack": (
+            "WITH q AS (SELECT text, round(least("
+            "len(string_split_regex(lower(text), '\\s+')) / 100.0, 1.0),"
+            " 6) AS qs FROM documents), "
+            "k AS (SELECT text FROM q WHERE qs >= 0.2), "
+            "t AS (SELECT string_split_regex(text, '\\s+') AS ts FROM k), "
+            "ch AS (SELECT array_to_string("
+            "ts[i.i * 64 + 1 : i.i * 64 + 64], ' ') AS chunk "
+            "FROM t, LATERAL unnest(generate_series(0, "
+            "CAST(ceil(len(ts) / 64.0) AS INT) - 1)) AS i(i)), "
+            "cn AS (SELECT chunk, md5(chunk) AS ord_key, "
+            "len(string_split_regex(chunk, '\\s+')) AS nt FROM ch), "
+            "cum AS (SELECT nt, sum(nt) OVER (ORDER BY ord_key "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt "
+            "AS start FROM cn) "
+            "SELECT CAST(floor(start / 512.0) AS BIGINT) AS pack_id, "
+            "count(*) AS n_chunks, CAST(sum(nt) AS BIGINT) AS pack_tokens "
+            "FROM cum GROUP BY pack_id"
         ),
         "text_token_stats": (
             "SELECT doc_id, "

@@ -140,3 +140,36 @@ def register_llm_tasks(
         return x.select(F.col(quoted(src)), pred.alias(expects[0][1]))
 
     return registry
+
+
+def register_pack_task(
+    registry: TaskRegistry, budget: int = 512
+) -> TaskRegistry:
+    """Extends the LLM-task registry with sequence packing, so a goal
+    of ``docs.text.kept.chunks.packs`` makes BFS assemble the FIVE-task
+    chain get_docs -> score_quality -> filter_quality -> chunk_docs ->
+    pack_chunks. Chunks order deterministically by md5 (engine-portable;
+    duplicate chunks are interchangeable so the packed multiset is
+    well-defined) and pack ids come from the distributed prefix-sum in
+    ``operators.text.pack_sequences`` — no global window."""
+
+    @new_task(registry=registry)
+    @requires([pat(r"(.+\.chunks)\Z")], arg="x")
+    @makes([r"{x}", r"{x}.packs"], appends=False)
+    @close_task()
+    def pack_chunks(x, expects):
+        from .operators.text import pack_sequences
+
+        src = x.columns[0]
+        with_t = x.select(
+            F.col(quoted(src)),
+            F.md5(F.col(quoted(src))).alias("__ord"),
+            F.size(F.split(F.col(quoted(src)), r"\s+")).alias("__nt"),
+        )
+        packed = pack_sequences(with_t, ["__ord"], "__nt", budget=budget)
+        return packed.select(
+            F.col(quoted(src)).alias(expects[0][1]),
+            F.col("pack_id").alias(expects[1][1]),
+        )
+
+    return registry

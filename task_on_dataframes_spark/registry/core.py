@@ -219,3 +219,36 @@ def _planner_llm_chunks(spark, sf_dir):
     return frame.select(
         F.col("`docs.text.kept.chunks`").alias("chunk")
     )
+
+
+def _planner_pack(spark, sf_dir):
+    """Planner-composed five-task pipeline: the goal pair
+    (docs.text.kept.chunks, docs.text.kept.chunks.packs) makes BFS
+    assemble get_docs -> score_quality -> filter_quality -> chunk_docs
+    -> pack_chunks — the deepest registered composition, still ONE lazy
+    Catalyst plan. Output is the per-pack summary; the oracle replays
+    quality gating, chunking, md5-ordered prefix-sum packing."""
+    from task_on_dataframes_spark.llm_tasks import (
+        register_llm_tasks,
+        register_pack_task,
+    )
+    from task_on_dataframes_spark.plans.solve import solve_goal
+
+    reg = register_llm_tasks(spark, sf_dir, min_quality=0.2, chunk_tokens=64)
+    register_pack_task(reg, budget=512)
+    frame = solve_goal(
+        [],
+        ["docs.text.kept.chunks", "docs.text.kept.chunks.packs"],
+        registry=reg,
+    )
+    return (
+        frame.groupBy(F.col("`docs.text.kept.chunks.packs`").alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.size(
+                    F.split(F.col("`docs.text.kept.chunks`"), r"\s+")
+                )
+            ).alias("pack_tokens"),
+        )
+    )

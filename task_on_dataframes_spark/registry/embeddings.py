@@ -257,3 +257,25 @@ def _emb_pca_top2(spark, sf_dir):
 
     gram = gram_matrix(_t(spark, sf_dir, "embeddings"))
     return pca_power_top2(spark, gram)
+
+
+def _ann_filtered_topk(spark, sf_dir):
+    """Filtered vector search — top-k cosine neighbors WITHIN a
+    metadata predicate (label % 4 == 0), the retrieval shape every
+    production ANN deployment needs ("similar docs, but only in this
+    language/license bucket"). Strategy here is PRE-filtering: the
+    predicate is pushed to the parquet scan and the IVF index
+    (centroids + inverted lists) is built over the filtered
+    sub-corpus, so list sizes and probe costs shrink WITH the
+    selectivity — unlike post-filtering, which over-fetches from an
+    unfiltered index and can come back k-deficient when the predicate
+    is rare. At 100 TB the pre-filtered index per hot predicate bucket
+    is the standard layout; the oracle replays centroids, assignment,
+    probes, and scoring over the identical filtered set."""
+    from task_on_dataframes_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label") % 4 == 0)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)

@@ -313,3 +313,35 @@ def test_lsh_recall_eval_shape(spark, sf_dir, queries):
     # the banded front end is tuned to catch >= 0.5-Jaccard pairs: on
     # the synthetic corpus it should recover the large majority
     assert r["recall"] >= 0.8
+
+
+def test_planner_pack_is_a_five_task_chain(spark, sf_dir):
+    # the BFS must find the full get_docs -> score -> filter -> chunk
+    # -> pack chain from the two-column goal, and packing must respect
+    # the budget (every pack except possibly the last holds <= budget
+    # of *starting* offsets; a single chunk may straddle)
+    import task_on_dataframes_spark as tada
+    from task_on_dataframes_spark.llm_tasks import (
+        register_llm_tasks,
+        register_pack_task,
+    )
+
+    reg = register_llm_tasks(spark, sf_dir, min_quality=0.2, chunk_tokens=64)
+    register_pack_task(reg, budget=512)
+    path = tada.find_path(
+        [], [["docs.text.kept.chunks", "docs.text.kept.chunks.packs"]],
+        registry=reg,
+    )
+    assert path, "planner found no path to the packed goal"
+    # reference-shaped TaskExec: [(None, s0), (action1, s1), ...]
+    names = [a.Task for a, _ in path if a is not None]
+    assert names.count("pack_chunks") == 1
+    assert len(names) == 5
+    frame = tada.solve_goal(
+        [], ["docs.text.kept.chunks", "docs.text.kept.chunks.packs"],
+        registry=reg,
+    )
+    from pyspark.sql import functions as F2
+
+    packs = frame.groupBy("`docs.text.kept.chunks.packs`").count()
+    assert packs.count() > 1, "budget 512 must split the corpus"
