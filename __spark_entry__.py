@@ -131,7 +131,9 @@ from task_on_dataframes_spark.registry.multimodal import (
     _mm_raw_pipeline,
 )
 from task_on_dataframes_spark.registry.relational import (
+    RECURSIVE_REACH_SQL,
     _s12_sorted_stats_prune,
+    _sql_recursive_reach,
     _a10_pivot,
     _a3_distinct_agg,
     _a4_rollup,
@@ -665,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall_eval": _dedup_recall_eval,
         "ann_filtered_topk": _ann_filtered_topk,
         "planner_pack": _planner_pack,
+        "sql_recursive_reach": _sql_recursive_reach,
         "stream_mv_upsert": _stream_mv_upsert,
         "sample_kcenter": _sample_kcenter,
         "ev_markov": _ev_markov,
@@ -2040,6 +2043,8 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         ),
         "ann_ivf_topk": _ivf_oracle(),
         "ann_filtered_topk": _ivf_oracle(" WHERE label % 4 = 0"),
+        # the recursive-CTE query ships ONE SQL text for both engines
+        "sql_recursive_reach": RECURSIVE_REACH_SQL,
         "planner_pack": (
             "WITH q AS (SELECT text, round(least("
             "len(string_split_regex(lower(text), '\\s+')) / 100.0, 1.0),"

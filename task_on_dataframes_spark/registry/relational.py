@@ -694,3 +694,42 @@ def _s12_sorted_stats_prune(spark, sf_dir):
             .alias("total_value"),
         )
     )
+
+
+#: shared ANSI SQL for the recursive-CTE reachability query — run
+#: VERBATIM by both Spark (spark.sql over temp views) and the DuckDB
+#: oracle. Spark 4 ships WITH RECURSIVE; the sparsity threshold is
+#: RELATIVE (1.5x the mean edge weight) so the graph shape — and the
+#: recursion depth actually exercised — survives scale-factor changes.
+RECURSIVE_REACH_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2),
+avgw AS (SELECT avg(w) AS aw FROM edges),
+sparse AS (SELECT src, dst FROM edges, avgw
+           WHERE w * 2 >= 3 * aw AND src <> dst),
+reach(node, hop) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+  UNION ALL
+  SELECT s.dst, r.hop + 1 FROM reach r JOIN sparse s ON s.src = r.node
+  WHERE r.hop < 4)
+SELECT node, min(hop) AS hops FROM reach GROUP BY node
+"""
+
+
+def _sql_recursive_reach(spark, sf_dir):
+    """Recursive-CTE BFS reachability (WITH RECURSIVE, new in Spark 4)
+    over the strong-trade nation graph: shortest hop count from nation
+    0 along edges carrying >=1.5x the mean lineitem volume. The SAME
+    SQL text runs on Spark and DuckDB — zero dialect translation. The
+    iterative twin of this shape is operators/graph.py (pagerank) and
+    dedup's pointer-doubling connected components; the recursion here
+    is depth-bounded (hop < 4), so state stays frontier-sized. At
+    100 TB the edge aggregation is the only corpus-scale stage; the
+    recursion runs over the 25-node nation graph."""
+    for t in ("customer", "orders", "lineitem", "supplier"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(RECURSIVE_REACH_SQL)
