@@ -52,6 +52,7 @@ from task_on_dataframes_spark.registry.core import (
     _w2_top90_tokens,
 )
 from task_on_dataframes_spark.registry.quality import (
+    _a11_histogram,
     _dq_rules,
     _quality_domain_calibrate,
     _quality_linear_probe,
@@ -60,6 +61,7 @@ from task_on_dataframes_spark.registry.quality import (
     _sketch_cms,
     _s16_zorder_stats,
     _s17_incremental_read,
+    _s19_dynamic_partition_overwrite,
     _snapshot_diff,
     _s15_schema_merge,
     _ev_windowed_topk,
@@ -668,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_topk": _ann_filtered_topk,
         "planner_pack": _planner_pack,
         "sql_recursive_reach": _sql_recursive_reach,
+        "s19_dynamic_partition_overwrite": _s19_dynamic_partition_overwrite,
+        "a11_histogram": _a11_histogram,
         "stream_mv_upsert": _stream_mv_upsert,
         "sample_kcenter": _sample_kcenter,
         "ev_markov": _ev_markov,
@@ -2045,6 +2049,24 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         "ann_filtered_topk": _ivf_oracle(" WHERE label % 4 = 0"),
         # the recursive-CTE query ships ONE SQL text for both engines
         "sql_recursive_reach": RECURSIVE_REACH_SQL,
+        "s19_dynamic_partition_overwrite": (
+            "WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type "
+            "FROM events), "
+            "t AS (SELECT min(day) AS d FROM ev), "
+            "f AS (SELECT day, event_type FROM ev, t "
+            "WHERE day <> d OR event_type <> 'error') "
+            "SELECT day, count(*) AS n, "
+            "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_errors FROM f GROUP BY day"
+        ),
+        "a11_histogram": (
+            "WITH rng AS (SELECT min(l_extendedprice) AS lo, "
+            "max(l_extendedprice) AS hi FROM lineitem) "
+            "SELECT l_returnflag, "
+            "CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10)),"
+            " 9) AS INT) AS bin, count(*) AS n "
+            "FROM lineitem, rng GROUP BY l_returnflag, bin"
+        ),
         "planner_pack": (
             "WITH q AS (SELECT text, round(least("
             "len(string_split_regex(lower(text), '\\s+')) / 100.0, 1.0),"

@@ -643,3 +643,76 @@ def _quality_domain_calibrate(spark, sf_dir):
         "bin",
         F.round(F.col("below") / F.col("n"), 6).alias("pctile"),
     )
+
+
+def _s19_dynamic_partition_overwrite(spark, sf_dir):
+    """Partition-level incremental overwrite — the daily-backfill move:
+    events land hive-partitioned by day; one day is then corrected
+    (error events dropped) and rewritten with
+    ``partitionOverwriteMode=dynamic``, which replaces ONLY the
+    partitions present in the incoming frame and leaves every other
+    day's files untouched (no full-table rewrite, no read-modify-write
+    of unrelated partitions — at 100 TB that is the difference between
+    rewriting one day and rewriting three years). The readback
+    aggregate proves exactly one day changed; the oracle computes the
+    same per-day counts with that day's errors excluded."""
+    import tempfile
+
+    # day-truncated TIMESTAMP (not DATE) so both engines serialize the
+    # partition column identically (house convention, cf. registry/events)
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).withColumn("day", F.date_trunc("day", F.col("ts")))
+    base = tempfile.mkdtemp(prefix="tada_dpo_") + "/events"
+    ev.write.partitionBy("day").mode("overwrite").parquet(base)
+    # deterministic target: the earliest day in the table
+    target = ev.agg(F.min("day").alias("d")).collect()[0]["d"]
+    fixed = ev.filter(
+        (F.col("day") == F.lit(target))
+        & (F.col("event_type") != "error")
+    )
+    (
+        fixed.write.partitionBy("day")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base)
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias(
+            "n_errors"
+        ),
+    )
+
+
+def _a11_histogram(spark, sf_dir):
+    """Grouped equi-width histogram — the profiling op between min/max
+    (profile_table) and exact percentiles (a9): 10 equal-width bins of
+    l_extendedprice per return flag. Global min/max come from ONE
+    aggregate broadcast back; binning is a scan-stage expression, the
+    histogram itself one bounded groupBy (n_groups x 10 cells). No
+    sort anywhere — the classic two-pass histogram that profiles a
+    100 TB column with two map-side-combined aggregations."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    rng = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    binned = li.join(F.broadcast(rng)).select(
+        "l_returnflag",
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 10)
+            ),
+            F.lit(9),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    return binned.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
