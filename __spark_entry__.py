@@ -108,6 +108,7 @@ from task_on_dataframes_spark.registry.embeddings import (
     _emb_gram,
     _emb_kmeans,
     _emb_label_centroids,
+    _emb_matryoshka_eval,
     _emb_pca_project,
     _emb_pca_top,
     _emb_quantize,
@@ -672,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_recursive_reach": _sql_recursive_reach,
         "s19_dynamic_partition_overwrite": _s19_dynamic_partition_overwrite,
         "a11_histogram": _a11_histogram,
+        "emb_matryoshka_eval": _emb_matryoshka_eval,
         "stream_mv_upsert": _stream_mv_upsert,
         "sample_kcenter": _sample_kcenter,
         "ev_markov": _ev_markov,
@@ -2049,6 +2051,42 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         "ann_filtered_topk": _ivf_oracle(" WHERE label % 4 = 0"),
         # the recursive-CTE query ships ONE SQL text for both engines
         "sql_recursive_reach": RECURSIVE_REACH_SQL,
+        "emb_matryoshka_eval": (
+            "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings), "
+            "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings WHERE vec_id < 5), "
+            "sf_ AS (SELECT q.query_id, c.vec_id, "
+            "round(list_dot_product(q.v, c.v) / "
+            "(sqrt(list_dot_product(q.v, q.v)) * "
+            "sqrt(list_dot_product(c.v, c.v))), 5) AS cos "
+            "FROM c, q WHERE q.query_id != c.vec_id), "
+            "rf AS (SELECT query_id, vec_id FROM ("
+            "SELECT query_id, vec_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk "
+            "FROM sf_) WHERE rk <= 10), "
+            "cp AS (SELECT vec_id, v[1:16] AS v FROM c), "
+            "qp AS (SELECT query_id, v[1:16] AS v FROM q), "
+            "sp AS (SELECT qp.query_id, cp.vec_id, "
+            "round(list_dot_product(qp.v, cp.v) / "
+            "(sqrt(list_dot_product(qp.v, qp.v)) * "
+            "sqrt(list_dot_product(cp.v, cp.v))), 5) AS cos "
+            "FROM cp, qp WHERE qp.query_id != cp.vec_id), "
+            "rp AS (SELECT query_id, vec_id FROM ("
+            "SELECT query_id, vec_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk "
+            "FROM sp) WHERE rk <= 10), "
+            "hit AS (SELECT rf.query_id FROM rf WHERE EXISTS ("
+            "SELECT 1 FROM rp WHERE rp.query_id = rf.query_id "
+            "AND rp.vec_id = rf.vec_id)), "
+            "cnt AS (SELECT query_id, count(*) AS n_overlap FROM hit "
+            "GROUP BY query_id) "
+            "SELECT qq.query_id, "
+            "CAST(coalesce(cnt.n_overlap, 0) AS BIGINT) AS n_overlap, "
+            "round(coalesce(cnt.n_overlap, 0) / 10.0, 2) AS recall10 "
+            "FROM (SELECT DISTINCT query_id FROM q) qq "
+            "LEFT JOIN cnt USING (query_id)"
+        ),
         "s19_dynamic_partition_overwrite": (
             "WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type "
             "FROM events), "

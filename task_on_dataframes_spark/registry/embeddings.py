@@ -279,3 +279,42 @@ def _ann_filtered_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_ann_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)
+
+
+def _emb_matryoshka_eval(spark, sf_dir):
+    """Matryoshka / truncated-dimension retrieval evaluation: how much
+    recall@10 survives searching on only the FIRST 16 of 64 dimensions?
+    (The MRL deployment question — prefix dims are 4x cheaper to score
+    and store.) Both searches are exact brute-force over the eval
+    query set, so the measurement isolates the truncation effect; the
+    oracle replays both searches and the overlap count. Per query:
+    recall10 = |top10(prefix16) ∩ top10(full)| / 10."""
+    from task_on_dataframes_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = cosine_topk(emb, queries_df, k=10).select("query_id", "vec_id")
+    pre16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    pre_q = queries_df.select(
+        "query_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    pre = cosine_topk(pre16, pre_q, k=10).select("query_id", "vec_id")
+    hit = full.join(pre, ["query_id", "vec_id"], "left_semi")
+    counts = hit.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    # left join from the query set so a fully-divergent query still
+    # reports recall 0 instead of vanishing
+    return (
+        queries_df.select("query_id")
+        .join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / 10, 2).alias(
+                "recall10"
+            ),
+        )
+    )
