@@ -324,3 +324,91 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_watermark_drops_late_event_in_append_mode(spark, tmp_path):
+    """The watermark contract DEMONSTRATED, not just inherited: an
+    event arriving after the watermark passed its window is dropped
+    from the append-mode stream while the batch twin still counts it.
+    (The drain==batch equivalence tests above hold because the shipped
+    corpus arrives in one file; this test stages genuinely late data
+    in a second micro-batch.)"""
+    import datetime as dt
+    import os
+    import time
+
+    from task_on_dataframes_spark.streaming import (
+        events_stream,
+        hourly_counts_stream,
+        run_available_now,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    on_time = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(minutes=5), 1, "view", 1.0, None),
+            (2, t0 + dt.timedelta(minutes=10), 2, "view", 1.0, None),
+            (3, t0 + dt.timedelta(minutes=20), 3, "view", 1.0, None),
+            # clock advancer: pushes the watermark a day past the
+            # 10:00 window once batch 1 commits
+            (4, t0 + dt.timedelta(days=1), 4, "click", 1.0, None),
+        ],
+        schema,
+    )
+    # a second advancer batch sits between on-time and late data: Spark
+    # drops a late row only after the row's window STATE is evicted,
+    # and eviction happens at the end of the first batch that RUNS with
+    # the advanced watermark — so the drop needs (advance, evict, late)
+    # across three micro-batches, measured empirically and matching the
+    # state-store semantics
+    adv2 = spark.createDataFrame(
+        [(9, t0 + dt.timedelta(days=1, minutes=1), 9, "click", 1.0, None)],
+        schema,
+    )
+    late = spark.createDataFrame(
+        [(5, t0 + dt.timedelta(minutes=15), 5, "view", 1.0, None)],
+        schema,
+    )
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    now = time.time()
+    # flat parquet FILES (pyarrow), not Spark output dirs — the stream
+    # source dir must contain files only (same as stage_with_sentinels)
+    import pyarrow.parquet as pq
+
+    for i, df in enumerate((on_time, adv2, late)):
+        p = f"{src}/{i:02d}.parquet"
+        pq.write_table(df.toArrow(), p)
+        # FileStreamSource picks oldest-first by mtime: force on_time
+        # before late (same trick as stage_with_sentinels)
+        os.utime(p, (now + i, now + i))
+
+    stream = hourly_counts_stream(
+        events_stream(spark, src, max_files_per_trigger=1),
+        watermark="10 minutes",
+    )
+    run_available_now(
+        stream, "late_mem", str(tmp_path / "ckpt_late"), output_mode="append"
+    )
+    got = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM late_mem").collect()
+    }
+    # the 10:00 window finalized with the 3 on-time views; the late
+    # 10:15 event was behind the watermark and must NOT appear
+    assert got[(t0, "view")] == 3
+    # the batch twin (no watermark) counts all 4
+    batch = (
+        on_time.unionByName(adv2).unionByName(late)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .count()
+        .collect()
+    )
+    bmap = {(r["hour"], r["event_type"]): r["count"] for r in batch}
+    assert bmap[(t0, "view")] == 4
