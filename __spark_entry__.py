@@ -56,6 +56,7 @@ from task_on_dataframes_spark.registry.quality import (
     _dq_rules,
     _quality_domain_calibrate,
     _quality_linear_probe,
+    _quality_probe_apply,
     _quality_probe_by_lang,
     _s18_bloom_join_prune,
     _sketch_cms,
@@ -115,6 +116,7 @@ from task_on_dataframes_spark.registry.embeddings import (
     _graph_pagerank,
 )
 from task_on_dataframes_spark.registry.events import (
+    _ev_anomaly_mad,
     _ev_cdc_apply,
     _ev_markov,
     _ev_session_window_builtin,
@@ -674,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s19_dynamic_partition_overwrite": _s19_dynamic_partition_overwrite,
         "a11_histogram": _a11_histogram,
         "emb_matryoshka_eval": _emb_matryoshka_eval,
+        "quality_probe_apply": _quality_probe_apply,
+        "ev_anomaly_mad": _ev_anomaly_mad,
         "stream_mv_upsert": _stream_mv_upsert,
         "sample_kcenter": _sample_kcenter,
         "ev_markov": _ev_markov,
@@ -1361,6 +1365,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from task_on_dataframes_spark.operators.probe import (
         grouped_probe_oracle_sql,
+        probe_apply_oracle_sql,
     )
 
     _cms_ev_h = hash32_sql("tok")
@@ -1372,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "quality_linear_probe": linear_probe_oracle_sql(iters=4),
         "quality_probe_by_lang": grouped_probe_oracle_sql("lang", iters=4),
+        "quality_probe_apply": probe_apply_oracle_sql(iters=4),
         "dedup_substring_rewrite": (
             "WITH base AS (SELECT doc_id AS did, "
             "list_filter(string_split_regex(lower(text), '\\s+'), "
@@ -2051,6 +2057,22 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         "ann_filtered_topk": _ivf_oracle(" WHERE label % 4 = 0"),
         # the recursive-CTE query ships ONE SQL text for both engines
         "sql_recursive_reach": RECURSIVE_REACH_SQL,
+        "ev_anomaly_mad": (
+            "WITH med AS (SELECT event_type, "
+            "quantile_cont(value, 0.5) AS med, count(*) AS n "
+            "FROM events GROUP BY event_type), "
+            "mad AS (SELECT e.event_type, "
+            "quantile_cont(abs(e.value - m.med), 0.5) AS mad "
+            "FROM events e JOIN med m USING (event_type) "
+            "GROUP BY e.event_type) "
+            "SELECT e.event_type, any_value(m.n) AS n, "
+            "round(any_value(m.med), 6) AS med, "
+            "round(any_value(d.mad), 6) AS mad, "
+            "CAST(sum(CASE WHEN round(abs(e.value - m.med), 6) > "
+            "round(3 * d.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_anom "
+            "FROM events e JOIN med m USING (event_type) "
+            "JOIN mad d USING (event_type) GROUP BY e.event_type"
+        ),
         "emb_matryoshka_eval": (
             "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v "
             "FROM embeddings), "

@@ -337,3 +337,108 @@ def grouped_probe_oracle_sql(
         for j, name in enumerate(FEATURES)
     )
     return "WITH " + ", ".join(ctes) + " " + rows
+
+
+def probe_apply(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Inference with the trained probe: recompute the 4-iteration GD
+    weights (a d-sized plan prefix) and score every document —
+    train-then-apply in ONE lazy plan. The per-doc prediction is the
+    same integer dot product the training loop used (1e-9 units,
+    reported in micro units), so the oracle extends the training CTE
+    chain with one scoring select and stays bit-exact."""
+    feat = probe_features(df, text_col, group_col="doc_id")
+    w = df.sparkSession.range(1).select(
+        *[F.lit(0).cast("bigint").alias(f"w{j}") for j in range(4)]
+    )
+    for _ in range(4):
+        joined = feat.join(F.broadcast(w))
+        err = (
+            F.col("w0") * F.col("x0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+            - F.col("y")
+        )
+        grads = joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((err * F.col(f"x{j}")).cast("decimal(38,0)")).alias(
+                    f"g{j}"
+                )
+                for j in range(4)
+            ],
+            *[F.first(f"w{j}").alias(f"w{j}") for j in range(4)],
+        )
+        w = grads.select(
+            *[
+                F.expr(
+                    f"w{j} - (cast(1 as bigint) * cast(g{j} as bigint))"
+                    " div (n * 10 * 1000000)"
+                )
+                .cast("bigint")
+                .alias(f"w{j}")
+                for j in range(4)
+            ]
+        )
+    return feat.join(F.broadcast(w)).select(
+        F.col("grp").alias("doc_id"),
+        F.expr("(w0*x0 + w1*x1 + w2*x2 + w3*x3) div 1000").alias(
+            "pred_micro"
+        ),
+        F.expr("y div 1000").alias("actual_micro"),
+        F.expr(
+            "(w0*x0 + w1*x1 + w2*x2 + w3*x3) div 1000 - y div 1000"
+        ).alias("err_micro"),
+    )
+
+
+def probe_apply_oracle_sql(
+    iters: int = 4, lr_num: int = 1, lr_den: int = 10
+) -> str:
+    """DuckDB twin of :func:`probe_apply`: the training CTE chain plus
+    one scoring select over the doc-keyed feature CTE."""
+    stop_list = ", ".join(f"'{w}'" for w in PROBE_STOPWORDS)
+    feat = (
+        "SELECT doc_id, CAST(1000 AS BIGINT) AS x0, "
+        "CAST(least(len(arr), 1000) AS BIGINT) AS x1, "
+        "CAST(least(n_chars, 5000) // 5 AS BIGINT) AS x2, "
+        "CAST(((length(text) - length(regexp_replace(text, '[0-9]', '',"
+        " 'g'))) * 1000) // length(text) AS BIGINT) AS x3, "
+        f"CAST((len(list_filter(arr, t -> t IN ({stop_list}))) *"
+        " 1000000000) // len(arr) AS BIGINT) AS y "
+        "FROM (SELECT doc_id, n_chars, text, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), "
+        "t -> len(t) > 0) AS arr FROM documents) WHERE len(arr) > 0"
+    )
+    ctes = [f"feat AS ({feat})"]
+    ctes.append(
+        "w0_ AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,"
+        " CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"
+    )
+    prev = "w0_"
+    for it in range(1, iters + 1):
+        err = "(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 - f.y)"
+        gsums = ", ".join(
+            f"sum({err} * f.x{j}) AS g{j}" for j in range(4)
+        )
+        ws = ", ".join(f"any_value(w.w{j}) AS w{j}" for j in range(4))
+        ctes.append(
+            f"g{it}_ AS (SELECT count(*) AS n, {gsums}, {ws} "
+            f"FROM feat f, {prev} w)"
+        )
+        upd = ", ".join(
+            f"CAST(w{j} - (CAST({lr_num} AS HUGEINT) * g{j})"
+            f" // (n * {lr_den} * 1000000) AS BIGINT) AS w{j}"
+            for j in range(4)
+        )
+        ctes.append(f"w{it}_ AS (SELECT {upd} FROM g{it}_)")
+        prev = f"w{it}_"
+    body = (
+        "SELECT f.doc_id, "
+        "(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3) // 1000 "
+        "AS pred_micro, f.y // 1000 AS actual_micro, "
+        "(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3) // 1000 "
+        "- f.y // 1000 AS err_micro "
+        f"FROM feat f, {prev} w"
+    )
+    return "WITH " + ", ".join(ctes) + " " + body

@@ -340,3 +340,35 @@ def _ev_cdc_apply(spark, sf_dir):
             "n_ops",
         )
     )
+
+
+def _ev_anomaly_mad(spark, sf_dir):
+    """Robust anomaly counts: median/MAD instead of mean/stddev (the
+    z-score twin ev_zscore_anomalies is itself skewed by the outliers
+    it hunts; median absolute deviation is breakdown-point-0.5 robust).
+    Two exact-percentile aggregations per event type plus one counting
+    pass — each group's median state is bounded, the fact table
+    shuffles keyed on event_type only. Comparisons round to 1e-6 so
+    both engines' percentile interpolation agrees at the boundary."""
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    scored = ev.join(F.broadcast(mad), "event_type")
+    return scored.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.sum(
+            (
+                F.round(F.abs(F.col("value") - F.col("med")), 6)
+                > F.round(3 * F.col("mad"), 6)
+            ).cast("long")
+        ).alias("n_anom"),
+    )

@@ -716,3 +716,16 @@ def _a11_histogram(spark, sf_dir):
     return binned.groupBy("l_returnflag", "bin").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def _quality_probe_apply(spark, sf_dir):
+    """Train-then-apply in one lazy plan: the 4-iteration GD probe's
+    weights (a d-sized plan prefix) broadcast onto every document to
+    score it — the inference half of quality_linear_probe, same
+    integer fixed-point contract, bit-exact oracle replay. Per doc:
+    predicted vs actual stopword fraction (micro units) and the
+    signed error."""
+    from task_on_dataframes_spark.operators.probe import probe_apply
+
+    docs = _docs(spark, sf_dir)
+    return probe_apply(docs, "text")
