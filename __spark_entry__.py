@@ -654,11 +654,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver-validation window: the driver correctness gate
         # checks the FIRST 50 entries in dict order. Round-4 rotation:
-        # the 33 queries with no driver row yet lead, then the two
-        # sessionize queries whose gap semantics changed this round,
-        # then the stalest green rows (r1-era). Long-green sentinels
-        # sit in the tail. Re-rotate each round as rows come back.
-        # --- newest this round (no driver row yet, waves 2-5)
+        # the 19 waves-5-11 queries (no driver row yet) lead, then the
+        # waves-2-4 queries, then the sessionize pair whose gap
+        # semantics changed this round. Long-green sentinels sit in
+        # the tail. Re-rotate each round as rows come back.
+        # --- newest this round (no driver row yet, waves 5-11)
         "quality_linear_probe": _quality_linear_probe,
         "quality_probe_by_lang": _quality_probe_by_lang,
         "sketch_cms": _sketch_cms,

@@ -22,10 +22,40 @@ def main() -> int:
 
     names = list(entrymod.queries())
 
-    def run(tool: list[str]) -> str:
-        return subprocess.run(
-            tool, cwd=HERE, capture_output=True, text=True
-        ).stdout
+    def run(tool: list[str], timeout: int = 2400, retries: int = 1) -> str:
+        """Run a checker with file-backed stdout and a hard timeout.
+
+        pyspark's toPandas result socket can flakily deadlock the whole
+        child (JVM parked in SocketAuthServer.getResult while Python
+        waits on its end — observed twice under long sweeps); a pipe
+        also hides which query hung. Stream stdout to a temp file so a
+        partial run is inspectable, kill on timeout, retry once."""
+        import tempfile
+
+        for attempt in range(retries + 1):
+            with tempfile.NamedTemporaryFile(
+                "w+", suffix=".log", delete=False
+            ) as f:
+                try:
+                    subprocess.run(
+                        tool,
+                        cwd=HERE,
+                        stdout=f,
+                        stderr=subprocess.DEVNULL,
+                        text=True,
+                        timeout=timeout,
+                    )
+                except subprocess.TimeoutExpired:
+                    f.flush()
+                    tail = open(f.name).read().splitlines()[-3:]
+                    print(
+                        f"[full_sweep] {tool[1]} timed out "
+                        f"(attempt {attempt + 1}); last lines: {tail}",
+                        file=sys.stderr,
+                    )
+                    continue
+                return open(f.name).read()
+        return open(f.name).read()
 
     oracle_out = run([sys.executable, "tools/check_correctness.py"])
     oracle_pass = {
