@@ -173,6 +173,7 @@ from task_on_dataframes_spark.registry.relational import (
     _w8_first_last,
 )
 from task_on_dataframes_spark.registry.sampling import (
+    _export_training_shards,
     _mix_domains,
     _sample_interleave,
     _sample_kcenter,
@@ -678,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_matryoshka_eval": _emb_matryoshka_eval,
         "quality_probe_apply": _quality_probe_apply,
         "ev_anomaly_mad": _ev_anomaly_mad,
+        "export_training_shards": _export_training_shards,
         "stream_mv_upsert": _stream_mv_upsert,
         "sample_kcenter": _sample_kcenter,
         "ev_markov": _ev_markov,
@@ -2057,6 +2059,22 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         "ann_filtered_topk": _ivf_oracle(" WHERE label % 4 = 0"),
         # the recursive-CTE query ships ONE SQL text for both engines
         "sql_recursive_reach": RECURSIVE_REACH_SQL,
+        "export_training_shards": (
+            "WITH a AS (SELECT doc_id, text, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), "
+            "t -> len(t) > 0) AS arr FROM documents), "
+            "g AS (SELECT doc_id, text, len(arr) AS n_tokens FROM a "
+            "WHERE len(arr) >= 20), "
+            "reps AS (SELECT min(doc_id) AS doc_id FROM ("
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g'))) AS dg FROM g) GROUP BY dg), "
+            "k AS (SELECT g.doc_id, g.n_tokens FROM g "
+            "JOIN reps USING (doc_id)) "
+            "SELECT CAST(('0x' || substr(md5('export:' || "
+            "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard, "
+            "count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) "
+            "AS total_tokens FROM k GROUP BY shard"
+        ),
         "ev_anomaly_mad": (
             "WITH med AS (SELECT event_type, "
             "quantile_cont(value, 0.5) AS med, count(*) AS n "

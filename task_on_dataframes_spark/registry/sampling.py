@@ -245,3 +245,66 @@ def _sample_kcenter(spark, sf_dir):
     from task_on_dataframes_spark.operators.sampling import kcenter_select
 
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+def _export_training_shards(spark, sf_dir):
+    """End-to-end training-data export capstone: quality-gate (>= 20
+    tokens) -> exact-dedup keep-lowest-id -> deterministic hash shards
+    -> WRITE sharded JSONL + a manifest -> read the JSONL back and
+    summarize per shard. The summary comes from the READBACK, so the
+    query proves the export round-trips losslessly (schema, row counts,
+    token counts); the oracle computes the same summary straight from
+    the documents table — any writer/reader corruption diverges. Scale
+    shape: gate + shard are scan-stage, dedup is one digest-keyed
+    groupBy + one semi-join, the JSONL write partitions by shard (8
+    files per output at test SF; real exports raise shard counts, same
+    plan). The manifest write mirrors s17's incremental-read contract."""
+    import json
+    import os
+    import tempfile
+
+    from task_on_dataframes_spark.operators.dedup import normalized_text
+    from task_on_dataframes_spark.operators.hashing import hash32
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    gated = docs.withColumn("n_tokens", F.size(arr)).filter(
+        F.col("n_tokens") >= 20
+    )
+    reps = (
+        gated.groupBy(F.md5(normalized_text(F.col("text"))).alias("dg"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = gated.join(reps, "doc_id", "left_semi").withColumn(
+        "shard",
+        F.pmod(
+            hash32(F.concat(F.lit("export:"), F.col("doc_id").cast("string"))),
+            F.lit(8),
+        ),
+    )
+    base = tempfile.mkdtemp(prefix="tada_export_")
+    out = base + "/shards"
+    kept.write.partitionBy("shard").mode("overwrite").json(out)
+    # manifest: one line per shard dir with its file list — the
+    # handoff contract a downstream trainer consumes
+    manifest = {
+        d: sorted(
+            f for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".json")
+        )
+        for d in os.listdir(out)
+        if d.startswith("shard=")
+    }
+    with open(base + "/MANIFEST.json", "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    back = spark.read.json(out)
+    # partition discovery types the shard dir as int; normalize to the
+    # oracle's bigint
+    return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
