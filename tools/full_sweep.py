@@ -22,7 +22,7 @@ def main() -> int:
 
     names = list(entrymod.queries())
 
-    def run(tool: list[str], timeout: int = 2400, retries: int = 1) -> str:
+    def run(tool: list[str], timeout: int = 1500, retries: int = 1) -> str:
         """Run a checker with file-backed stdout and a hard timeout.
 
         pyspark's toPandas result socket can flakily deadlock the whole
@@ -57,18 +57,40 @@ def main() -> int:
                 return open(f.name).read()
         return open(f.name).read()
 
-    oracle_out = run([sys.executable, "tools/check_correctness.py"])
-    oracle_pass = {
-        line.split()[1].rstrip(":")
-        for line in oracle_out.splitlines()
-        if line.startswith(("PASS", "OK?"))
-    }
-    strict_out = run([sys.executable, "tools/check_types_strict.py", *names])
-    strict_pass = {
-        line.split(":")[0]
-        for line in strict_out.splitlines()
-        if line.strip().endswith("PASS")
-    }
+    # chunked execution: a fresh checker subprocess (fresh Spark
+    # session) per ~24 queries, so the flaky post-streaming socket
+    # deadlock costs one chunk's timeout + retry instead of the whole
+    # phase. Chunk JVM startup adds ~15 s x n_chunks — cheap insurance.
+    CHUNK = 24
+
+    def chunks():
+        for i in range(0, len(names), CHUNK):
+            yield names[i : i + CHUNK]
+
+    oracle_pass: set = set()
+    for part in chunks():
+        out = run(
+            [sys.executable, "tools/check_correctness.py", *part],
+            timeout=600,
+        )
+        oracle_pass |= {
+            line.split()[1].rstrip(":")
+            for line in out.splitlines()
+            if line.startswith(("PASS", "OK?"))
+        }
+        print(f"[full_sweep] oracle {len(oracle_pass)}/{len(names)}")
+    strict_pass: set = set()
+    for part in chunks():
+        out = run(
+            [sys.executable, "tools/check_types_strict.py", *part],
+            timeout=600,
+        )
+        strict_pass |= {
+            line.split(":")[0]
+            for line in out.splitlines()
+            if line.strip().endswith("PASS")
+        }
+        print(f"[full_sweep] strict {len(strict_pass)}/{len(names)}")
 
     queries = {
         n: {"oracle": n in oracle_pass, "strict": n in strict_pass}
