@@ -81,6 +81,7 @@ from task_on_dataframes_spark.registry.dedup import (
     _dedup_components,
     _dedup_cross_corpus,
     _dedup_daily_first,
+    _dedup_incremental_lsh,
     _dedup_embedding_cosine,
     _dedup_embedding_lsh,
     _dedup_exact,
@@ -660,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantics changed this round. Long-green sentinels sit in
         # the tail. Re-rotate each round as rows come back.
         # --- newest this round (no driver row yet, waves 5-11)
+        "dedup_incremental_lsh": _dedup_incremental_lsh,
         "quality_linear_probe": _quality_linear_probe,
         "quality_probe_by_lang": _quality_probe_by_lang,
         "sketch_cms": _sketch_cms,
@@ -931,6 +933,32 @@ SELECT i.a AS a, i.b AS b,
        round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
 FROM inter i JOIN sz sa ON i.a = sa.did JOIN sz sb ON i.b = sb.did
 WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
+"""
+
+
+def _incr_lsh_oracle(
+    num_perm: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """Replay of ``incremental_lsh_matches`` over the %7 corpus split:
+    same shingles/signatures/band keys as ``_minhash_oracle``, but the
+    candidate join is asymmetric (batch side x.did%7<>0 probes corpus
+    side y.did%7=0) and the output aggregates verified matches per
+    batch doc. The generated ``cand`` CTE is unused here."""
+    return f"""{_lsh_cand_ctes(num_perm, bands)},
+icand AS (SELECT DISTINCT x.did AS a, y.did AS b
+          FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+          WHERE x.did % 7 <> 0 AND y.did % 7 = 0),
+sz AS (SELECT did, count(*) AS sz FROM g GROUP BY did),
+inter AS (SELECT c.a, c.b, count(*) AS inter FROM icand c
+          JOIN g ga ON ga.did = c.a
+          JOIN g gb ON gb.did = c.b AND gb.tok = ga.tok
+          GROUP BY c.a, c.b),
+v AS (SELECT i.a, round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+      FROM inter i JOIN sz sa ON i.a = sa.did JOIN sz sb ON i.b = sb.did
+      WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold})
+SELECT a AS doc_id, CAST(count(*) AS INT) AS n_matches,
+       max(jaccard) AS max_jaccard
+FROM v GROUP BY a
 """
 
 
@@ -1998,6 +2026,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "FROM documents GROUP BY 1"
         ),
         "dedup_minhash_lsh": _minhash_oracle(16, 4, 0.5),
+        "dedup_incremental_lsh": _incr_lsh_oracle(16, 4, 0.5),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(3, 0.5, 50),
         "dedup_simhash": _simhash_oracle(32, 3),
         "dedup_components": (

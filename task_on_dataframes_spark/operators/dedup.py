@@ -212,6 +212,65 @@ def lsh_candidates(
     return candidates, toks
 
 
+def incremental_lsh_matches(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup matches of a NEW ingest ``batch`` against an EXISTING
+    ``corpus`` — the incremental form of :func:`minhash_lsh_pairs`
+    (crawl N+1 deduped against the index of crawls 1..N; the reference
+    `frame_tasks/basic_tasks.py` has only whole-frame distinct — this
+    is the ⊕ production shape). Ids must be globally unique across
+    both frames.
+
+    Returns one row per batch document with at least one VERIFIED
+    match: ``(id_col, n_matches, max_jaccard)``.
+
+    Scale shape: both sides shingle and sign in one pass (single union
+    scan, one signature shuffle); candidates come from an ASYMMETRIC
+    band-key join — batch keys probe corpus keys, so there is no
+    corpus self-join at all. At 100 TB the corpus band-key table is
+    the precomputed LSH index (docs x bands rows, written once per
+    ingest wave and reused); per new batch the join cost is
+    batch-sized, not corpus-sized, and exact Jaccard runs only on the
+    candidates.
+    """
+    tagged = batch.select(
+        F.col(id_col), F.col(text_col), F.lit(1).alias("_new")
+    ).unionByName(
+        corpus.select(F.col(id_col), F.col(text_col), F.lit(0).alias("_new"))
+    )
+    if shingle_n > 1:
+        toks = _word_ngrams(tagged, id_col, text_col, shingle_n)
+    else:
+        toks = _tokens(tagged, id_col, text_col)
+    # shingles feed signatures AND both sides of the verification join
+    toks = toks.persist()
+    sigs = minhash_signatures(toks, num_perm)
+    # (did, band, key, _new): docs x bands rows — the LSH index; the
+    # side tag joins back on did (doc-count-sized, one bounded shuffle)
+    side = tagged.select(F.col(id_col).alias("did"), "_new")
+    keys = lsh_band_keys(sigs, num_perm, bands).join(side, "did").persist()
+    ka = keys.filter(F.col("_new") == 1).select(
+        F.col("did").alias("a"), "band", "key"
+    )
+    kb = keys.filter(F.col("_new") == 0).select(
+        F.col("did").alias("b"), "band", "key"
+    )
+    candidates = ka.join(kb, on=["band", "key"]).select("a", "b").distinct()
+    pairs = jaccard_verify(candidates, toks, threshold)
+    return pairs.groupBy(F.col("a").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("int").alias("n_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
 def levenshtein_pairs(
     df: DataFrame,
     id_col: str,

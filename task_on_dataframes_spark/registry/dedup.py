@@ -172,6 +172,25 @@ def _dedup_cross_corpus(spark, sf_dir):
     )
     return new.join(existing, "digest", "left_anti").select("doc_id")
 
+def _dedup_incremental_lsh(spark, sf_dir):
+    """Near-dup version of :func:`_dedup_cross_corpus`: the new batch
+    (doc_id % 7 != 0) is LSH-probed against the existing corpus slice
+    (doc_id % 7 == 0) and kept only if no corpus document verifies at
+    Jaccard >= 0.5. Output = the batch docs that DID match (what an
+    ingest pipeline drops), with match count and best similarity.
+    Asymmetric band join — no corpus self-join anywhere."""
+    from task_on_dataframes_spark.operators.dedup import (
+        incremental_lsh_matches,
+    )
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 7 != 0)
+    corpus = docs.filter(F.col("doc_id") % 7 == 0)
+    return incremental_lsh_matches(
+        batch, corpus, "doc_id", "text",
+        num_perm=16, bands=4, threshold=0.5, shingle_n=2,
+    )
+
 def _dedup_daily_first(spark, sf_dir):
     """Keep the first event per (user, day): one window shuffle keyed
     by (user_id, date) — the retention-counting / sessionless-dedup

@@ -29,6 +29,36 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall too low: {recall}"
 
 
+def test_incremental_lsh_matches_batch_against_corpus(spark):
+    from task_on_dataframes_spark.operators.dedup import (
+        incremental_lsh_matches,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "completely unrelated corpus material here")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 100 (one word changed)
+            (1, base.replace("lazy", "sleepy")),
+            # novel document — must NOT appear in the output
+            (2, "fresh novel content with no overlap whatsoever at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = incremental_lsh_matches(
+        batch, corpus, "doc_id", "text", threshold=0.5
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == {1}, f"expected only the near-dup batch doc: {got}"
+    assert got[1]["n_matches"] == 1
+    assert got[1]["max_jaccard"] >= 0.5
+    # batch-vs-batch and corpus-vs-corpus pairs must never surface:
+    # ids 2 (novel batch) and 100/101 (corpus side) stay out
+
+
 def test_exact_dedup_counts_sum_to_corpus(spark, sf_dir):
     from task_on_dataframes_spark.operators.dedup import exact_dedup
 
