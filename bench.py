@@ -87,6 +87,8 @@ def main() -> None:
         "quality_linear_probe",
         "dedup_substring",
         "s18_bloom_join_prune",
+        # round-4 final wave
+        "dedup_incremental_lsh",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}
