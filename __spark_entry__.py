@@ -1446,23 +1446,29 @@ def oracle_sql() -> dict[str, str]:
         "dedup_recall_eval": (
             _lsh_cand_ctes()
             + """,
+eg AS (SELECT did, tok FROM g WHERE did % 3 = 0),
+rare AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM eg
+         GROUP BY tok) WHERE df <= 50),
+fg AS (SELECT eg.did, eg.tok FROM eg JOIN rare ON eg.tok = rare.tok),
 shared AS (SELECT DISTINCT x.did AS a, y.did AS b
-           FROM g x JOIN g y ON x.tok = y.tok WHERE x.did < y.did),
-sz AS (SELECT did, count(*) AS sz FROM g GROUP BY did),
+           FROM fg x JOIN fg y ON x.tok = y.tok WHERE x.did < y.did),
+sz AS (SELECT did, count(*) AS sz FROM eg GROUP BY did),
 inter AS (SELECT s.a, s.b, count(*) AS inter FROM shared s
-          JOIN g ga ON ga.did = s.a
-          JOIN g gb ON gb.did = s.b AND gb.tok = ga.tok
+          JOIN eg ga ON ga.did = s.a
+          JOIN eg gb ON gb.did = s.b AND gb.tok = ga.tok
           GROUP BY s.a, s.b),
 exact AS (SELECT i.a, i.b FROM inter i
           JOIN sz sa ON i.a = sa.did JOIN sz sb ON i.b = sb.did
           WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5),
+scand AS (SELECT a, b FROM cand WHERE a % 3 = 0 AND b % 3 = 0),
 ne AS (SELECT count(*) AS n_exact FROM exact),
-nc AS (SELECT count(*) AS n_candidates FROM cand),
+nc AS (SELECT count(*) AS n_candidates FROM scand),
 nh AS (SELECT count(*) AS n_hit FROM exact e
-       WHERE EXISTS (SELECT 1 FROM cand c
+       WHERE EXISTS (SELECT 1 FROM scand c
                      WHERE c.a = e.a AND c.b = e.b))
 SELECT n_exact, n_candidates, n_hit,
-       round(n_hit / CAST(n_exact AS DOUBLE), 6) AS recall
+       CASE WHEN n_exact > 0
+            THEN round(n_hit / CAST(n_exact AS DOUBLE), 6) END AS recall
 FROM ne, nc, nh
 """
         ),
@@ -2050,7 +2056,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         ),
         "dedup_embedding_lsh": (
             "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, "
-            + _hyperplane_bucket_sql("(embedding::DOUBLE[])", 64, 4)
+            + _hyperplane_bucket_sql("(embedding::DOUBLE[])", 64, 6)
             + " AS bucket FROM embeddings) "
             "SELECT * FROM ("
             "SELECT a.id AS a, b.id AS b, "
@@ -3179,7 +3185,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "ELSE 0.0 END > 0.18) AS is_repetitive "
             "FROM g LEFT JOIN top2 ON g.doc_id = top2.doc_id"
         ),
-        "dedup_semantic": _semantic_dedup_oracle_sql(),
+        "dedup_semantic": _semantic_dedup_oracle_sql(k=32),
         "mix_domains": (
             # integer per-mille rates (floor `//`), same md5 bucket as
             # operators/sampling.split_bucket(salt='mix'); DuckDB

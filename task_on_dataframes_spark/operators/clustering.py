@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import cosine
+from .dedup import dot, norm
 from .hashing import hash32
 
 
@@ -55,6 +55,18 @@ def kmeans_assignments(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    # a dimension-scale embeddings file can scan as a handful of input
+    # splits, serializing every n x k scoring pass below; one
+    # corpus-linear shuffle buys full-width parallelism (skipped when
+    # the scan is already wide, e.g. a real partitioned corpus)
+    nparts = int(
+        emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    if c.rdd.getNumPartitions() < nparts:
+        c = c.repartition(nparts)
+    # per-vector norm computed ONCE — cosine() per (vector, centroid)
+    # re-derives it n x k times per iteration (round-4 sf1 sweep)
+    c = c.withColumn("nv", norm("v"))
     h = hash32(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string")))
     cents = (
         c.withColumn("h", h)
@@ -62,6 +74,7 @@ def kmeans_assignments(
         .groupBy("cl")
         .agg(F.min(F.struct("h", "vec_id", "v")).alias("m"))
         .select("cl", F.col("m.v").alias("cv"))
+        .withColumn("ncv", norm("cv"))
         .persist()
     )
 
@@ -79,7 +92,10 @@ def kmeans_assignments(
             "vec_id",
             "v",
             "cl",
-            F.round(cosine("v", "cv"), 5).alias("sim"),
+            F.round(
+                dot("v", "cv") / (F.col("nv") * F.col("ncv")),
+                5,
+            ).alias("sim"),
         )
         assign = (
             scored.groupBy("vec_id")
@@ -106,6 +122,7 @@ def kmeans_assignments(
                         *[F.col(f"s{i}") for i in range(dims)]
                     ).alias("cv"),
                 )
+                .withColumn("ncv", norm("cv"))
                 .persist()
             )
     return assign.select(
@@ -139,23 +156,43 @@ def semantic_dedup(
     matches :func:`kmeans_assignments` (the DuckDB oracle replays the
     identical Lloyd chain, cosine rounded to 5).
     """
+    from .dedup import dot, norm
+
     assign = kmeans_assignments(emb, k=k, iters=iters, dims=dims,
                                 id_col=id_col, vec_col=vec_col)
+    # per-row norm computed ONCE here — the naive per-pair cosine()
+    # re-derives both operands' norms for every partner (the round-4
+    # sf1 sweep measured that at 26x wall for 10x data); per PAIR only
+    # the fold dot remains (see dot()'s docstring for why the fold
+    # beats an unrolled term chain here)
     members = (
         emb.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
         .join(assign.select("vec_id", "cluster"), on="vec_id")
+        .withColumn("nrm", norm("v"))
+    )
+    # pin the pair join's width with explicit-count repartitions on
+    # the join key: AQE sizes partitions by shuffle INPUT bytes, and a
+    # dimension-scale input coalesces to ONE task even though the
+    # within-cluster pair fan-out is the whole cost of this operator
+    # (the round-4 sf1 sweep measured the stage serial at 6M pairs).
+    # Explicit numPartitions is exempt from AQE coalescing, and both
+    # sides sharing it means the join adds no further exchange.
+    nparts = int(
+        emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     a = members.select(
         F.col("vec_id").alias("a_id"),
         F.col("cluster").alias("cluster"),
         F.col("v").alias("va"),
-    )
+        F.col("nrm").alias("na"),
+    ).repartition(nparts, F.col("cluster"))
     b = members.select(
-        "vec_id", "cluster", F.col("v").alias("vb")
-    )
+        "vec_id", "cluster", F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    ).repartition(nparts, F.col("cluster"))
     pairs = (
         a.join(b, on="cluster")
         .filter(F.col("a_id") < F.col("vec_id"))
@@ -163,7 +200,10 @@ def semantic_dedup(
             "vec_id",
             "cluster",
             "a_id",
-            F.round(cosine("va", "vb"), 5).alias("cos"),
+            F.round(
+                dot("va", "vb") / (F.col("na") * F.col("nb")),
+                5,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -449,7 +449,18 @@ def dot(x, y) -> Column:
     as one ``F.expr`` SQL string (one py4j call) instead of the
     Python-lambda higher-order build, which costs ~10 py4j round
     trips per call on the driver (SCALE.md §9a). Same expression tree
-    either way."""
+    either way.
+
+    This fold IS the fast formulation per pair: an unrolled 64-term
+    ``x[1]*y[1] + ...`` chain measured 10x SLOWER inside join stages
+    (the wide expression falls out of whole-stage codegen and every
+    ``element_at`` re-checks interpretively), while the higher-order
+    fold keeps a tight specialized loop. Measured on the round-4 sf1
+    sweep: 42.8s unrolled vs 4.2s fold for the same 6.2M-pair stage.
+    What DOES matter per pair: precompute each row's :func:`norm`
+    before the join (never re-derive norms per pair) and make sure
+    the pair stage is actually parallel (see ``embedding_lsh_pairs``,
+    ``clustering.semantic_dedup``)."""
     if isinstance(x, str) and isinstance(y, str):
         return F.expr(_dot_sql(x, y))
     return F.aggregate(
@@ -653,28 +664,62 @@ def embedding_lsh_pairs(
     ``(1 - theta/pi)^planes``), and exact cosine verifies candidates.
     One shuffle on the bucket id; no all-pairs stage. Recall misses are
     the LSH trade; raise recall by unioning over rotated plane sets.
+
+    Three scale levers, all found by the round-4 sf1 sweep (the naive
+    form measured 112x wall for 10x data):
+
+    - each row's norm is computed once BEFORE the join and only the
+      fold :func:`dot` runs per pair — the naive per-pair
+      ``cosine()`` re-derived both norms for every partner;
+    - the probe side REPARTITIONS on (bucket, id): a broadcast join
+      inherits the stream side's partitioning, and a dimension-scale
+      embeddings scan can be a handful of input splits — leaving the
+      whole O(candidate-pairs) verification stage nearly serial while
+      31 cores idle. One corpus-linear shuffle buys full-width
+      parallelism (and (bucket, id) spreads a hot bucket's rows over
+      many tasks instead of pinning it to one);
+    - the candidate count itself scales with bucket occupancy (pairs
+      ~ n^2 / 2^planes): keep per-bucket density roughly constant by
+      growing ``planes`` ~ log2(n) as the corpus grows.
     """
     from .similarity import hyperplane_bucket
 
-    v = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("bucket", hyperplane_bucket("v", dims, planes))
+    v = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("bucket", hyperplane_bucket("v", dims, planes))
+        .withColumn("nrm", norm("v"))
+    )
     # both self-join sides read the bucketed frame; persist so the
     # hyperplane projection scan runs once (the staging step of any
     # bucketed self-join — MEMORY_AND_DISK, spills instead of recompute)
     v = v.persist()
-    a = v.select(
-        F.col("id").alias("a"), F.col("v").alias("va"), "bucket"
+    # explicit partition count: AQE would coalesce a columns-only
+    # repartition of a dimension-scale input back to one partition,
+    # re-serializing the pair stage this shuffle exists to spread
+    nparts = int(
+        emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    a = v.select(
+        F.col("id").alias("a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    ).repartition(nparts, F.col("bucket"), F.col("a"))
     b = v.select(
-        F.col("id").alias("b"), F.col("v").alias("vb"), "bucket"
+        F.col("id").alias("b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
     )
     return (
         a.join(b, on="bucket")
         .filter(F.col("a") < F.col("b"))
         .select(
-            "a", "b", F.round(cosine("va", "vb"), 5).alias("cos")
+            "a",
+            "b",
+            F.round(
+                dot("va", "vb") / (F.col("na") * F.col("nb")),
+                5,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

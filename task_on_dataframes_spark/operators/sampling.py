@@ -260,8 +260,15 @@ def kcenter_select(
     next center, which broadcasts back so the ``mind`` update is pure
     scan-stage arithmetic. k corpus passes total, nothing but 1-row
     frames ever gathers. The seed falls out of the same argmax run on
-    a constant ``mind`` (= smallest id). Per-iteration persist stops
-    the argmax branch from doubling the lineage (k-means discipline).
+    a constant ``mind`` (= smallest id).
+
+    Each iteration ``localCheckpoint``s the updated corpus frame: the
+    argmax ``c`` embeds ``w``'s plan and the next ``w`` embeds both,
+    so a mere persist leaves the logical tree DOUBLING per iteration
+    (2^k subplans — the round-4 sf1 sweep caught the driver OOMing in
+    plan strings at k=8 / 255 scans). Same lineage-cut discipline as
+    ``dedup.connected_components``; plan size is now constant per
+    iteration and the superseded iterate's blocks are dropped eagerly.
 
     Returns ``(sel_order, vec_id, min_dist)`` — ``min_dist`` is the
     distance at selection time (NULL for the seed), the monotone
@@ -273,7 +280,7 @@ def kcenter_select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         F.lit(1e18).alias("mind"),
-    ).persist()
+    ).localCheckpoint()
     picks = []
     for step in range(1, k + 1):
         c = (
@@ -298,6 +305,8 @@ def kcenter_select(
         )
         picks.append(c.select("sel_order", "vec_id", "min_dist"))
         if step < k:
+            # eager checkpoint; the superseded iterate's blocks are
+            # reclaimed by the ContextCleaner once this name rebinds
             w = (
                 w.crossJoin(F.broadcast(c.select("cv")))
                 .select(
@@ -307,7 +316,7 @@ def kcenter_select(
                         F.col("mind"), F.round(_d2("v", "cv"), 5)
                     ).alias("mind"),
                 )
-                .persist()
+                .localCheckpoint()
             )
     out = picks[0]
     for p in picks[1:]:

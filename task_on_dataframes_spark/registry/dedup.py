@@ -81,10 +81,14 @@ def _dedup_embedding_cosine(spark, sf_dir):
     return embedding_cosine_pairs(emb, threshold=0.4)
 
 def _dedup_embedding_lsh(spark, sf_dir):
+    """planes=6 (64 buckets): candidate pairs scale ~ n^2/2^planes,
+    so the plane count tracks corpus density (the round-4 sf1 sweep
+    measured planes=4's 16 buckets going quadratic at 10x data — see
+    ``embedding_lsh_pairs``)."""
     from task_on_dataframes_spark.operators.dedup import embedding_lsh_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_lsh_pairs(emb, threshold=0.4, dims=64, planes=4)
+    return embedding_lsh_pairs(emb, threshold=0.4, dims=64, planes=6)
 
 def _decontaminate(spark, sf_dir):
     """Train/test contamination check (GPT-3-style n-gram overlap):
@@ -233,13 +237,16 @@ def _dedup_levenshtein(spark, sf_dir):
 def _dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
     prune within clusters only — the quadratic compare is confined to
-    bounded clusters, so k (not an all-pairs join) is the scale knob.
-    Deterministic Lloyd chain identical to emb_kmeans; the oracle
+    bounded clusters, so k (not an all-pairs join) is the scale knob
+    and must GROW with the corpus to hold |cluster| ~ n/k constant
+    (SemDeDup itself runs k ~ 50k at LAION scale; the round-4 sf1
+    sweep measured k=8 going quadratic at 10x data — pair volume AND
+    join parallelism are both bounded by k). k=32 here; the oracle
     replays clustering AND pruning exactly."""
     from task_on_dataframes_spark.operators.clustering import semantic_dedup
 
     return semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), k=8, iters=3, threshold=0.4
+        _t(spark, sf_dir, "embeddings"), k=32, iters=3, threshold=0.4
     )
 
 
@@ -329,12 +336,18 @@ def _dedup_substring_rewrite(spark, sf_dir):
 
 def _dedup_recall_eval(spark, sf_dir):
     """Candidate recall of the minhash-LSH front end vs the exact
-    Jaccard>=0.5 pair set — the tuning loop for (num_perm, bands),
-    mirroring ann_recall_eval's methodology. The exact side is an
-    eval-corpus-confined shingle-join (the same sub-quadratic shape as
-    ngram_jaccard_pairs, no minhash approximation); at production
-    scale this harness runs on a sampled eval slice, never the corpus.
-    Output: one row (n_exact, n_candidates, n_hit, recall)."""
+    Jaccard>=0.5 pair set, measured on a DETERMINISTIC 1-in-3 eval slice
+    (doc_id % 3 == 0) — the tuning loop for (num_perm, bands),
+    mirroring ann_recall_eval's methodology. The LSH front end still
+    runs on the FULL corpus (it is the system under test); only the
+    exact ground truth is slice-confined, with the same max_df=50
+    shingle-frequency cut as ngram_jaccard_pairs so its pair join
+    stays sub-quadratic (a Jaccard>=0.5 pair whose every shared
+    bigram is ubiquitous is the only miss — the standard trade). The
+    original unsampled form went all-pairs on common bigrams: the
+    round-4 sf1 sweep measured 107s at sf0.1 and a JVM death at sf1.
+    Output: one row (n_exact, n_candidates, n_hit, recall), counts
+    confined to slice pairs."""
     from task_on_dataframes_spark.operators.dedup import (
         _word_ngrams,
         jaccard_verify,
@@ -342,9 +355,17 @@ def _dedup_recall_eval(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    grams = _word_ngrams(docs, "doc_id", "text", 2).persist()
-    pa = grams.select(F.col("did").alias("a"), "tok")
-    pb = grams.select(F.col("did").alias("b"), "tok")
+    eval_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    grams = _word_ngrams(eval_docs, "doc_id", "text", 2).persist()
+    rare = (
+        grams.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("tok")
+    )
+    fg = grams.join(rare, "tok", "left_semi")
+    pa = fg.select(F.col("did").alias("a"), "tok")
+    pb = fg.select(F.col("did").alias("b"), "tok")
     shared = (
         pa.join(pb, "tok")
         .filter(F.col("a") < F.col("b"))
@@ -352,8 +373,11 @@ def _dedup_recall_eval(spark, sf_dir):
         .distinct()
     )
     exact = jaccard_verify(shared, grams, threshold=0.5).select("a", "b")
-    cand, _ = lsh_candidates(
+    cand_all, _ = lsh_candidates(
         docs, "doc_id", "text", num_perm=16, bands=4, shingle_n=2
+    )
+    cand = cand_all.filter(
+        (F.col("a") % 3 == 0) & (F.col("b") % 3 == 0)
     )
     hit = exact.join(cand, ["a", "b"], "left_semi")
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -366,6 +390,10 @@ def _dedup_recall_eval(spark, sf_dir):
             "n_exact",
             "n_candidates",
             "n_hit",
-            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+            # NULL (not a crash) when the eval slice has no exact pair
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.col("n_hit") / F.col("n_exact"), 6),
+            ).alias("recall"),
         )
     )
