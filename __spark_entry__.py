@@ -99,6 +99,7 @@ from task_on_dataframes_spark.registry.dedup import (
 )
 from task_on_dataframes_spark.registry.embeddings import (
     _ann_cosine_topk,
+    _emb_dim_stats,
     _ann_filtered_topk,
     _ann_recall_eval,
     _emb_pca_top2,
@@ -176,6 +177,7 @@ from task_on_dataframes_spark.registry.relational import (
 from task_on_dataframes_spark.registry.sampling import (
     _export_training_shards,
     _mix_domains,
+    _mix_token_budget,
     _sample_interleave,
     _sample_kcenter,
     _sample_negatives,
@@ -200,7 +202,10 @@ from task_on_dataframes_spark.registry.streaming import (
     _stream_stream_join,
 )
 from task_on_dataframes_spark.registry.text import (
+    _ann_hybrid_rrf,
     _text_bigram_lm,
+    _text_chunk_overlap,
+    _text_langid_confusion,
     _text_bpe_apply,
     _text_bpe_train,
     _curriculum_quality_bins,
@@ -660,6 +665,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # waves-2-4 queries, then the sessionize pair whose gap
         # semantics changed this round. Long-green sentinels sit in
         # the tail. Re-rotate each round as rows come back.
+        # --- newest this round (no driver row yet, wave 12)
+        "mix_token_budget": _mix_token_budget,
+        "ann_hybrid_rrf": _ann_hybrid_rrf,
+        "text_chunk_overlap": _text_chunk_overlap,
+        "text_langid_confusion": _text_langid_confusion,
+        "emb_dim_stats": _emb_dim_stats,
         # --- newest this round (no driver row yet, waves 5-11)
         "dedup_incremental_lsh": _dedup_incremental_lsh,
         "quality_linear_probe": _quality_linear_probe,
@@ -1034,6 +1045,38 @@ WHERE hamming <= {max_hamming}
 _COS = (
     "round(list_dot_product(q.v, c.v) / "
     "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 5)"
+)
+
+#: BM25 scoring CTE chain shared by the text_bm25 and ann_hybrid_rrf
+#: oracles — mirrors registry/text.py:_bm25_doc_scores exactly (fixed
+#: 3-term query, k1=1.2, b=0.75, Lucene idf, fixed-order scalar add).
+_BM25_SQL_CTES = (
+    "toks AS (SELECT doc_id, "
+    "regexp_replace(t.tok, '^\\W+|\\W+$', '') AS tok "
+    "FROM (SELECT doc_id, "
+    "unnest(string_split_regex(lower(text), '\\s+')) AS tok "
+    "FROM documents) t), "
+    "clean AS (SELECT doc_id, tok FROM toks WHERE length(tok) >= 2), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM clean GROUP BY doc_id), "
+    "navg AS (SELECT count(*) AS n_docs, "
+    "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), "
+    "tf AS (SELECT doc_id, tok, count(*) AS tf FROM clean "
+    "WHERE tok IN ('hash', 'join', 'vector') GROUP BY doc_id, tok), "
+    "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+    "scored AS (SELECT tf.doc_id, tf.tok, "
+    "ln((navg.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) "
+    "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / "
+    "navg.avgdl)) AS s "
+    "FROM tf JOIN dfreq ON tf.tok = dfreq.tok "
+    "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN navg), "
+    "piv AS (SELECT doc_id, "
+    "max(CASE WHEN tok = 'hash' THEN s END) AS s_hash, "
+    "max(CASE WHEN tok = 'join' THEN s END) AS s_join, "
+    "max(CASE WHEN tok = 'vector' THEN s END) AS s_vector "
+    "FROM scored GROUP BY doc_id), "
+    "bm AS (SELECT doc_id, round(coalesce(s_hash, 0.0) + "
+    "coalesce(s_join, 0.0) + coalesce(s_vector, 0.0), 6) AS score "
+    "FROM piv)"
 )
 
 
@@ -2235,6 +2278,28 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "WHEN score_de >= score_fr AND score_de >= score_es THEN 'de' "
             "WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS pred_lang FROM s"
         ),
+        "text_langid_confusion": (
+            "WITH b AS (SELECT lang, "
+            "string_split_regex(lower(text), '\\s+') AS ts FROM documents), "
+            "s AS (SELECT lang, "
+            + ", ".join(
+                f"len(list_filter(ts, t -> list_contains({_stop_arr(lang)}, t))) "
+                f"AS score_{lang}"
+                for lang in ["en", "de", "fr", "es"]
+            )
+            + " FROM b), "
+            "p AS (SELECT lang, "
+            "CASE WHEN score_en >= score_de AND score_en >= score_fr "
+            "AND score_en >= score_es THEN 'en' "
+            "WHEN score_de >= score_fr AND score_de >= score_es THEN 'de' "
+            "WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END "
+            "AS pred_lang FROM s), "
+            "g AS (SELECT lang, pred_lang, count(*) AS n_docs "
+            "FROM p GROUP BY 1, 2) "
+            "SELECT lang, pred_lang, n_docs, "
+            "round(n_docs / sum(n_docs) OVER (PARTITION BY lang), 6) "
+            "AS share FROM g"
+        ),
         "text_token_count": (
             "SELECT doc_id, "
             "len(string_split_regex(text, '\\s+')) AS n_ws_tokens, "
@@ -3051,32 +3116,66 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "GROUP BY 1, 2"
         ),
         "text_bm25": (
-            "WITH toks AS (SELECT doc_id, "
-            "regexp_replace(t.tok, '^\\W+|\\W+$', '') AS tok "
-            "FROM (SELECT doc_id, "
-            "unnest(string_split_regex(lower(text), '\\s+')) AS tok "
-            "FROM documents) t), "
-            "clean AS (SELECT doc_id, tok FROM toks WHERE length(tok) >= 2), "
-            "dl AS (SELECT doc_id, count(*) AS dl FROM clean GROUP BY doc_id), "
-            "navg AS (SELECT count(*) AS n_docs, "
-            "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), "
-            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM clean "
-            "WHERE tok IN ('hash', 'join', 'vector') GROUP BY doc_id, tok), "
-            "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
-            "scored AS (SELECT tf.doc_id, tf.tok, "
-            "ln((navg.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) "
-            "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / "
-            "navg.avgdl)) AS s "
-            "FROM tf JOIN dfreq ON tf.tok = dfreq.tok "
-            "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN navg), "
-            "piv AS (SELECT doc_id, "
-            "max(CASE WHEN tok = 'hash' THEN s END) AS s_hash, "
-            "max(CASE WHEN tok = 'join' THEN s END) AS s_join, "
-            "max(CASE WHEN tok = 'vector' THEN s END) AS s_vector "
-            "FROM scored GROUP BY doc_id) "
-            "SELECT doc_id, round(coalesce(s_hash, 0.0) + "
-            "coalesce(s_join, 0.0) + coalesce(s_vector, 0.0), 6) AS score "
-            "FROM piv ORDER BY score DESC, doc_id LIMIT 20"
+            f"WITH {_BM25_SQL_CTES} "
+            "SELECT doc_id, score FROM bm "
+            "ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        "ann_hybrid_rrf": (
+            f"WITH {_BM25_SQL_CTES}, "
+            "lex AS (SELECT doc_id, CAST(row_number() OVER "
+            "(ORDER BY score DESC, doc_id) AS INT) AS r_lex FROM "
+            "(SELECT doc_id, score FROM bm "
+            "ORDER BY score DESC, doc_id LIMIT 50)), "
+            "c AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings WHERE vec_id != 0), "
+            "q AS (SELECT embedding::DOUBLE[] AS v "
+            "FROM embeddings WHERE vec_id = 0), "
+            f"sc AS (SELECT c.vec_id, {_COS} AS cos FROM c, q), "
+            "sem AS (SELECT vec_id AS doc_id, CAST(row_number() OVER "
+            "(ORDER BY cos DESC, vec_id) AS INT) AS r_sem FROM sc "
+            "ORDER BY cos DESC, vec_id LIMIT 50), "
+            "f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, "
+            "r_lex, r_sem, "
+            "round(coalesce(1.0 / (60 + r_lex), 0.0) + "
+            "coalesce(1.0 / (60 + r_sem), 0.0), 6) AS rrf_score "
+            "FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id) "
+            "SELECT doc_id, r_lex, r_sem, rrf_score FROM f "
+            "ORDER BY rrf_score DESC, doc_id LIMIT 10"
+        ),
+        "mix_token_budget": (
+            "WITH b AS (SELECT source, doc_id, "
+            "CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "c AS (SELECT source, n_tokens, "
+            "sum(n_tokens) OVER (PARTITION BY source "
+            "ORDER BY n_tokens DESC, doc_id "
+            "ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset FROM b) "
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(CASE WHEN start_offset < 600 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_kept, "
+            "CAST(sum(CASE WHEN start_offset < 600 THEN n_tokens "
+            "ELSE 0 END) AS BIGINT) AS tokens_kept "
+            "FROM c GROUP BY source"
+        ),
+        "text_chunk_overlap": (
+            "WITH b AS (SELECT doc_id, "
+            "CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) "
+            "AS n FROM documents), "
+            "e AS (SELECT doc_id, n, "
+            "unnest(generate_series(0, n - 1, 96)) AS s FROM b) "
+            "SELECT doc_id, CAST(s // 96 AS INT) AS chunk_idx, "
+            "CAST(s AS INT) AS start_tok, "
+            "CAST(least(128, n - s) AS INT) AS len_toks FROM e"
+        ),
+        "emb_dim_stats": (
+            "WITH x AS (SELECT "
+            "CAST(unnest(generate_series(0, len(embedding) - 1)) AS INT) "
+            "AS dim, CAST(unnest(embedding) AS DOUBLE) AS v "
+            "FROM embeddings) "
+            "SELECT dim, count(*) AS n, round(avg(v), 6) AS mean, "
+            "round(avg(v * v) - avg(v) * avg(v), 6) AS var_pop, "
+            "round(min(v), 5) AS min_val, round(max(v), 5) AS max_val "
+            "FROM x GROUP BY dim"
         ),
         "q11_value_concentration": (
             "WITH pv AS (SELECT l_partkey, "

@@ -311,6 +311,71 @@ def pack_sequences(
     )
 
 
+def grouped_prefix_sum(
+    df: DataFrame,
+    key_col: str,
+    order: Sequence[Column],
+    val_col: str,
+    out: str = "start_offset",
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Exact per-key running-total *start offset* (cumsum minus the
+    row's own value) in ``order`` within each ``key_col`` group —
+    WITHOUT ``Window.partitionBy(key)``, which at corpus scale funnels
+    every row of a hot key through one task.
+
+    Same distributed prefix-sum scheme as :func:`pack_sequences`, keyed:
+
+    1. range-partition + sort by (key, *order) — one key's rows span
+       partitions in global order, so no key is ever a single task;
+    2. per-(partition, key) totals -> per-key cumulative partition
+       offsets (a tiny frame: at most #partitions + #keys rows);
+    3. per-(partition, key) local cumsum (parallel) + broadcast offset.
+
+    Offsets telescope, so any partition count yields identical results.
+    """
+    key = _c(key_col)
+    ordered = df
+    if partitions:
+        ordered = ordered.repartitionByRange(partitions, key.asc(), *order)
+    else:
+        ordered = ordered.repartitionByRange(key.asc(), *order)
+    ordered = ordered.sortWithinPartitions(key.asc(), *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ptotals = ordered.groupBy("__pid", key.alias("__k")).agg(
+        F.sum(quoted(val_col)).alias("__ptotal")
+    )
+    w_off = (
+        Window.partitionBy("__k")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = ptotals.select(
+        F.col("__pid").alias("__opid"),
+        "__k",
+        F.coalesce(F.sum("__ptotal").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    w_local = (
+        Window.partitionBy("__pid", key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ordered.join(
+            F.broadcast(offsets),
+            (F.col("__pid") == F.col("__opid")) & key.eqNullSafe(F.col("__k")),
+        )
+        .withColumn(
+            out,
+            F.col("__offset")
+            + F.sum(quoted(val_col)).over(w_local)
+            - _c(val_col),
+        )
+        .drop("__pid", "__opid", "__k", "__offset")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     id_col: str,

@@ -64,9 +64,16 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def lang_id(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
     """Stopword-overlap language id: count lexicon hits per language,
-    predict the argmax (ties break in lexicon declaration order)."""
+    predict the argmax (ties break in lexicon declaration order).
+    ``keep_cols`` ride through unchanged (e.g. a gold label for a
+    downstream confusion matrix)."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     scores = []
     for lang, words in STOPWORDS.items():
@@ -76,7 +83,9 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 f"score_{lang}"
             )
         )
-    scored = df.select(F.col(id_col), *scores)
+    scored = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], *scores
+    )
     langs = list(STOPWORDS)
     pred: Column = F.lit(langs[-1])
     best: Column = F.col(f"score_{langs[-1]}")

@@ -77,6 +77,29 @@ def _ann_lsh_multi_topk(spark, sf_dir):
         emb, queries_df, k=10, dims=64, planes=4, n_tables=2
     )
 
+def _emb_dim_stats(spark, sf_dir):
+    """Per-dimension embedding profile (mean / population variance /
+    min / max) — the normalization-stats pass before whitening or
+    quantizing a vector column. ``posexplode`` fans out d rows per
+    vector in the scan stage; the aggregate is keyed on the dimension
+    index, so map-side partial aggregation collapses each partition to
+    d rows before the single d-key shuffle. Variance is computed as
+    E[x^2] - E[x]^2 in BOTH engines (no var_samp definitional drift);
+    floats are widened to double before any arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("val").cast("double")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(v), 6).alias("mean"),
+            F.round(F.avg(v * v) - F.avg(v) * F.avg(v), 6).alias("var_pop"),
+            F.round(F.min(v), 5).alias("min_val"),
+            F.round(F.max(v), 5).alias("max_val"),
+        )
+    )
+
 def _emb_label_centroids(spark, sf_dir):
     """Per-label mean embedding: ONE keyed shuffle of n x d exploded
     rows with map-side partial DECIMAL sums (partition-order-proof,

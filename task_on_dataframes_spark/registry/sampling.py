@@ -87,6 +87,47 @@ def _shard_assign(spark, sf_dir):
         )
     )
 
+def _mix_token_budget(spark, sf_dir):
+    """Per-source token-budget curation (the domain-cap move when a
+    corpus over-represents one crawl/source): rank documents longest-
+    first within each source and keep the greedy prefix whose running
+    token total stays under a fixed per-source budget; report the
+    kept/dropped funnel per source.
+
+    The running total uses :func:`grouped_prefix_sum` — the per-key
+    distributed prefix sum — NOT ``Window.partitionBy(source)``: a
+    corpus-scale source (the whole point of capping) would otherwise
+    sort through a single task. Order is (n_tokens DESC, doc_id), all
+    integers, so the greedy cut is bit-identical across engines."""
+    from task_on_dataframes_spark.operators.text import grouped_prefix_sum
+
+    budget = 600
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    started = grouped_prefix_sum(
+        base,
+        "source",
+        [F.col("n_tokens").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+    )
+    kept = F.col("start_offset") < budget
+    return (
+        started.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
+
 def _sample_bottomk(spark, sf_dir):
     """Exact-size uniform sample without a global sort: bottom-k by
     the portable stable hash (TakeOrderedAndProject — per-partition

@@ -221,14 +221,11 @@ def _text_winnow(spark, sf_dir):
         _docs(spark, sf_dir), "doc_id", "text", shingle=8, window=4
     )
 
-def _text_bm25(spark, sf_dir):
-    """BM25 document ranking for a fixed 3-term query (k1=1.2, b=0.75,
-    Lucene-style idf = ln(1 + (N - df + .5)/(df + .5))). Doc-length and
-    df frames are dimension-sized and broadcast; per-term partial
-    scores pivot into fixed columns so the final score is a fixed-order
-    scalar add — bit-identical across engines, no float
-    summation-order hazard. Top-20 via TakeOrderedAndProject."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+def _bm25_doc_scores(docs: DataFrame) -> DataFrame:
+    """Shared BM25 scorer for the fixed ``_BM25_TERMS`` query: returns
+    (doc_id, score) with score rounded to 6 — the fixed-order scalar
+    add keeps it bit-identical across engines. See :func:`_text_bm25`
+    for the ranking query and plan-shape notes."""
     toks = (
         docs.select(
             "doc_id",
@@ -282,10 +279,120 @@ def _text_bm25(spark, sf_dir):
         + F.coalesce(F.col(f"s_{_BM25_TERMS[1]}"), F.lit(0.0))
         + F.coalesce(F.col(f"s_{_BM25_TERMS[2]}"), F.lit(0.0))
     )
+    return pivoted.select("doc_id", F.round(score, 6).alias("score"))
+
+
+def _text_bm25(spark, sf_dir):
+    """BM25 document ranking for a fixed 3-term query (k1=1.2, b=0.75,
+    Lucene-style idf = ln(1 + (N - df + .5)/(df + .5))). Doc-length and
+    df frames are dimension-sized and broadcast; per-term partial
+    scores pivot into fixed columns so the final score is a fixed-order
+    scalar add — bit-identical across engines, no float
+    summation-order hazard. Top-20 via TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     return (
-        pivoted.select("doc_id", F.round(score, 6).alias("score"))
+        _bm25_doc_scores(docs)
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
+    )
+
+
+def _text_chunk_overlap(spark, sf_dir):
+    """Sliding-window chunking with overlap (size=128 tokens, stride=96
+    — 32-token context carry, the standard long-document prep for a
+    fixed context window). Chunk starts are pure arithmetic on the
+    token count (``sequence(0, n-1, stride)`` + explode), so the whole
+    query is scan-stage-only: zero shuffles, scales with input splits.
+    The last chunk is short (``least(size, n - start)``), never padded."""
+    size, stride = 128, 96
+    docs = _docs(spark, sf_dir)
+    n = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    return (
+        docs.select("doc_id", n.alias("n"))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+            ).alias("start_tok"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start_tok") / stride).cast("int").alias("chunk_idx"),
+            F.col("start_tok").cast("int").alias("start_tok"),
+            F.least(F.lit(size), F.col("n") - F.col("start_tok"))
+            .cast("int")
+            .alias("len_toks"),
+        )
+    )
+
+
+def _text_langid_confusion(spark, sf_dir):
+    """Heuristic-vs-gold language-ID evaluation: confusion matrix cells
+    (gold lang x predicted lang) with each cell's share of its gold
+    row — the accuracy/leakage report run before trusting a cheap
+    classifier to route a 100 TB corpus. One corpus scan into a
+    16-cell aggregate; the share window runs over the aggregated
+    cells, not the corpus."""
+    from task_on_dataframes_spark.operators.textstats import lang_id
+
+    docs = _docs(spark, sf_dir)
+    pred = lang_id(docs, "doc_id", "text", keep_cols=["lang"])
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
+    )
+
+
+def _ann_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+    (RRF, k=60): the BM25 top-50 for the fixed term query and the
+    cosine top-50 for the matching query vector (vec_id 0) full-outer
+    join on doc_id; rrf = sum of 1/(60+rank) over the lists a doc
+    appears in; top-10. Both candidate lists are top-K prunes
+    (TakeOrderedAndProject / WindowGroupLimit), so fusion touches at
+    most 2K rows no matter the corpus size — the corpus itself is
+    scanned once per ranker and never shuffled whole."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lex = (
+        _bm25_doc_scores(docs)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+    )
+    w_lex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lex.select(
+        "doc_id", F.row_number().over(w_lex).alias("r_lex")
+    )
+    from task_on_dataframes_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    sem = cosine_topk(emb, q0, k=50).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("r_sem")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(60) + F.col("r_sem")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("r_lex").cast("int").alias("r_lex"),
+            F.col("r_sem").cast("int").alias("r_sem"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
     )
 
 
