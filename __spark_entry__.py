@@ -152,6 +152,7 @@ from task_on_dataframes_spark.registry.relational import (
     _f_array_funcs,
     _f_date_funcs,
     _f_json_extract,
+    _f_variant_json,
     _f_posexplode,
     _f_string_funcs,
     _j6_asof_join,
@@ -666,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantics changed this round. Long-green sentinels sit in
         # the tail. Re-rotate each round as rows come back.
         # --- newest this round (no driver row yet, wave 12)
+        "f_variant_json": _f_variant_json,
         "mix_token_budget": _mix_token_budget,
         "ann_hybrid_rrf": _ann_hybrid_rrf,
         "text_chunk_overlap": _text_chunk_overlap,
@@ -2062,6 +2064,15 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         "f_json_extract": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
             "FROM events"
+        ),
+        "f_variant_json": (
+            "WITH x AS (SELECT event_type, "
+            "CAST(json_extract(props, '$.k') AS INT) AS k FROM events) "
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS sum_k, "
+            "CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_even, max(k) AS max_k, min(k) AS min_k FROM x "
+            "GROUP BY event_type"
         ),
         "ev_hourly_agg": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
