@@ -89,6 +89,9 @@ def main() -> None:
         "s18_bloom_join_prune",
         # round-4 final wave
         "dedup_incremental_lsh",
+        # round-4 wave 12
+        "mix_token_budget",
+        "ann_hybrid_rrf",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}
