@@ -54,6 +54,7 @@ from task_on_dataframes_spark.registry.core import (
 from task_on_dataframes_spark.registry.quality import (
     _a11_histogram,
     _dq_rules,
+    _quality_ks_drift,
     _quality_domain_calibrate,
     _quality_linear_probe,
     _quality_probe_apply,
@@ -141,6 +142,8 @@ from task_on_dataframes_spark.registry.relational import (
     RECURSIVE_REACH_SQL,
     _s12_sorted_stats_prune,
     _sql_recursive_reach,
+    _sql_pipe_syntax,
+    _j10_interval_overlap_join,
     _a10_pivot,
     _a3_distinct_agg,
     _a4_rollup,
@@ -667,6 +670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantics changed this round. Long-green sentinels sit in
         # the tail. Re-rotate each round as rows come back.
         # --- newest this round (no driver row yet, wave 12)
+        "j10_interval_overlap_join": _j10_interval_overlap_join,
+        "quality_ks_drift": _quality_ks_drift,
+        "sql_pipe_syntax": _sql_pipe_syntax,
         "f_variant_json": _f_variant_json,
         "mix_token_budget": _mix_token_budget,
         "ann_hybrid_rrf": _ann_hybrid_rrf,
@@ -2064,6 +2070,45 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         "f_json_extract": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
             "FROM events"
+        ),
+        "j10_interval_overlap_join": (
+            "WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS du, "
+            "min(epoch_us(ts)) AS ulo, max(epoch_us(ts)) AS uhi "
+            "FROM events GROUP BY 1, 2), "
+            "td AS (SELECT event_type, CAST(ts AS DATE) AS dt, "
+            "min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) AS thi "
+            "FROM events GROUP BY 1, 2), "
+            "p AS (SELECT DISTINCT ud.user_id, ud.du, td.event_type, td.dt "
+            "FROM ud JOIN td ON ud.ulo <= td.thi AND td.tlo <= ud.uhi) "
+            "SELECT event_type, count(*) AS n_pairs FROM p "
+            "GROUP BY event_type"
+        ),
+        "quality_ks_drift": (
+            "WITH b AS (SELECT doc_id % 2 = 0 AS is_a, "
+            "least(99, len(string_split_regex(lower(text), '\\s+'))) AS bin "
+            "FROM documents), "
+            "c AS (SELECT bin, "
+            "sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca, "
+            "sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb "
+            "FROM b GROUP BY bin), "
+            "g AS (SELECT "
+            "sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) "
+            "/ CAST(sum(ca) OVER () AS DOUBLE) - "
+            "sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) "
+            "/ CAST(sum(cb) OVER () AS DOUBLE) AS gap, "
+            "CAST(sum(ca) OVER () AS BIGINT) AS n_a, "
+            "CAST(sum(cb) OVER () AS BIGINT) AS n_b FROM c) "
+            "SELECT round(max(abs(gap)), 6) AS ks_stat, n_a, n_b "
+            "FROM g GROUP BY n_a, n_b"
+        ),
+        "sql_pipe_syntax": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) "
+            "AS DOUBLE) AS sum_qty, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) "
+            "AS DOUBLE) AS sum_price "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
         ),
         "f_variant_json": (
             "WITH x AS (SELECT event_type, "

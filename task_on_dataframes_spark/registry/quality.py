@@ -15,6 +15,42 @@ from .common import _docs, _events, _t
 __all__: list = []  # underscore names are imported explicitly by the entry file
 
 
+def _quality_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic between two
+    corpus slices (even vs odd doc_id — the stand-in for crawl
+    snapshot A vs B): max absolute CDF gap over the token-count
+    distribution, the standard "did the new crawl shift quality?"
+    gate. Token counts bin integer-exactly (capped at 99), each slice
+    collapses to <= 100 (bin, count) rows in one keyed aggregate, and
+    the CDF window runs over those 100 bins — corpus-size-independent.
+    Output: one row (ks_stat, n_a, n_b)."""
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    b = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        F.least(F.lit(99), n_tokens).alias("bin"),
+    )
+    cells = b.groupBy("bin").agg(
+        F.sum(F.col("is_a").cast("long")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = cells.select(
+        (
+            F.sum("ca").over(w).cast("double") / F.sum("ca").over(tot)
+            - F.sum("cb").over(w).cast("double") / F.sum("cb").over(tot)
+        ).alias("gap"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+    )
+    return cdf.groupBy("n_a", "n_b").agg(
+        F.round(F.max(F.abs(F.col("gap"))), 6).alias("ks_stat")
+    ).select("ks_stat", "n_a", "n_b")
+
+
 def _s13_bucketed_join(spark, sf_dir):
     """Bucketed co-located join: write orders and lineitem as tables
     bucketed by the join key (8 buckets), then join WITHOUT a shuffle —

@@ -743,6 +743,80 @@ SELECT node, min(hop) AS hops FROM reach GROUP BY node
 """
 
 
+def _j10_interval_overlap_join(spark, sf_dir):
+    """Interval x interval overlap join with BOTH sides large — the
+    shape j7's broadcast point-in-range join can't cover. Per-(user,
+    day) activity intervals overlap-join per-(event_type, day) busy
+    windows. Scale mechanism: each interval explodes into the 6-hour
+    time buckets it covers (day-bounded intervals -> at most 5), the
+    join equi-keys on bucket, the exact micros overlap predicate
+    filters inside the join, and a distinct collapses pairs that share
+    several buckets. One bucket-keyed shuffle per side replaces the
+    quadratic theta-join a naive `a.start <= b.end AND b.start <=
+    a.end` condition would plan (BroadcastNestedLoop at best)."""
+    bucket_us = 6 * 3600 * 1_000_000
+    ev = _events(spark, sf_dir)
+
+    def _intervals(df, key):
+        g = df.groupBy(key, F.to_date("ts").alias("day")).agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        )
+        return g.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    (F.col("lo") / bucket_us).cast("long"),
+                    (F.col("hi") / bucket_us).cast("long"),
+                )
+            ),
+        )
+
+    ud = _intervals(ev, "user_id").withColumnsRenamed(
+        {"day": "du", "lo": "ulo", "hi": "uhi"}
+    )
+    td = _intervals(ev, "event_type").withColumnsRenamed(
+        {"day": "dt", "lo": "tlo", "hi": "thi"}
+    )
+    pairs = (
+        ud.join(td, "bucket")
+        .filter(
+            (F.col("ulo") <= F.col("thi")) & (F.col("tlo") <= F.col("uhi"))
+        )
+        .select("user_id", "du", "event_type", "dt")
+        .distinct()
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+|> AGGREGATE
+     count(*) AS n,
+     CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+       AS sum_qty,
+     CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+       AS sum_price
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n > 0
+|> SELECT l_returnflag, l_linestatus, n, sum_qty, sum_price
+"""
+
+
+def _sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (|>, new in Spark 4): the q1-style pricing
+    aggregate written as a linear FROM -> WHERE -> AGGREGATE -> WHERE
+    -> SELECT pipeline. Compiles to the identical scan-filter-aggregate
+    plan as the classic formulation (the oracle IS that classic SQL on
+    DuckDB), so this pins the surface, not a new execution path;
+    decimal-exact sums per the repo's money discipline."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(PIPE_SQL)
+
+
 def _sql_recursive_reach(spark, sf_dir):
     """Recursive-CTE BFS reachability (WITH RECURSIVE, new in Spark 4)
     over the strong-trade nation graph: shortest hop count from nation

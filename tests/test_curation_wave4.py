@@ -135,3 +135,40 @@ def test_emb_dim_stats_shape(spark, sf_dir, queries):
     for r in rows:
         assert r.var_pop >= 0.0
         assert r.min_val <= r.mean <= r.max_val
+
+
+def test_interval_overlap_join_is_equi_bucketed(spark, sf_dir, queries):
+    df = queries["j10_interval_overlap_join"](spark, sf_dir)
+    plan = _physical(df)
+    # the bucket explode turns the theta-join into an equi-join: no
+    # nested-loop or cartesian fallback anywhere in the plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows and all(r.n_pairs > 0 for r in rows)
+
+
+def test_sql_pipe_matches_classic_formulation(spark, sf_dir, queries):
+    from pyspark.sql import functions as F
+
+    pipe = queries["sql_pipe_syntax"](spark, sf_dir)
+    classic = spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) "
+        "AS sum_qty, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) "
+        "AS DOUBLE) AS sum_price "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+    assert sorted(map(tuple, pipe.collect())) == sorted(
+        map(tuple, classic.collect())
+    )
+
+
+def test_ks_drift_stat_is_a_probability_gap(spark, sf_dir, queries):
+    row = queries["quality_ks_drift"](spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert 0.0 <= r.ks_stat <= 1.0
+    assert r.n_a > 0 and r.n_b > 0
