@@ -661,15 +661,79 @@ def _bloom_decontaminate_oracle_sql(k: int = 3, m: int = 1 << 16) -> str:
 # registry
 # ---------------------------------------------------------------------------
 
+#: Round-5 driver-window rotation: the driver correctness gate checks
+#: the FIRST 50 entries of ``queries()`` in dict order. The r1-r4
+#: windows union to 155 distinct driver-checked queries; these are the
+#: 48 that never received a driver row (computed from the four
+#: CORRECTNESS_r0*.json artifacts), plus this round's new queries, so
+#: CORRECTNESS_r05 extends driver coverage instead of re-checking
+#: long-green entries (VERDICT r4 item 5 / ADVICE-corrected counts).
+_R5_WINDOW = [
+    # new this round
+    "mm_png_decode",
+    "text_bpe_train64",
+    # never driver-checked, r1-r4
+    "sketch_hll_bound",
+    "sketch_quantile_bound",
+    "sketch_heavy_hitters",
+    "s14_compaction",
+    "f_map_funcs",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "stream_windowed_topk",
+    "s15_schema_merge",
+    "ev_session_window_builtin",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_stream_join",
+    "emb_label_centroids",
+    "emb_gram",
+    "emb_pca_top",
+    "shard_assign",
+    "s9_orc_roundtrip",
+    "s10_jsonl_roundtrip",
+    "pipeline_c4_curation",
+    "j9_full_outer",
+    "w8_first_last",
+    "profile_table",
+    "scd2_history",
+    "graph_pagerank",
+    "s11_partition_prune",
+    "sample_bottomk",
+    "dedup_daily_first",
+    "emb_pca_project",
+    "text_sentences",
+    "curriculum_quality_bins",
+    "dedup_cross_corpus",
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "mm_raw_decode",
+    "mm_raw_pipeline",
+    "text_bigram_lm",
+    "sample_negatives",
+    "s12_sorted_stats_prune",
+    "set_ops",
+    "f_posexplode",
+    "w3_ranking",
+    "w6_ntile_bins",
+    "j8_upsert",
+    "a9_quantiles",
+    "text_winnow",
+    "emb_quantize",
+    "sample_split",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _all_queries()
+    head = {k: q[k] for k in _R5_WINDOW if k in q}
+    return head | {k: v for k, v in q.items() if k not in head}
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- driver-validation window: the driver correctness gate
-        # checks the FIRST 50 entries in dict order. Round-4 rotation:
-        # the 19 waves-5-11 queries (no driver row yet) lead, then the
-        # waves-2-4 queries, then the sessionize pair whose gap
-        # semantics changed this round. Long-green sentinels sit in
-        # the tail. Re-rotate each round as rows come back.
-        # --- newest this round (no driver row yet, wave 12)
+        # --- r4 ordering below; the driver window is imposed by
+        # _R5_WINDOW in queries() ---
         "j10_interval_overlap_join": _j10_interval_overlap_join,
         "quality_ks_drift": _quality_ks_drift,
         "sql_pipe_syntax": _sql_pipe_syntax,
@@ -2145,12 +2209,13 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "SELECT node AS member, min(label) AS rep FROM walk GROUP BY node"
         ).format(pairs_sql=_simhash_oracle(bits=32, max_hamming=3)),
         "dedup_embedding_cosine": (
+            "WITH sl AS (SELECT * FROM embeddings WHERE vec_id < 2000) "
             "SELECT * FROM ("
             "SELECT a.vec_id AS a, b.vec_id AS b, "
             "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
             "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
             "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 5) AS cos "
-            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            "FROM sl a JOIN sl b ON a.vec_id < b.vec_id"
             ") WHERE cos >= 0.4"
         ),
         "dedup_embedding_lsh": (

@@ -75,9 +75,16 @@ def _dedup_components(spark, sf_dir):
     return connected_components(pairs, src="a", dst="b")
 
 def _dedup_embedding_cosine(spark, sf_dir):
+    """Exact all-pairs cosine — the O(n^2) correctness baseline for the
+    LSH variants, confined to a deterministic ``vec_id < 2000`` eval
+    slice so the quadratic cost is a CONSTANT (<= 2M pairs) at every
+    SF instead of growing with the corpus (the unguarded form timed
+    out at sf1 in the round-4 scale sweep). At sf<=0.1 the slice covers
+    the whole table, so results are unchanged; the oracle carries the
+    identical predicate. The scale path remains ``dedup_embedding_lsh``."""
     from task_on_dataframes_spark.operators.dedup import embedding_cosine_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
     return embedding_cosine_pairs(emb, threshold=0.4)
 
 def _dedup_embedding_lsh(spark, sf_dir):
