@@ -134,6 +134,7 @@ from task_on_dataframes_spark.registry.events import (
 )
 from task_on_dataframes_spark.registry.multimodal import (
     _mm_decode_meta,
+    _mm_png_decode,
     _mm_frame_sample,
     _mm_raw_decode,
     _mm_raw_pipeline,
@@ -820,6 +821,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_quality_bins": _curriculum_quality_bins,
         "dedup_cross_corpus": _dedup_cross_corpus,
         "mm_decode_meta": _mm_decode_meta,
+        "mm_png_decode": _mm_png_decode,
         "mm_frame_sample": _mm_frame_sample,
         "mm_raw_decode": _mm_raw_decode,
         "mm_raw_pipeline": _mm_raw_pipeline,
@@ -2456,6 +2458,27 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "octet_length(encode(text)) % 10 + 1 AS n_frames FROM documents) "
             "SELECT media_id, CAST(f.f AS INTEGER) AS frame_idx FROM m, "
             "LATERAL unnest(generate_series(0, n_frames - 1)) AS f(f)"
+        ),
+        # PNG synthesis is an analytic RGB gradient: pixel(y, x, c) =
+        # (doc_id + 3x + 5y + 7c) % 256 with w = 8 + doc_id % 9 and
+        # h = 6 + doc_id % 7; the Spark side sums pixels it ACTUALLY
+        # inflated + unfiltered through the pure-stdlib codec, while the
+        # oracle re-derives the same sum from the synthesis rule — any
+        # codec byte error flips the hash
+        "mm_png_decode": (
+            "WITH d AS (SELECT doc_id AS media_id, "
+            "8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents), "
+            "px AS (SELECT media_id, w, h, "
+            "sum((media_id + 3 * gx.x + 5 * gy.y + 7 * gc.c) % 256) AS s "
+            "FROM d, "
+            "LATERAL unnest(generate_series(0, w - 1)) AS gx(x), "
+            "LATERAL unnest(generate_series(0, h - 1)) AS gy(y), "
+            "LATERAL unnest(generate_series(0, 2)) AS gc(c) "
+            "GROUP BY 1, 2, 3) "
+            "SELECT media_id, CAST(w AS INTEGER) AS width, "
+            "CAST(h AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, "
+            "CAST(s AS BIGINT) AS px_sum, "
+            "round(s / (w * h * 3.0), 5) AS px_mean FROM px"
         ),
         # raw-image synthesis is analytic in doc_id (solid color, header
         # dims) — the oracle replays the formulas the pixel kernels

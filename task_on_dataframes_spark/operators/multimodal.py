@@ -12,6 +12,9 @@ codec changes zero plan shape):
   header + H*W*C row-major bytes). Decode, bilinear resize, and
   per-channel pixel histograms are REAL vectorized numpy kernels — no
   third-party codec needed, so this path is live in every container.
+- ``image/png`` — the REAL pure-stdlib compressed codec
+  (:mod:`.png`: zlib inflate + scanline unfilter, filters 0-4), live
+  in every container and routed AHEAD of PIL.
 - other ``image/*`` — the real PIL codec when importable
   (:func:`decode_image_real`); containers without codecs fall through.
 - anything else / fallthrough — the clearly-marked deterministic fake
@@ -168,6 +171,93 @@ def make_raw_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def make_png_media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic ``image/png`` media table synthesized from doc_id:
+    an RGB gradient image of width ``8 + doc_id % 9``, height
+    ``6 + doc_id % 7`` with ``pixel(y, x, c) = (doc_id + 3x + 5y + 7c)
+    % 256``, compressed through the REAL pure-stdlib PNG encoder with
+    the scanline filter cycling 0..4 per row — so decoding exercises
+    every filter reconstruction path on real deflate streams. The
+    gradient makes every decoded pixel (and any aggregate of them)
+    analytic in doc_id for an exact DuckDB oracle. Arrow-batched
+    synthesis, map-only."""
+    import numpy as np
+
+    from task_on_dataframes_spark.operators.png import encode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 8 + d % 9, 6 + d % 7
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((d + 3 * x + 5 * y + 7 * c) % 256).astype(np.uint8)
+                payloads.append(encode_png(px, row_filter=None))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "image/png",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches,
+        "media_id long, payload binary, media_type string",
+    )
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode ``image/png`` payloads through the pure-stdlib codec and
+    aggregate the ACTUAL decoded pixels in-batch: (media_id, width,
+    height, channels, px_sum, px_mean). Proof-of-decode query shape —
+    an oracle that knows the synthesis rule can replay every value, so
+    a single wrong byte anywhere in inflate/unfilter flips the hash.
+    Map-only; pixels never leave the executor."""
+    import numpy as np
+
+    from task_on_dataframes_spark.operators.png import decode_png
+
+    schema = (
+        "media_id long, width int, height int, channels int, "
+        "px_sum long, px_mean double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                a = decode_png(bytes(payload))
+                h, w, c = a.shape
+                s = int(a.astype(np.int64).sum())
+                rows.append(
+                    (
+                        int(mid),
+                        w,
+                        h,
+                        c,
+                        s,
+                        round(s / float(h * w * c), 5),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "px_sum",
+                    "px_mean",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """DETERMINISTIC FAKE decode standing in for an image codec:
     derives (width, height, n_frames) from payload length only. Replace
@@ -211,6 +301,14 @@ def decode_media_meta(
                 h, w, c = decode_raw_image(bytes(payload)).shape
                 return (w, h, 1)
             except ValueError:
+                return _fake_decode(payload)
+        if media_type == "image/png":
+            from task_on_dataframes_spark.operators.png import decode_png
+
+            try:  # REAL compressed codec — stdlib zlib, live everywhere
+                h, w, c = decode_png(bytes(payload)).shape
+                return (w, h, 1)
+            except Exception:  # corrupt stream: zlib/struct/ValueError
                 return _fake_decode(payload)
         if real and isinstance(media_type, str) and media_type.startswith(
             "image/"
@@ -271,6 +369,18 @@ def resize_media(
                     )
                 )
             except ValueError:
+                pass
+        if media_type == "image/png":
+            from task_on_dataframes_spark.operators.png import (
+                decode_png,
+                encode_png,
+            )
+
+            try:  # real compressed round-trip: inflate, resample, deflate
+                return encode_png(
+                    bilinear_resize(decode_png(bytes(payload)), width, height)
+                )
+            except Exception:
                 pass
         if HAS_PIL and isinstance(media_type, str) and media_type.startswith(
             "image/"
@@ -337,6 +447,17 @@ def extract_features(media: DataFrame, dims: int = 16) -> DataFrame:
                 ).astype("float32")
                 return (hist / (hist.sum() or 1.0)).tolist()
             except ValueError:
+                pass
+        if media_type == "image/png":
+            from task_on_dataframes_spark.operators.png import decode_png
+
+            try:
+                px = decode_png(bytes(payload)).ravel()
+                hist = np.bincount(
+                    px.astype(np.int64) * dims // 256, minlength=dims
+                ).astype("float32")
+                return (hist / (hist.sum() or 1.0)).tolist()
+            except Exception:
                 pass
         arr = np.frombuffer(bytes(payload), dtype=np.uint8)
         hist = np.bincount(arr % dims, minlength=dims).astype("float32")

@@ -55,6 +55,22 @@ def _mm_raw_decode(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return decode_media_meta(make_raw_media_table(docs))
 
+def _mm_png_decode(spark, sf_dir):
+    """REAL compressed-codec decode in any container: synthesize RGB
+    gradient PNGs from doc_id (pure-stdlib encoder, scanline filter
+    cycling 0..4 per row), then inflate + unfilter them back and
+    aggregate the ACTUAL decoded pixels. pixel(y,x,c) = (doc_id + 3x +
+    5y + 7c) % 256 makes every output analytic, so the DuckDB oracle
+    replays px_sum/px_mean exactly — one wrong byte in the codec flips
+    the hash. Map-only plan; pixels never leave the executors."""
+    from task_on_dataframes_spark.operators.multimodal import (
+        make_png_media_table,
+        png_pixel_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return png_pixel_stats(make_png_media_table(docs))
+
 def _mm_raw_pipeline(spark, sf_dir):
     """Full real-kernel media pipeline: raw images -> REAL bilinear
     resize (16x12) -> REAL pixel-histogram features (8 luminance
