@@ -32,9 +32,14 @@ def test_decoder_rejects_garbage_and_truncation():
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
     good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
-    # cut past IEND (12 bytes) into the IDAT payload itself
+    # drop everything past IHDR: no IDAT ever arrives
     with pytest.raises(Exception):
-        decode_png(good[:-14])
+        decode_png(good[: len(good) // 2])
+    # corrupt the deflate stream inside IDAT: zlib must object
+    broken = bytearray(good)
+    broken[44] ^= 0xFF
+    with pytest.raises(Exception):
+        decode_png(bytes(broken))
 
 
 def test_ancillary_chunks_are_skipped():
