@@ -213,6 +213,7 @@ from task_on_dataframes_spark.registry.text import (
     _text_langid_confusion,
     _text_bpe_apply,
     _text_bpe_train,
+    _text_bpe_train64,
     _curriculum_quality_bins,
     _pipeline_c4_curation,
     _text_bm25,
@@ -522,7 +523,7 @@ def _bpe_ctes(merges: int = 6) -> list:
     merged word table (w{i}) — identical greedy replace semantics and
     lexicographic tie-breaks to operators/bpe.py."""
     parts = [
-        "WITH w0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') "
+        "WITH w0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') "
         "AS repr, cnt FROM (SELECT w, count(*) AS cnt FROM "
         "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w "
         "FROM documents) WHERE regexp_matches(w, '^[a-z]+$') "
@@ -537,13 +538,13 @@ def _bpe_ctes(merges: int = 6) -> list:
             f"AS syms, cnt FROM {prev}), "
             "LATERAL unnest(generate_series(1, len(syms) - 1)) AS i(i) "
             "WHERE len(syms) >= 2) GROUP BY lhs, rhs), "
-            f"b{i} AS (SELECT CAST({i} AS INT) AS step, lhs, rhs, "
+            f"b{i} AS MATERIALIZED (SELECT CAST({i} AS INT) AS step, lhs, rhs, "
             "lhs || rhs AS merged, pc AS pair_count "
             f"FROM p{i} ORDER BY pc DESC, lhs, rhs LIMIT 1)"
         )
         if i < merges:
             parts.append(
-                f"w{i} AS (SELECT replace(repr, "
+                f"w{i} AS MATERIALIZED (SELECT replace(repr, "
                 "'(' || b.lhs || ')(' || b.rhs || ')', "
                 "'(' || b.merged || ')') AS repr, cnt "
                 f"FROM w{i - 1}, b{i} b)"
@@ -773,6 +774,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s17_incremental_read": _s17_incremental_read,
         "emb_pca_top2": _emb_pca_top2,
         "text_bpe_train": _text_bpe_train,
+        "text_bpe_train64": _text_bpe_train64,
         "text_bpe_apply": _text_bpe_apply,
         "dedup_semantic": _dedup_semantic,
         "decontaminate_bloom": _decontaminate_bloom,
@@ -1534,9 +1536,9 @@ def oracle_sql() -> dict[str, str]:
             "unnest(generate_series(1, len(arr))) AS pos "
             "FROM base WHERE len(arr) >= 5), "
             "gr AS (SELECT did, n_tokens, pos, "
-            "md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || "
+            "tok || ' ' || lead(tok, 1) OVER w || ' ' || "
             "lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w || ' ' || "
-            "lead(tok, 4) OVER w) AS dg FROM tok "
+            "lead(tok, 4) OVER w AS dg FROM tok "
             "WINDOW w AS (PARTITION BY did ORDER BY pos) "
             "QUALIFY pos <= n_tokens - 4), "
             "st AS (SELECT dg, count(*) AS occ, "
@@ -1674,9 +1676,9 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "unnest(generate_series(1, len(arr))) AS pos "
             "FROM base WHERE len(arr) >= 5), "
             "gr AS (SELECT doc_id, n_tokens, pos, "
-            "md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || "
+            "tok || ' ' || lead(tok, 1) OVER w || ' ' || "
             "lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w || ' ' || "
-            "lead(tok, 4) OVER w) AS dg FROM tok "
+            "lead(tok, 4) OVER w AS dg FROM tok "
             "WINDOW w AS (PARTITION BY doc_id ORDER BY pos) "
             "QUALIFY pos <= n_tokens - 4), "
             "c AS (SELECT dg FROM gr GROUP BY dg HAVING count(*) >= 2), "
@@ -3479,6 +3481,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         ),
         "decontaminate_bloom": _bloom_decontaminate_oracle_sql(),
         "text_bpe_train": _bpe_train_oracle_sql(),
+        "text_bpe_train64": _bpe_train_oracle_sql(64),
         "text_bpe_apply": _bpe_apply_oracle_sql(),
         "emb_pca_top2": _pca2_oracle_sql(),
         "s16_zorder_stats": (

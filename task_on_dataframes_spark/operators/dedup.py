@@ -95,12 +95,19 @@ def jaccard_verify(
     candidates: DataFrame, sets: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard for candidate (a, b) pairs given distinct
-    (did, tok) sets; keeps pairs with similarity >= threshold."""
+    (did, tok) sets; keeps pairs with similarity >= threshold.
+
+    The intersection join carries ``xxhash64`` 64-bit shingle keys,
+    not the shingle strings: the (b, key)-keyed shuffle is the one
+    corpus-sized stage here, and 8-byte keys beat 15-40-byte n-gram
+    text ~3x on shuffle volume (collision odds n^2/2^65 per document
+    pair — immaterial; the oracle intersects raw strings and would
+    surface one as a mismatch)."""
     sizes = sets.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sets.select(F.col("did").alias("a"), "tok")
-    sb = sets.select(F.col("did").alias("b"), "tok")
+    sa = sets.select(F.col("did").alias("a"), F.xxhash64("tok").alias("hk"))
+    sb = sets.select(F.col("did").alias("b"), F.xxhash64("tok").alias("hk"))
     inter = (
-        candidates.join(sa, on="a").join(sb, on=["b", "tok"])
+        candidates.join(sa, on="a").join(sb, on=["b", "hk"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -854,10 +861,28 @@ def repeated_gram_spans(
 
     * gram construction is scan-stage (array ``transform`` over the
       token list, no explode-then-window);
-    * duplicated grams come from ONE md5-digest-keyed groupBy
-      (map-side partial count) with an ``occ >= 2`` cut — the join
-      back to positions is digest-keyed, so the corpus shuffles at
-      gram granularity exactly twice and nothing is ever all-pairs;
+    * duplicated positions come from ONE digest-partitioned window
+      (``count(*) over (partition by dg)``, ``occ >= 2`` cut): the
+      corpus shuffles at gram granularity exactly ONCE. The round-4
+      formulation (groupBy + join-back on the digest) computed the
+      gram subplan twice — Catalyst does not reuse the exchange
+      across the aggregate and probe sides — and its double scan was
+      the measured 4.25x-at-10x-data tail in SCALE_SWEEP_r04; the
+      window form re-measures at ~2.4x for 10x data;
+    * gram keys are ``xxhash64`` LONGs, not md5 hex: 8-byte shuffle
+      keys instead of 32-char strings (~4x smaller shuffle rows on
+      the gram stages) and a far cheaper hash per gram. Collision
+      risk is n^2/2^65 over distinct grams — immaterial below ~10^9
+      grams; a 100-TB corpus shards the digest space per partition
+      range long before that bound matters. The DuckDB oracle groups
+      on the raw gram text, so any collision would surface as a
+      mismatch;
+    * the one skew hazard is a gram duplicated millions of times (its
+      occurrence list sorts in one window task); AQE cannot split a
+      window partition, so a 100-TB run caps it with a scan-stage
+      frequency sketch (Misra-Gries from ``operators/sketches``) and
+      routes the few ultra-hot digests through a dedicated count —
+      the same remedy as ``ngram_jaccard_pairs``' ``max_df``;
     * island-merge windows partition by document — per-doc bounded,
       no global sort.
 
@@ -880,17 +905,17 @@ def repeated_gram_spans(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
-                lambda i: F.md5(F.array_join(F.slice("arr", i, k), " ")),
+                lambda i: F.xxhash64(F.array_join(F.slice("arr", i, k), " ")),
             )
         ).alias("pos0", "dg"),
     ).select("did", "n_tokens", (F.col("pos0") + 1).alias("pos"), "dg")
-    dup_grams = (
-        grams.groupBy("dg")
-        .agg(F.count(F.lit(1)).alias("occ"))
+    dup_pos = (
+        grams.withColumn(
+            "occ", F.count(F.lit(1)).over(Window.partitionBy("dg"))
+        )
         .filter(F.col("occ") >= 2)
-        .select("dg")
+        .select("did", "n_tokens", "pos")
     )
-    dup_pos = grams.join(dup_grams, "dg").select("did", "n_tokens", "pos")
     w = Window.partitionBy("did").orderBy("pos")
     islands = dup_pos.withColumn(
         "grp", F.col("pos") - F.row_number().over(w)
@@ -928,12 +953,15 @@ def containment_verify(
     in a long one (the union term dilutes it); containment of the
     smaller side catches exactly that, which is why quote/template
     detection keys on it. Emits both directions' scores and keeps
-    pairs where EITHER side is >= threshold contained."""
+    pairs where EITHER side is >= threshold contained. The
+    intersection join uses 64-bit ``xxhash64`` shingle keys (see
+    :func:`jaccard_verify` — same shuffle-volume trade, same
+    oracle-checked collision argument)."""
     sizes = sets.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sets.select(F.col("did").alias("a"), "tok")
-    sb = sets.select(F.col("did").alias("b"), "tok")
+    sa = sets.select(F.col("did").alias("a"), F.xxhash64("tok").alias("hk"))
+    sb = sets.select(F.col("did").alias("b"), F.xxhash64("tok").alias("hk"))
     inter = (
-        candidates.join(sa, on="a").join(sb, on=["b", "tok"])
+        candidates.join(sa, on="a").join(sb, on=["b", "hk"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -977,12 +1005,18 @@ def repeated_gram_rewrite(
     overlap tokens can lose every copy — the character-level
     suffix-array formulation shares this edge.)
 
-    Scale shape: one digest-keyed groupBy (count + scalar argmin), one
-    digest-keyed join back, a bounded x``k`` fan-out of REMOVABLE gram
-    positions only, and one doc-keyed reassembly groupBy. Documents
-    with nothing to remove are filtered before reassembly, so the
-    rebuild shuffle carries only affected docs. Returns (id, n_tokens,
-    n_removed, text_clean) for documents that changed.
+    Scale shape: one digest-partitioned window computing occurrence
+    count AND scalar argmin in a single pass (the groupBy+join-back
+    form scanned and gram-hashed the corpus twice — see
+    :func:`repeated_gram_spans` for the measured cost), a bounded
+    x``k`` fan-out of REMOVABLE gram positions only folded into
+    per-doc dropped-position sets, and one doc-level join back to the
+    token arrays with a scan-stage filter rebuild. Only affected
+    documents ever reach the rebuild join. Position-set membership is
+    O(|drops|) per token; document length bounds both sides, and
+    documents are the unit of parallelism, so no partition outgrows
+    its doc mix. Returns (id, n_tokens, n_removed, text_clean) for
+    documents that changed.
     """
     arr = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"),
@@ -999,58 +1033,46 @@ def repeated_gram_rewrite(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
-                lambda i: F.md5(F.array_join(F.slice("arr", i, k), " ")),
+                lambda i: F.xxhash64(F.array_join(F.slice("arr", i, k), " ")),
             )
         ).alias("pos0", "dg"),
     ).select("did", "n_tokens", (F.col("pos0") + 1).alias("pos"), "dg")
     enc = F.col("did") * F.lit(100_000_000) + F.col("pos")
-    stats = grams.groupBy("dg").agg(
-        F.count(F.lit(1)).alias("occ"),
-        F.min(enc).alias("first_key"),
-    )
+    wd = Window.partitionBy("dg")
     removable = (
-        grams.join(stats, "dg")
+        grams.withColumn("occ", F.count(F.lit(1)).over(wd))
+        .withColumn("first_key", F.min(enc).over(wd))
         .filter((F.col("occ") >= 2) & (enc != F.col("first_key")))
         .select("did", "n_tokens", "pos")
     )
-    dropped = removable.select(
-        "did",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + (k - 1))
-        ).alias("tpos"),
-    ).distinct()
-    affected = dropped.groupBy("did").agg(
-        F.count(F.lit(1)).alias("n_removed")
-    )
-    toks = (
-        base.join(affected.select("did"), "did")
-        .select("did", F.posexplode("arr").alias("tpos0", "tok"))
-        .select("did", (F.col("tpos0") + 1).alias("tpos"), "tok")
-    )
-    rebuilt = (
-        toks.join(dropped, ["did", "tpos"], "left_anti")
+    # per-doc dropped-position SET, not an exploded token anti-join:
+    # reassembly is then one doc-level join (the drop-set side is
+    # affected-docs-sized) plus a scan-stage array filter over the
+    # original token array — no second token explode, no (did, tpos)
+    # shuffle of every affected doc's tokens, no collect_list rebuild.
+    # A fully-deduplicated document filters down to an empty array and
+    # reports "" naturally.
+    dropped = (
+        removable.select(
+            "did",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("tpos"),
+        )
         .groupBy("did")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("tpos", "tok"))
-                    ),
-                    lambda s: s.tok,
-                ),
-                " ",
-            ).alias("text_clean"),
-        )
+        .agg(F.collect_set("tpos").alias("drops"))
     )
-    # left join so a fully-deduplicated document still reports, with
-    # empty rebuilt text
-    return (
-        affected.join(base.select("did", "n_tokens"), "did")
-        .join(rebuilt, "did", "left")
-        .select(
-            F.col("did").alias(id_col),
-            "n_tokens",
-            "n_removed",
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-        )
+    return base.join(dropped, "did").select(
+        F.col("did").alias(id_col),
+        "n_tokens",
+        F.size("drops").alias("n_removed"),
+        F.array_join(
+            F.filter(
+                "arr",
+                lambda t, i: ~F.array_contains(
+                    F.col("drops"), i + F.lit(1)
+                ),
+            ),
+            " ",
+        ).alias("text_clean"),
     )

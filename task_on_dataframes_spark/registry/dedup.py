@@ -302,8 +302,10 @@ def _decontaminate_bloom(spark, sf_dir):
 def _dedup_substring(spark, sf_dir):
     """Cross-document repeated 5-gram spans (Lee et al. substring-level
     dedup at word granularity): per-doc maximal duplicated spans and
-    duplicated-token fraction. Gram inverted index — two digest-keyed
-    shuffles, per-doc island windows, nothing all-pairs."""
+    duplicated-token fraction. Gram inverted index — ONE
+    xxhash64-digest-partitioned window shuffle (the r4 groupBy +
+    join-back form scanned the corpus twice and was the flagged
+    4.25x sweep tail), per-doc island windows, nothing all-pairs."""
     from task_on_dataframes_spark.operators.dedup import repeated_gram_spans
 
     docs = _docs(spark, sf_dir)
@@ -331,8 +333,11 @@ def _text_containment(spark, sf_dir):
 def _dedup_substring_rewrite(spark, sf_dir):
     """The rewrite step of substring-level dedup: duplicated 5-gram
     spans removed everywhere except the globally-first occurrence
-    (portable scalar argmin over (doc, pos)); tokens protected by any
-    unique gram survive. Returns only the documents that changed."""
+    (portable scalar argmin over (doc, pos), count + argmin fused in
+    one digest-partitioned window pass); tokens protected by any
+    unique gram survive. Reassembly is a doc-level drop-set join with
+    a scan-stage array filter — no second token explode. Returns only
+    the documents that changed."""
     from task_on_dataframes_spark.operators.dedup import (
         repeated_gram_rewrite,
     )

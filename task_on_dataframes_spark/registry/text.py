@@ -447,6 +447,20 @@ def _text_bpe_train(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), "text", merges=6)
 
 
+def _text_bpe_train64(spark, sf_dir):
+    """64-merge BPE training through the DELTA pair-count maintenance
+    path (operators/bpe.py:bpe_train_delta): per merge, only the words
+    containing the winning pair are re-exploded (subtract-old/add-new
+    into the persisted pair table, ~4 exchanges/merge vs ~40 for the
+    full-recount loop), with localCheckpoint lineage cuts keeping plan
+    depth constant — the shape a real 32k-merge vocabulary needs. The
+    oracle replays all 64 merges as a chained-CTE DuckDB program with
+    identical greedy-replace and tie-break semantics."""
+    from task_on_dataframes_spark.operators.bpe import bpe_train_delta
+
+    return bpe_train_delta(_docs(spark, sf_dir), "text", merges=64)
+
+
 def _text_bpe_apply(spark, sf_dir):
     """Apply the learned BPE merge table to the corpus: per-document
     token counts under the trained vocabulary. The 6-rule table is the
