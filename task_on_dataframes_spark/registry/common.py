@@ -68,6 +68,26 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings scan with the same parallelism floor as :func:`_docs`.
+
+    Every embedding pipeline does per-row array math (quantization,
+    PQ encoding, centroid distances, plane projections) right above
+    the scan; with the testdata's single-row-group parquet that work
+    serializes onto one or two tasks — emb_quantize measured 8.27x at
+    10x data in SCALE_SWEEP_r04 purely from the 2-task scan, the worst
+    completed ratio in the sweep. Same contract as ``_docs``: when the
+    footer shows fewer row groups than half the cores, one cheap
+    round-robin shuffle spreads the vectors; at real scale (thousands
+    of row groups) this is a no-op with no repartition in the plan."""
+    df = _t(spark, sf_dir, "embeddings")
+    target = spark.sparkContext.defaultParallelism
+    n = _scan_parts(f"{sf_dir}/embeddings.parquet")
+    if n is not None and n < max(2, target // 2):
+        df = df.repartition(target)
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet's ``ts`` physical type has changed across testdata
     generations (TIMESTAMP(NANOS)-as-long, now TIMESTAMP_MICROS/NTZ);

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import (
+    _embs,
     _docs,
     _BM25_TERMS,
     _CLS_WEIGHTS_FP,
@@ -94,7 +95,7 @@ def _dedup_embedding_lsh(spark, sf_dir):
     ``embedding_lsh_pairs``)."""
     from task_on_dataframes_spark.operators.dedup import embedding_lsh_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     return embedding_lsh_pairs(emb, threshold=0.4, dims=64, planes=6)
 
 def _decontaminate(spark, sf_dir):
@@ -253,7 +254,7 @@ def _dedup_semantic(spark, sf_dir):
     from task_on_dataframes_spark.operators.clustering import semantic_dedup
 
     return semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), k=32, iters=3, threshold=0.4
+        _embs(spark, sf_dir), k=32, iters=3, threshold=0.4
     )
 
 

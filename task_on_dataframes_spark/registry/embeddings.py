@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import (
+    _embs,
     _BM25_TERMS,
     _CLS_WEIGHTS_FP,
     _dec_disc,
@@ -25,7 +26,7 @@ __all__: list = []  # underscore names are imported explicitly by the entry file
 def _ann_cosine_topk(spark, sf_dir):
     from task_on_dataframes_spark.operators.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -34,7 +35,7 @@ def _ann_cosine_topk(spark, sf_dir):
 def _ann_lsh_topk(spark, sf_dir):
     from task_on_dataframes_spark.operators.similarity import lsh_ann_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -43,7 +44,7 @@ def _ann_lsh_topk(spark, sf_dir):
 def _ann_ivf_topk(spark, sf_dir):
     from task_on_dataframes_spark.operators.similarity import ivf_ann_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -57,19 +58,19 @@ def _emb_kmeans(spark, sf_dir):
         kmeans_assignments,
     )
 
-    return kmeans_assignments(_t(spark, sf_dir, "embeddings"), k=8, iters=3)
+    return kmeans_assignments(_embs(spark, sf_dir), k=8, iters=3)
 
 def _emb_quantize(spark, sf_dir):
     from task_on_dataframes_spark.operators.similarity import quantize_int8
 
-    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return quantize_int8(_embs(spark, sf_dir))
 
 def _ann_lsh_multi_topk(spark, sf_dir):
     """Multi-table LSH ANN (2 tables x 4 planes): candidate union
     across independent plane sets — the recall lever of LSH search."""
     from task_on_dataframes_spark.operators.similarity import lsh_ann_topk_multi
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -86,7 +87,7 @@ def _emb_dim_stats(spark, sf_dir):
     d rows before the single d-key shuffle. Variance is computed as
     E[x^2] - E[x]^2 in BOTH engines (no var_samp definitional drift);
     floats are widened to double before any arithmetic."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     v = F.col("val").cast("double")
     return (
         emb.select(F.posexplode("embedding").alias("dim", "val"))
@@ -106,7 +107,7 @@ def _emb_label_centroids(spark, sf_dir):
     exact oracle)."""
     from task_on_dataframes_spark.operators.linalg import label_centroids
 
-    return label_centroids(_t(spark, sf_dir, "embeddings"))
+    return label_centroids(_embs(spark, sf_dir))
 
 def _emb_gram(spark, sf_dir):
     """Distributed Gram matrix: per-partition NumPy X^T X partials via
@@ -114,7 +115,7 @@ def _emb_gram(spark, sf_dir):
     never shuffled (the covariance/PCA front end at 100 TB)."""
     from task_on_dataframes_spark.operators.linalg import gram_matrix
 
-    return gram_matrix(_t(spark, sf_dir, "embeddings"))
+    return gram_matrix(_embs(spark, sf_dir))
 
 def _emb_pca_top(spark, sf_dir):
     """Top principal direction: distributed Gram reduction, then a
@@ -127,7 +128,7 @@ def _emb_pca_top(spark, sf_dir):
         pca_power_top,
     )
 
-    gram = gram_matrix(_t(spark, sf_dir, "embeddings"))
+    gram = gram_matrix(_embs(spark, sf_dir))
     return pca_power_top(spark, gram)
 
 def _emb_pca_project(spark, sf_dir):
@@ -141,7 +142,7 @@ def _emb_pca_project(spark, sf_dir):
         pca_power_top,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     v = {
         r["pos"]: r["loading"]
         for r in pca_power_top(spark, gram_matrix(emb)).collect()
@@ -205,7 +206,7 @@ def _ann_pq_topk(spark, sf_dir):
     DuckDB oracle replays training, encoding, and ADC exactly."""
     from task_on_dataframes_spark.operators.pq import pq_ann_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -220,7 +221,7 @@ def _ann_ivfpq_topk(spark, sf_dir):
     production shape, exactly replayed by the DuckDB oracle."""
     from task_on_dataframes_spark.operators.pq import ivfpq_ann_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -241,7 +242,7 @@ def _ann_recall_eval(spark, sf_dir):
         lsh_ann_topk_multi,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -278,7 +279,7 @@ def _emb_pca_top2(spark, sf_dir):
         pca_power_top2,
     )
 
-    gram = gram_matrix(_t(spark, sf_dir, "embeddings"))
+    gram = gram_matrix(_embs(spark, sf_dir))
     return pca_power_top2(spark, gram)
 
 
@@ -314,7 +315,7 @@ def _emb_matryoshka_eval(spark, sf_dir):
     recall10 = |top10(prefix16) ∩ top10(full)| / 10."""
     from task_on_dataframes_spark.operators.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import (
+    _embs,
     _BM25_TERMS,
     _CLS_WEIGHTS_FP,
     _dec_disc,
@@ -90,7 +91,7 @@ def _f_date_funcs(spark, sf_dir):
 def _f_array_funcs(spark, sf_dir):
     """Array functions over array<float> (absent in the reference ⊕):
     size, element access, slicing aggregates, higher-order transform."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
     return emb.select(
         "vec_id",

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import (
+    _embs,
     _BM25_TERMS,
     _CLS_WEIGHTS_FP,
     _dec_disc,
@@ -285,7 +286,7 @@ def _sample_kcenter(spark, sf_dir):
     ties)."""
     from task_on_dataframes_spark.operators.sampling import kcenter_select
 
-    return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
+    return kcenter_select(_embs(spark, sf_dir), k=8)
 
 
 def _export_training_shards(spark, sf_dir):

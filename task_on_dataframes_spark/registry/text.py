@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import (
+    _embs,
     _docs,
     _BM25_TERMS,
     _CLS_WEIGHTS_FP,
@@ -371,7 +372,7 @@ def _ann_hybrid_rrf(spark, sf_dir):
     )
     from task_on_dataframes_spark.operators.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     q0 = emb.filter(F.col("vec_id") == 0).select(
         F.lit(0).alias("query_id"), "embedding"
     )
