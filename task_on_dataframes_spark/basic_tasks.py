@@ -59,7 +59,14 @@ def register_document_tasks(
     @makes(["docs.id", "docs.text"], appends=False)
     @close_task()
     def get_docs(expects):
-        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # same scan-parallelism floor as every registry documents
+        # pipeline: planner-composed pipelines do the identical
+        # CPU-heavy text work above this source task and measured
+        # 2.6-4x at 10x data on the raw 2-row-group scan while the
+        # floored registry twins ran ~1.3x (round-5 sweep)
+        from task_on_dataframes_spark.registry.common import _docs
+
+        df = _docs(spark, sf_dir)
         return df.select(
             F.col("doc_id").alias(expects[0][1]),
             F.col("text").alias(expects[1][1]),
