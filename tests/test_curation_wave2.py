@@ -237,3 +237,44 @@ def test_bpe_apply_bounds(spark, sf_dir):
     assert joined
     for r in joined:
         assert r["bpe_tokens"] >= r["n_words"]
+
+
+def test_bpe_train_delta_matches_recount(spark):
+    from task_on_dataframes_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_delta,
+    )
+
+    # mixed corpus with repeats so several merge steps have real
+    # deltas (words containing the winning pair) AND untouched words
+    docs = spark.createDataFrame(
+        [
+            (1, "banana bandana banana"),
+            (2, "cabana banana band"),
+            (3, "an ban nab banana"),
+        ],
+        ["doc_id", "text"],
+    )
+    ref = [tuple(r) for r in bpe_train(docs, "text", merges=6).collect()]
+    delta = [
+        tuple(r) for r in bpe_train_delta(docs, "text", merges=6).collect()
+    ]
+    # subtract-old/add-new over exactly the affected words is an exact
+    # maintenance of the full recount: tables must be identical,
+    # including tie-breaks and counts
+    assert delta == ref
+
+
+def test_bpe_train_delta_exhausts_pairs(spark):
+    from task_on_dataframes_spark.operators.bpe import bpe_train_delta
+
+    # 'ab' has exactly one mergeable pair; asking for more merges than
+    # exist must stop early, not loop or error
+    docs = spark.createDataFrame([(1, "ab ab")], ["doc_id", "text"])
+    rows = bpe_train_delta(docs, "text", merges=5).collect()
+    assert len(rows) == 1
+    assert (rows[0]["lhs"], rows[0]["rhs"], rows[0]["merged"]) == (
+        "a",
+        "b",
+        "ab",
+    )

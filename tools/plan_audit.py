@@ -59,6 +59,18 @@ def main() -> int:
             notes.append("arrow-python")
         if "StreamingRelation" in plan or name.startswith("stream_"):
             notes.append("drained stream")
+        if (
+            "LocalTableScan" in plan
+            and "FileScan" not in plan
+            and "Exchange" not in plan
+        ):
+            # the returned frame is driver-collected state: the query
+            # executed EAGERLY while building (iterative driver loop
+            # with localCheckpoint lineage cuts), so the static plan
+            # under-reports its work. The shuffle budget is documented
+            # and tested at the operator (e.g. bpe_train_delta: ~3
+            # shuffles/merge, one job/merge).
+            notes.append("eager driver-loop; plan post-lineage-cut")
         if bad:
             violations.append(name)
             notes.append("VIOLATION: " + ",".join(bad))
