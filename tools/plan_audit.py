@@ -60,7 +60,7 @@ def main() -> int:
         if "StreamingRelation" in plan or name.startswith("stream_"):
             notes.append("drained stream")
         if (
-            "LocalTableScan" in plan
+            ("LocalTableScan" in plan or "Scan ExistingRDD" in plan)
             and "FileScan" not in plan
             and "Exchange" not in plan
         ):
