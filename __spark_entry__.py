@@ -133,11 +133,13 @@ from task_on_dataframes_spark.registry.events import (
     _ev_zscore_anomalies,
 )
 from task_on_dataframes_spark.registry.multimodal import (
+    _mm_audio_features,
     _mm_decode_meta,
     _mm_png_decode,
     _mm_frame_sample,
     _mm_raw_decode,
     _mm_raw_pipeline,
+    _mm_wav_decode,
 )
 from task_on_dataframes_spark.registry.relational import (
     RECURSIVE_REACH_SQL,
@@ -674,6 +676,8 @@ _R5_WINDOW = [
     # new this round
     "mm_png_decode",
     "text_bpe_train64",
+    "mm_wav_decode",
+    "mm_audio_features",
     # never driver-checked, r1-r4
     "sketch_hll_bound",
     "sketch_quantile_bound",
@@ -827,6 +831,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _mm_frame_sample,
         "mm_raw_decode": _mm_raw_decode,
         "mm_raw_pipeline": _mm_raw_pipeline,
+        "mm_wav_decode": _mm_wav_decode,
+        "mm_audio_features": _mm_audio_features,
         "text_bigram_lm": _text_bigram_lm,
         "sample_negatives": _sample_negatives,
         "s12_sorted_stats_prune": _s12_sorted_stats_prune,
@@ -2481,6 +2487,54 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "CAST(h AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, "
             "CAST(s AS BIGINT) AS px_sum, "
             "round(s / (w * h * 3.0), 5) AS px_mean FROM px"
+        ),
+        # WAV synthesis is an analytic interleaved PCM signal:
+        # sample(i, c) = ((doc_id + 7i + 997c) % 4096) - 2048 with
+        # n = 64 + doc_id % 65 frames and ch = 1 + doc_id % 2 channels;
+        # the Spark side aggregates amplitudes it ACTUALLY parsed out of
+        # the RIFF container, while the oracle re-derives the same sums
+        # from the synthesis rule — any chunk-walker byte error flips
+        # the hash
+        "mm_wav_decode": (
+            "WITH d AS (SELECT doc_id AS media_id, "
+            "64 + doc_id % 65 AS n, 1 + doc_id % 2 AS ch, "
+            "8000 + 1000 * (doc_id % 5) AS rate FROM documents), "
+            "amp AS (SELECT media_id, n, ch, rate, "
+            "sum(abs((media_id + 7 * gi.i + 997 * gc.c) % 4096 - 2048)) "
+            "AS s, "
+            "max(abs((media_id + 7 * gi.i + 997 * gc.c) % 4096 - 2048)) "
+            "AS m "
+            "FROM d, "
+            "LATERAL unnest(generate_series(0, n - 1)) AS gi(i), "
+            "LATERAL unnest(generate_series(0, ch - 1)) AS gc(c) "
+            "GROUP BY 1, 2, 3, 4) "
+            "SELECT media_id, CAST(rate AS INTEGER) AS sample_rate, "
+            "CAST(ch AS INTEGER) AS channels, "
+            "CAST(n AS INTEGER) AS n_samples, "
+            "CAST(s AS BIGINT) AS amp_sum, CAST(m AS INTEGER) AS amp_max, "
+            "round(s / (n * ch * 1.0), 5) AS amp_mean FROM amp"
+        ),
+        # channel-0 frame features are integer-exact: v(k) at sample
+        # index i = frame*16 + k is ((media_id + 7i) % 4096) - 2048 and
+        # the in-frame predecessor is the same formula at i-1 (the k=0
+        # row is excluded from the crossing count, matching the
+        # within-frame strict sign-change definition on the Spark side)
+        "mm_audio_features": (
+            "WITH d AS (SELECT doc_id AS media_id, "
+            "(64 + doc_id % 65) // 16 AS nf FROM documents), "
+            "fr AS (SELECT media_id, gf.f AS frame_idx FROM d, "
+            "LATERAL unnest(generate_series(0, nf - 1)) AS gf(f) "
+            "WHERE nf > 0), "
+            "s AS (SELECT media_id, frame_idx, gk.k AS k, "
+            "(media_id + 7 * (frame_idx * 16 + gk.k)) % 4096 - 2048 AS v, "
+            "(media_id + 7 * (frame_idx * 16 + gk.k) - 7) % 4096 - 2048 "
+            "AS vp "
+            "FROM fr, LATERAL unnest(generate_series(0, 15)) AS gk(k)) "
+            "SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx, "
+            "CAST(sum(v * v) AS BIGINT) AS energy, "
+            "CAST(count(*) FILTER (WHERE k > 0 AND v * vp < 0) "
+            "AS INTEGER) AS zero_crossings "
+            "FROM s GROUP BY media_id, frame_idx"
         ),
         # raw-image synthesis is analytic in doc_id (solid color, header
         # dims) — the oracle replays the formulas the pixel kernels

@@ -482,6 +482,139 @@ def extract_features(media: DataFrame, dims: int = 16) -> DataFrame:
     return media.mapInPandas(batches, FEATURES_SCHEMA)
 
 
+def make_wav_media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic ``audio/wav`` media table synthesized from doc_id:
+    a 16-bit PCM clip of ``64 + doc_id % 65`` frames, ``1 + doc_id % 2``
+    channels, sample rate ``8000 + 1000 * (doc_id % 5)``, with
+    ``sample(i, c) = ((doc_id + 7i + 997c) % 4096) - 2048`` — analytic
+    in doc_id so every decoded amplitude (and any aggregate) is exactly
+    replayable by the DuckDB oracle. Encoded through the REAL
+    pure-stdlib RIFF writer (:mod:`.wav`); Arrow-batched, map-only."""
+    import numpy as np
+
+    from task_on_dataframes_spark.operators.wav import encode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n, ch = 64 + d % 65, 1 + d % 2
+                rate = 8000 + 1000 * (d % 5)
+                i, c = np.meshgrid(
+                    np.arange(n), np.arange(ch), indexing="ij"
+                )
+                s = ((d + 7 * i + 997 * c) % 4096 - 2048).astype("<i2")
+                payloads.append(encode_wav(s, rate))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches,
+        "media_id long, payload binary, media_type string",
+    )
+
+
+def wav_amplitude_stats(media: DataFrame) -> DataFrame:
+    """Decode ``audio/wav`` payloads through the pure-stdlib RIFF
+    parser and aggregate the ACTUAL decoded int16 amplitudes in-batch:
+    (media_id, sample_rate, channels, n_samples, amp_sum, amp_max,
+    amp_mean). Proof-of-decode shape: the oracle re-derives every value
+    from the synthesis rule, so one wrong byte in the chunk walker or
+    the frame deinterleave flips the hash. Map-only; samples never
+    leave the executor."""
+    import numpy as np
+
+    from task_on_dataframes_spark.operators.wav import decode_wav
+
+    schema = (
+        "media_id long, sample_rate int, channels int, n_samples int, "
+        "amp_sum long, amp_max int, amp_mean double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(payload))
+                n, ch = samples.shape
+                a = np.abs(samples.astype(np.int64))
+                s = int(a.sum())
+                rows.append(
+                    (
+                        int(mid),
+                        int(rate),
+                        ch,
+                        n,
+                        s,
+                        int(a.max()),
+                        round(s / float(n * ch), 5),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "channels",
+                    "n_samples",
+                    "amp_sum",
+                    "amp_max",
+                    "amp_mean",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema)
+
+
+def wav_frame_features(media: DataFrame, frame_len: int = 16) -> DataFrame:
+    """Frame-level audio features over the decoded channel-0 signal:
+    non-overlapping ``frame_len``-sample frames (tail remainder
+    dropped), per frame the REAL integer energy ``sum(s^2)`` and the
+    zero-crossing count (strict sign change: ``s[k-1] * s[k] < 0``
+    within the frame). One output row per (media_id, frame_idx) — the
+    canonical featurization shape for downstream audio filtering.
+    Integer-exact, so the oracle replays every frame. Map-only
+    explode-in-batch; no shuffle."""
+    import numpy as np
+
+    from task_on_dataframes_spark.operators.wav import decode_wav
+
+    schema = "media_id long, frame_idx int, energy long, zero_crossings int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, fidx, energy, zc = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, _ = decode_wav(bytes(payload))
+                ch0 = samples[:, 0].astype(np.int64)
+                nf = len(ch0) // frame_len
+                if nf == 0:
+                    continue
+                fr = ch0[: nf * frame_len].reshape(nf, frame_len)
+                mids.extend([int(mid)] * nf)
+                fidx.extend(range(nf))
+                energy.extend((fr * fr).sum(axis=1).tolist())
+                zc.extend(
+                    ((fr[:, :-1] * fr[:, 1:]) < 0).sum(axis=1).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_idx": fidx,
+                    "energy": energy,
+                    "zero_crossings": zc,
+                }
+            )
+
+    return media.mapInPandas(batches, schema)
+
+
 def sample_frames(decoded: DataFrame, every: int = 1) -> DataFrame:
     """Explode one row per (sampled) frame index — the batch-shape
     pattern for video frame extraction (frame payload column stubbed)."""

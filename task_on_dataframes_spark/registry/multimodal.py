@@ -71,6 +71,34 @@ def _mm_png_decode(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return png_pixel_stats(make_png_media_table(docs))
 
+def _mm_wav_decode(spark, sf_dir):
+    """REAL audio-container decode in any container: synthesize 16-bit
+    PCM WAV clips from doc_id (pure-stdlib RIFF writer), then re-parse
+    the chunk list and aggregate the ACTUAL decoded amplitudes.
+    sample(i, c) = ((doc_id + 7i + 997c) % 4096) - 2048 makes every
+    output analytic, so the DuckDB oracle replays amp_sum / amp_max /
+    amp_mean exactly. Map-only plan; samples never leave executors."""
+    from task_on_dataframes_spark.operators.multimodal import (
+        make_wav_media_table,
+        wav_amplitude_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return wav_amplitude_stats(make_wav_media_table(docs))
+
+def _mm_audio_features(spark, sf_dir):
+    """Frame-level audio featurization (16-sample frames, channel 0):
+    integer frame energy + strict zero-crossing counts over REALLY
+    decoded PCM — the explode-in-batch shape a speech/audio curation
+    pipeline uses before quality filtering. Integer-exact oracle."""
+    from task_on_dataframes_spark.operators.multimodal import (
+        make_wav_media_table,
+        wav_frame_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return wav_frame_features(make_wav_media_table(docs), frame_len=16)
+
 def _mm_raw_pipeline(spark, sf_dir):
     """Full real-kernel media pipeline: raw images -> REAL bilinear
     resize (16x12) -> REAL pixel-histogram features (8 luminance
