@@ -54,7 +54,9 @@ from task_on_dataframes_spark.registry.core import (
 from task_on_dataframes_spark.registry.quality import (
     _a11_histogram,
     _dq_rules,
+    _quality_gopher_gate,
     _quality_ks_drift,
+    _quality_psi_drift,
     _quality_domain_calibrate,
     _quality_linear_probe,
     _quality_probe_apply,
@@ -134,6 +136,7 @@ from task_on_dataframes_spark.registry.events import (
 )
 from task_on_dataframes_spark.registry.multimodal import (
     _mm_audio_features,
+    _mm_audio_resample,
     _mm_decode_meta,
     _mm_png_decode,
     _mm_frame_sample,
@@ -678,6 +681,9 @@ _R5_WINDOW = [
     "text_bpe_train64",
     "mm_wav_decode",
     "mm_audio_features",
+    "mm_audio_resample",
+    "quality_gopher_gate",
+    "quality_psi_drift",
     # never driver-checked, r1-r4
     "sketch_hll_bound",
     "sketch_quantile_bound",
@@ -742,6 +748,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # _R5_WINDOW in queries() ---
         "j10_interval_overlap_join": _j10_interval_overlap_join,
         "quality_ks_drift": _quality_ks_drift,
+        "quality_psi_drift": _quality_psi_drift,
+        "quality_gopher_gate": _quality_gopher_gate,
         "sql_pipe_syntax": _sql_pipe_syntax,
         "f_variant_json": _f_variant_json,
         "mix_token_budget": _mix_token_budget,
@@ -833,6 +841,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_raw_pipeline": _mm_raw_pipeline,
         "mm_wav_decode": _mm_wav_decode,
         "mm_audio_features": _mm_audio_features,
+        "mm_audio_resample": _mm_audio_resample,
         "text_bigram_lm": _text_bigram_lm,
         "sample_negatives": _sample_negatives,
         "s12_sorted_stats_prune": _s12_sorted_stats_prune,
@@ -2175,6 +2184,80 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "SELECT round(max(abs(gap)), 6) AS ks_stat, n_a, n_b "
             "FROM g GROUP BY n_a, n_b"
         ),
+        # add-one-smoothed 10-bin PSI; per-bin ln terms round to 12
+        # decimals before the final sum (text_bigram_lm discipline)
+        "quality_psi_drift": (
+            "WITH b AS (SELECT doc_id % 2 = 0 AS is_a, "
+            "least(99, len(string_split_regex(lower(text), '\\s+'))) // 10 "
+            "AS bin FROM documents), "
+            "c AS (SELECT bin, "
+            "sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca, "
+            "sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb "
+            "FROM b GROUP BY bin), "
+            "f AS (SELECT gs.b AS bin, coalesce(ca, 0) AS ca, "
+            "coalesce(cb, 0) AS cb FROM "
+            "(SELECT unnest(generate_series(0, 9)) AS b) gs "
+            "LEFT JOIN c ON c.bin = gs.b), "
+            "g AS (SELECT round("
+            "((ca + 1) / CAST(sum(ca) OVER () + 10 AS DOUBLE) "
+            "- (cb + 1) / CAST(sum(cb) OVER () + 10 AS DOUBLE)) * ln("
+            "((ca + 1) / CAST(sum(ca) OVER () + 10 AS DOUBLE)) "
+            "/ ((cb + 1) / CAST(sum(cb) OVER () + 10 AS DOUBLE))), 12) "
+            "AS term, "
+            "CAST(sum(ca) OVER () AS BIGINT) AS n_a, "
+            "CAST(sum(cb) OVER () AS BIGINT) AS n_b FROM f) "
+            "SELECT round(sum(term), 6) AS psi, n_a, n_b "
+            "FROM g GROUP BY n_a, n_b"
+        ),
+        # Gopher quality-table gate: every measure and flag replays from
+        # the same token array the Spark scan computes; flags compare on
+        # RAW integer/integer divisions (bit-identical IEEE), only the
+        # emitted measures round
+        "quality_gopher_gate": (
+            "WITH t AS (SELECT doc_id, "
+            "string_split_regex(lower(text), '\\s+') AS toks, "
+            "len(regexp_replace(text, '\\s', '', 'g')) AS nc "
+            "FROM documents), "
+            "g AS (SELECT doc_id, toks[gi.i] || ' ' || toks[gi.i + 1] "
+            "AS gram FROM t, "
+            "LATERAL unnest(generate_series(1, len(toks) - 1)) gi(i)), "
+            "g2 AS (SELECT doc_id, count(*) AS n2, "
+            "count(DISTINCT gram) AS nd FROM g GROUP BY 1), "
+            "topc AS (SELECT doc_id, max(c) AS mc FROM ("
+            "SELECT doc_id, tok, count(*) AS c FROM ("
+            "SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2) "
+            "GROUP BY 1), "
+            "base AS (SELECT doc_id, len(toks) AS n, nc, "
+            "len(list_intersect(list_distinct(toks), "
+            "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'])) "
+            "AS stop_hits, "
+            "len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) "
+            "AS na FROM t), "
+            "j AS (SELECT b.doc_id, n, nc, stop_hits, na, mc, "
+            "CASE WHEN coalesce(n2, 0) > 0 "
+            "THEN (n2 - nd) / CAST(n2 AS DOUBLE) ELSE 0.0 END AS dup2 "
+            "FROM base b LEFT JOIN g2 USING (doc_id) "
+            "JOIN topc USING (doc_id)) "
+            "SELECT doc_id, CAST(n AS INT) AS n_words, "
+            "round(nc / CAST(n AS DOUBLE), 6) AS mean_word_len, "
+            "round(na / CAST(n AS DOUBLE), 6) AS alpha_word_frac, "
+            "CAST(stop_hits AS INT) AS stop_hits, "
+            "round(mc / CAST(n AS DOUBLE), 6) AS top_token_frac, "
+            "round(dup2, 6) AS dup_2gram_frac, "
+            "n >= 50 AND n <= 100000 AS flag_words, "
+            "nc / CAST(n AS DOUBLE) >= 3.0 AND "
+            "nc / CAST(n AS DOUBLE) <= 10.0 AS flag_word_len, "
+            "na / CAST(n AS DOUBLE) >= 0.80 AS flag_alpha, "
+            "stop_hits >= 2 AS flag_stopwords, "
+            "mc / CAST(n AS DOUBLE) <= 0.10 AS flag_top_token, "
+            "dup2 <= 0.05 AS flag_dup_2gram, "
+            "(n >= 50 AND n <= 100000) AND "
+            "(nc / CAST(n AS DOUBLE) >= 3.0 AND "
+            "nc / CAST(n AS DOUBLE) <= 10.0) AND "
+            "na / CAST(n AS DOUBLE) >= 0.80 AND stop_hits >= 2 AND "
+            "mc / CAST(n AS DOUBLE) <= 0.10 AND "
+            "dup2 <= 0.05 AS gopher_pass FROM j"
+        ),
         "sql_pipe_syntax": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n, "
             "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) "
@@ -2513,6 +2596,29 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "CAST(n AS INTEGER) AS n_samples, "
             "CAST(s AS BIGINT) AS amp_sum, CAST(m AS INTEGER) AS amp_max, "
             "round(s / (n * ch * 1.0), 5) AS amp_mean FROM amp"
+        ),
+        # channel-0 resample to 16 kHz replays analytically: the
+        # offset signal u(i) = (media_id + 7i) % 4096 interpolates with
+        # pure integer floor division, so every resampled sample (and
+        # the positional checksum) is exact on both engines
+        "mm_audio_resample": (
+            "WITH d AS (SELECT doc_id AS media_id, 64 + doc_id % 65 AS n, "
+            "8000 + 1000 * (doc_id % 5) AS rate FROM documents), "
+            "o AS (SELECT media_id, n, rate, "
+            "(n - 1) * 16000 // rate + 1 AS n_out FROM d), "
+            "s AS (SELECT media_id, n, rate, n_out, gj.j AS j, "
+            "gj.j * rate // 16000 AS idx, (gj.j * rate) % 16000 AS rem "
+            "FROM o, LATERAL unnest(generate_series(0, n_out - 1)) gj(j)), "
+            "w AS (SELECT media_id, rate, n, n_out, j, "
+            "(((media_id + 7 * idx) % 4096) * (16000 - rem) + "
+            "((media_id + 7 * least(idx + 1, n - 1)) % 4096) * rem) "
+            "// 16000 - 2048 AS v FROM s) "
+            "SELECT media_id, CAST(rate AS INT) AS src_rate, "
+            "CAST(n AS INT) AS n_in, CAST(n_out AS INT) AS n_out, "
+            "CAST(sum(abs(v)) AS BIGINT) AS amp_sum, "
+            "CAST(max(abs(v)) AS INT) AS amp_max, "
+            "CAST(sum(v * (j % 7 + 1)) AS BIGINT) AS pos_check "
+            "FROM w GROUP BY 1, 2, 3, 4"
         ),
         # channel-0 frame features are integer-exact: v(k) at sample
         # index i = frame*16 + k is ((media_id + 7i) % 4096) - 2048 and

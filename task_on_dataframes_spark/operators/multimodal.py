@@ -615,6 +615,74 @@ def wav_frame_features(media: DataFrame, frame_len: int = 16) -> DataFrame:
     return media.mapInPandas(batches, schema)
 
 
+def wav_resample(media: DataFrame, dst_rate: int = 16000) -> DataFrame:
+    """Linear-interpolation resample of the decoded channel-0 signal to
+    ``dst_rate`` in EXACT integer arithmetic — the "normalize every
+    clip to 16 kHz" step an audio-training pipeline runs before
+    featurization. Output index ``j`` maps to source position
+    ``j * src_rate / dst_rate``; the interpolation runs on the
+    2048-offset unsigned signal with floor division
+    (``(u[i]*(den-rem) + u[i+1]*rem) // den``) so every resampled
+    sample is an integer both engines reproduce bit-exactly (floor ==
+    truncate on the non-negative offset signal — the same trick the
+    fixed-point probe uses). Emits per-clip aggregates of the ACTUAL
+    resampled signal: n_in, n_out, amp_sum, amp_max, and a positional
+    checksum ``sum(out[j] * (j % 7 + 1))`` so a one-sample shift flips
+    the hash. Map-only Arrow batches; clips never leave the executor,
+    so at 100 TB this scales with input splits like every media kernel.
+    """
+    import numpy as np
+
+    from task_on_dataframes_spark.operators.wav import decode_wav
+
+    schema = (
+        "media_id long, src_rate int, n_in int, n_out int, "
+        "amp_sum long, amp_max int, pos_check long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(payload))
+                u = samples[:, 0].astype(np.int64) + 2048
+                n = len(u)
+                n_out = (n - 1) * dst_rate // rate + 1
+                j = np.arange(n_out, dtype=np.int64)
+                num = j * rate
+                idx = num // dst_rate
+                rem = num % dst_rate
+                nxt = np.minimum(idx + 1, n - 1)
+                out = (
+                    u[idx] * (dst_rate - rem) + u[nxt] * rem
+                ) // dst_rate - 2048
+                rows.append(
+                    (
+                        int(mid),
+                        int(rate),
+                        n,
+                        int(n_out),
+                        int(np.abs(out).sum()),
+                        int(np.abs(out).max()),
+                        int((out * (j % 7 + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "src_rate",
+                    "n_in",
+                    "n_out",
+                    "amp_sum",
+                    "amp_max",
+                    "pos_check",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema)
+
+
 def sample_frames(decoded: DataFrame, every: int = 1) -> DataFrame:
     """Explode one row per (sampled) frame index — the batch-shape
     pattern for video frame extraction (frame payload column stubbed)."""

@@ -346,6 +346,106 @@ def repetition_stats(
     )
 
 
+#: stopwords whose presence Gopher's quality table requires (Rae et al.
+#: 2021 use {the, be, to, of, and, that, have, with}; trimmed to the
+#: members that occur in this corpus's lexicon so the flag can split)
+GOPHER_REQUIRED_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def gopher_quality_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.80,
+    min_stop_hits: int = 2,
+    max_top_token_frac: float = 0.10,
+    max_dup_2gram_frac: float = 0.05,
+) -> DataFrame:
+    """Gopher-style document-QUALITY gate (Rae et al. 2021 Table A1's
+    quality rows — the companion to :func:`repetition_stats`, which
+    covers the repetition rows): word-count bounds, mean word length
+    bounds, fraction of words containing an alphabetic character,
+    required-stopword hits, most-common-token share, and duplicate
+    bigram share, each emitted as a measure plus a boolean flag, and
+    ``gopher_pass`` as the conjunction — the per-document verdict a
+    pretraining pipeline computes on every crawl document before any
+    dedup or model-based scoring.
+
+    Thresholds default to the paper's where this corpus exercises them
+    (50–100k words, mean word length 3–10, 80 % alphabetic, ≥2 required
+    stopwords); the top-token / dup-bigram cuts are token-fraction
+    analogs chosen to split this corpus (the paper's are character
+    fractions over n-grams, covered by :func:`repetition_stats`).
+
+    Scale: every measure is per-row array arithmetic fused into the
+    document scan — zero shuffle, zero UDF, zero explode. The
+    most-common-token count folds over the sorted token array
+    (longest equal-run) instead of a groupBy. At 100 TB this is one
+    pass over the text column.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    staged = df.select(
+        F.col(id_col),
+        toks.alias("toks"),
+        F.length(
+            F.regexp_replace(F.col(text_col), r"\s", "")
+        ).alias("nc"),
+    ).select(
+        F.col(id_col),
+        F.col("toks"),
+        F.col("nc"),
+        _grams(F.col("toks"), 2).alias("g2"),
+    )
+    n = F.size("toks")
+    mwl = F.col("nc") / n
+    alpha_frac = (
+        F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]"))) / n
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.col("toks")),
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
+        )
+    )
+    top_frac = _top_count(F.col("toks")) / n
+    dup2 = F.when(
+        F.size("g2") > 0,
+        (F.size("g2") - F.size(F.array_distinct("g2"))) / F.size("g2"),
+    ).otherwise(F.lit(0.0))
+    measured = staged.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        F.round(top_frac, 6).alias("top_token_frac"),
+        F.round(dup2, 6).alias("dup_2gram_frac"),
+        # raw (unrounded) comparisons — integer/integer IEEE division is
+        # bit-identical on every engine, so the flags replay exactly
+        ((n >= min_words) & (n <= max_words)).alias("flag_words"),
+        (
+            (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+        ).alias("flag_word_len"),
+        (alpha_frac >= min_alpha_frac).alias("flag_alpha"),
+        (stop_hits >= min_stop_hits).alias("flag_stopwords"),
+        (top_frac <= max_top_token_frac).alias("flag_top_token"),
+        (dup2 <= max_dup_2gram_frac).alias("flag_dup_2gram"),
+    )
+    return measured.withColumn(
+        "gopher_pass",
+        F.col("flag_words")
+        & F.col("flag_word_len")
+        & F.col("flag_alpha")
+        & F.col("flag_stopwords")
+        & F.col("flag_top_token")
+        & F.col("flag_dup_2gram"),
+    )
+
+
 #: fixed-point scale for classifier weights — integer 1e-4 units keep
 #: the feature fold in exact int64 arithmetic on every engine
 FP_SCALE = 10_000

@@ -99,6 +99,20 @@ def _mm_audio_features(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return wav_frame_features(make_wav_media_table(docs), frame_len=16)
 
+def _mm_audio_resample(spark, sf_dir):
+    """Integer-exact 16 kHz resample of really-decoded channel-0 PCM
+    (linear interpolation on the 2048-offset unsigned signal with
+    floor division — bit-exact on every engine), aggregated with a
+    positional checksum so a one-sample shift flips the hash. The
+    "normalize clip rates before featurization" pipeline step."""
+    from task_on_dataframes_spark.operators.multimodal import (
+        make_wav_media_table,
+        wav_resample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return wav_resample(make_wav_media_table(docs), dst_rate=16000)
+
 def _mm_raw_pipeline(spark, sf_dir):
     """Full real-kernel media pipeline: raw images -> REAL bilinear
     resize (16x12) -> REAL pixel-histogram features (8 luminance

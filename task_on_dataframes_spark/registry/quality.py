@@ -51,6 +51,65 @@ def _quality_ks_drift(spark, sf_dir):
     ).select("ks_stat", "n_a", "n_b")
 
 
+def _quality_psi_drift(spark, sf_dir):
+    """Population Stability Index between two corpus slices (even vs
+    odd doc_id — crawl snapshot A vs B), the standard companion gate to
+    the KS statistic (``_quality_ks_drift``): bin the token-count
+    distribution into 10 fixed deciles, add-one smooth each cell so
+    empty bins need no epsilon hack, and sum ``(p-q) * ln(p/q)``.
+    Like KS, the corpus collapses to <= 10 (bin, count_a, count_b)
+    rows in ONE keyed aggregate — corpus-size-independent from there,
+    so at 100 TB this is a single scan plus a 10-row reduction. The
+    per-bin ln terms round to 12 decimals before the final sum
+    (the ``text_bigram_lm`` replay discipline) so DuckDB reproduces
+    the value exactly."""
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    n_bins = 10
+    b = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        (F.least(F.lit(99), n_tokens) / 10).cast("int").alias("bin"),
+    )
+    cells = b.groupBy("bin").agg(
+        F.sum(F.col("is_a").cast("long")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+    )
+    # densify to all 10 bins so A-only / B-only bins still contribute
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    full = bins.join(cells, "bin", "left").select(
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = (F.col("ca") + 1) / (F.sum("ca").over(tot) + n_bins)
+    q = (F.col("cb") + 1) / (F.sum("cb").over(tot) + n_bins)
+    terms = full.select(
+        F.round((p - q) * F.log(p / q), 12).alias("term"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+    )
+    return terms.groupBy("n_a", "n_b").agg(
+        F.round(F.sum("term"), 6).alias("psi")
+    ).select("psi", "n_a", "n_b")
+
+
+def _quality_gopher_gate(spark, sf_dir):
+    """Gopher-style document-quality gate over the documents table:
+    word-count / mean-word-length / alpha-fraction / required-stopword
+    / top-token / dup-bigram rules, one boolean per rule plus the
+    conjunction verdict. Pure scan-stage array arithmetic — at 100 TB
+    this fuses into the parquet scan with zero shuffle (see
+    ``operators/textstats.py:gopher_quality_gate``)."""
+    from task_on_dataframes_spark.operators.textstats import (
+        gopher_quality_gate,
+    )
+
+    return gopher_quality_gate(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _s13_bucketed_join(spark, sf_dir):
     """Bucketed co-located join: write orders and lineitem as tables
     bucketed by the join key (8 buckets), then join WITHOUT a shuffle —

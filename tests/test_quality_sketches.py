@@ -93,3 +93,79 @@ def test_entropy_of_uniform_tokens_is_log2_n(spark):
         .collect()[0]
     )
     assert row["h"] == 3.0
+
+
+def test_gopher_gate_matches_pure_python_replay(spark):
+    import math
+    import re as _re
+
+    from task_on_dataframes_spark.operators.textstats import (
+        gopher_quality_gate,
+    )
+
+    texts = [
+        # passes everything: >=50 diverse words, stopwords present
+        (0, "the quick brown fox jumps over a lazy dog of mine "
+            + " ".join(f"word{i}" for i in range(50))),
+        # too short
+        (1, "the a of and tiny doc"),
+        # no required stopwords
+        (2, " ".join(f"tok{i} blah word" for i in range(20))),
+        # one token dominating -> top-token flag trips
+        (3, "the of " + " ".join(["spam"] * 60)),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {
+        r.doc_id: r
+        for r in gopher_quality_gate(df, "doc_id", "text").collect()
+    }
+    stop = {"the", "a", "of", "and", "to", "in", "is", "it"}
+    for did, text in texts:
+        toks = _re.split(r"\s+", text.lower())
+        n = len(toks)
+        r = rows[did]
+        assert r.n_words == n
+        nc = len(_re.sub(r"\s", "", text))
+        assert abs(r.mean_word_len - round(nc / n, 6)) < 1e-9
+        assert r.stop_hits == len(stop & set(toks))
+        from collections import Counter
+
+        mc = Counter(toks).most_common(1)[0][1]
+        assert abs(r.top_token_frac - round(mc / n, 6)) < 1e-9
+        g = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        dup2 = (len(g) - len(set(g))) / len(g) if g else 0.0
+        assert abs(r.dup_2gram_frac - round(dup2, 6)) < 1e-9
+        expect_pass = (
+            50 <= n <= 100000
+            and 3.0 <= nc / n <= 10.0
+            and sum(1 for t in toks if _re.search("[a-z]", t)) / n >= 0.8
+            and len(stop & set(toks)) >= 2
+            and mc / n <= 0.10
+            and dup2 <= 0.05
+        )
+        assert r.gopher_pass == expect_pass, did
+    # the fixture set exercises both verdicts
+    assert rows[0].gopher_pass and not rows[1].gopher_pass
+    assert not rows[2].flag_stopwords and not rows[3].flag_top_token
+
+
+def test_psi_drift_zero_for_identical_slices(spark):
+    import task_on_dataframes_spark.registry.quality as q
+
+    # identical even/odd halves -> PSI must be ~0 (exactly 0 after
+    # rounding, since p == q term-by-term)
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        [(i, "w " * ((i // 2) % 30 + 1)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    import types
+
+    saved = q._docs
+    try:
+        q._docs = lambda spark, sf_dir: docs
+        row = q._quality_psi_drift(spark, "unused").collect()[0]
+    finally:
+        q._docs = saved
+    assert row.psi == 0.0 and row.n_a == row.n_b == 100

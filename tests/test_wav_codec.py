@@ -99,3 +99,44 @@ def test_spark_wav_media_pipeline(spark, sf_dir):
     row = pdf[(pdf.media_id == 0) & (pdf.frame_idx == 0)].iloc[0]
     assert row.energy == int((s0.astype(np.int64) ** 2).sum())
     assert row.zero_crossings == int(((s0[:-1] * s0[1:]) < 0).sum())
+
+
+def test_spark_wav_resample(spark, sf_dir):
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = mm.make_wav_media_table(docs_df)
+    out = mm.wav_resample(media, dst_rate=16000).orderBy("media_id")
+    for r in out.collect():
+        d = r.media_id
+        n = 64 + d % 65
+        rate = 8000 + 1000 * (d % 5)
+        assert r.src_rate == rate and r.n_in == n
+        assert r.n_out == (n - 1) * 16000 // rate + 1
+        # independent replay: same integer interpolation over the
+        # synthesized channel-0 signal
+        u = (d + 7 * np.arange(n, dtype=np.int64)) % 4096
+        j = np.arange(r.n_out, dtype=np.int64)
+        idx, rem = (j * rate) // 16000, (j * rate) % 16000
+        nxt = np.minimum(idx + 1, n - 1)
+        v = (u[idx] * (16000 - rem) + u[nxt] * rem) // 16000 - 2048
+        assert r.amp_sum == int(np.abs(v).sum())
+        assert r.amp_max == int(np.abs(v).max())
+        assert r.pos_check == int((v * (j % 7 + 1)).sum())
+        # and the integer kernel tracks float linear interpolation to
+        # within the 1-unit floor quantization
+        ref = np.interp(j * rate / 16000.0, np.arange(n), u.astype(float))
+        assert np.abs((v + 2048) - ref).max() <= 1.0
+
+
+def test_resample_identity_when_rates_match(spark):
+    # a clip already at 16 kHz must pass through sample-exact
+    s = ((np.arange(80) * 13) % 4096 - 2048).astype("<i2")
+    media = spark.createDataFrame(
+        [(7, bytearray(encode_wav(s, 16000)), "audio/wav")],
+        "media_id long, payload binary, media_type string",
+    )
+    r = mm.wav_resample(media, dst_rate=16000).collect()[0]
+    assert r.n_out == r.n_in == 80
+    a = np.abs(s.astype(np.int64))
+    assert r.amp_sum == int(a.sum()) and r.amp_max == int(a.max())
+    j = np.arange(80, dtype=np.int64)
+    assert r.pos_check == int((s.astype(np.int64) * (j % 7 + 1)).sum())
