@@ -110,6 +110,7 @@ from task_on_dataframes_spark.registry.embeddings import (
     _ann_ivfpq_topk,
     _ann_pq_topk,
     _ann_lsh_multi_topk,
+    _ann_sq_rerank,
     _ann_lsh_topk,
     _emb_gram,
     _emb_kmeans,
@@ -684,6 +685,7 @@ _R5_WINDOW = [
     "mm_audio_resample",
     "quality_gopher_gate",
     "quality_psi_drift",
+    "ann_sq_rerank",
     # never driver-checked, r1-r4
     "sketch_hll_bound",
     "sketch_quantile_bound",
@@ -906,6 +908,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_percent_rank": _w7_percent_rank,
         "stream_hourly_agg": _stream_hourly_agg,
         "ann_lsh_multi_topk": _ann_lsh_multi_topk,
+        "ann_sq_rerank": _ann_sq_rerank,
         "sample_topk_per_stratum": _sample_topk_per_stratum,
         "dedup_winnow": _dedup_winnow,
         "w5_lag_delta": _w5_lag_delta,
@@ -2346,6 +2349,37 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s) "
             "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
             "FROM r WHERE rank <= 10"
+        ),
+        # stage-1 int8 dot is exact in double (values <= 127, 64 dims
+        # -> sums < 2^53); the scale product mirrors Spark's multiply
+        # order, so shortlist membership and ranks replay exactly
+        "ann_sq_rerank": (
+            "WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings), "
+            "m AS (SELECT vec_id, v, "
+            "list_max(list_transform(v, x -> abs(x))) AS amax FROM c0), "
+            "cq AS (SELECT vec_id, v, amax / 127.0 AS scale, "
+            "CASE WHEN amax > 0 THEN list_transform(v, "
+            "x -> CAST(round(x / (amax / 127.0)) AS INT)) "
+            "ELSE list_transform(v, x -> 0) END AS q8 FROM m), "
+            "q AS (SELECT vec_id AS query_id, v AS vq, scale AS scale_q, "
+            "q8 AS q8q FROM cq WHERE vec_id < 10), "
+            "s1 AS (SELECT q.query_id, c.vec_id, q.vq, c.v AS vc, "
+            "round(list_dot_product(q.q8q::DOUBLE[], c.q8::DOUBLE[]) "
+            "* q.scale_q * c.scale, 6) AS approx "
+            "FROM cq c, q WHERE q.query_id != c.vec_id), "
+            "r1 AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY approx DESC, vec_id ASC) AS rn FROM s1), "
+            "s2 AS (SELECT query_id, vec_id, approx, "
+            "round(list_dot_product(vq, vc) / "
+            "(sqrt(list_dot_product(vq, vq)) * "
+            "sqrt(list_dot_product(vc, vc))), 5) AS cos "
+            "FROM r1 WHERE rn <= 50), "
+            "r2 AS (SELECT query_id, vec_id, approx, cos, "
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, vec_id ASC) AS rank FROM s2) "
+            "SELECT query_id, vec_id, approx, cos, "
+            "CAST(rank AS INTEGER) AS rank FROM r2 WHERE rank <= 10"
         ),
         "ann_ivf_topk": _ivf_oracle(),
         "ann_filtered_topk": _ivf_oracle(" WHERE label % 4 = 0"),

@@ -65,6 +65,20 @@ def _emb_quantize(spark, sf_dir):
 
     return quantize_int8(_embs(spark, sf_dir))
 
+def _ann_sq_rerank(spark, sf_dir):
+    """Two-stage scalar-quantized retrieval: int8 approximate scan
+    (4x less bandwidth than float32 at corpus scale) shortlists 50
+    candidates per query, exact float cosine reranks to top-10. Both
+    stages are windowed group-limit prunes; the quantized integer dot
+    plus one double scale-multiply replays exactly in DuckDB."""
+    from task_on_dataframes_spark.operators.similarity import sq_ann_rerank
+
+    emb = _embs(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq_ann_rerank(emb, queries_df, k=10, shortlist=50)
+
 def _ann_lsh_multi_topk(spark, sf_dir):
     """Multi-table LSH ANN (2 tables x 4 planes): candidate union
     across independent plane sets — the recall lever of LSH search."""

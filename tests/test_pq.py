@@ -95,3 +95,38 @@ def test_ivfpq_candidates_come_from_probed_cells_only(spark, emb):
         # plain PQ includes the self-hit (dist 0) at rank 1; drop it
         b = [v for v in plain[plain.query_id == qid].vec_id if v != qid][:5]
         assert a == b, (qid, a, b)
+
+
+def test_sq_rerank_recall_near_exact(spark, emb):
+    from task_on_dataframes_spark.operators.similarity import (
+        cosine_topk,
+        sq_ann_rerank,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    got = sq_ann_rerank(emb, queries, k=10, shortlist=50).toPandas()
+    recalls = []
+    for qid in range(10):
+        top = set(exact[exact.query_id == qid].vec_id)
+        recalls.append(len(set(got[got.query_id == qid].vec_id) & top) / 10)
+    # int8 symmetric quantization barely perturbs a 64-dim cosine:
+    # a 50-candidate shortlist recovers essentially the exact top-10
+    assert sum(recalls) / len(recalls) >= 0.9
+    # reranked scores ARE the exact cosines for the hits they share
+    merged = got.merge(exact, on=["query_id", "vec_id"], suffixes=("", "_x"))
+    assert (merged.cos == merged.cos_x).all()
+
+
+def test_sq_rerank_stage1_is_group_limit_prune(spark, emb):
+    from task_on_dataframes_spark.operators.similarity import sq_ann_rerank
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = sq_ann_rerank(emb, queries)._jdf.queryExecution().executedPlan().toString()
+    # both stages prune via window group limit / top-k, never a global sort
+    assert "WindowGroupLimit" in plan or "TakeOrdered" in plan
+    assert "CartesianProduct" not in plan
