@@ -129,6 +129,7 @@ from task_on_dataframes_spark.registry.events import (
     _ev_funnel,
     _ev_gap_fill,
     _ev_hourly_agg,
+    _ev_ohlc_bars,
     _ev_json_props,
     _ev_retention,
     _ev_sessionize,
@@ -188,6 +189,7 @@ from task_on_dataframes_spark.registry.relational import (
 from task_on_dataframes_spark.registry.sampling import (
     _export_training_shards,
     _mix_domains,
+    _mix_temperature,
     _mix_token_budget,
     _sample_interleave,
     _sample_kcenter,
@@ -224,6 +226,7 @@ from task_on_dataframes_spark.registry.text import (
     _pipeline_c4_curation,
     _text_bm25,
     _text_chunk,
+    _text_fim_transform,
     _text_classifier,
     _text_fingerprint,
     _text_langid,
@@ -686,6 +689,9 @@ _R5_WINDOW = [
     "quality_gopher_gate",
     "quality_psi_drift",
     "ann_sq_rerank",
+    "ev_ohlc_bars",
+    "mix_temperature",
+    "text_fim_transform",
     # never driver-checked, r1-r4
     "sketch_hll_bound",
     "sketch_quantile_bound",
@@ -793,6 +799,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _dedup_semantic,
         "decontaminate_bloom": _decontaminate_bloom,
         "mix_domains": _mix_domains,
+        "mix_temperature": _mix_temperature,
         "sample_interleave": _sample_interleave,
         "snapshot_diff": _snapshot_diff,
         "ann_recall_eval": _ann_recall_eval,
@@ -876,6 +883,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green r2/r3; re-rotate forward as needed)
         "f_json_extract": _f_json_extract,
         "ev_hourly_agg": _ev_hourly_agg,
+        "ev_ohlc_bars": _ev_ohlc_bars,
         "ev_sliding_agg": _ev_sliding_agg,
         "text_repetition": _text_repetition,
         "j6_asof_join": _j6_asof_join,
@@ -889,6 +897,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_pivot": _p7_pivot,
         "text_tfidf": _text_tfidf,
         "text_chunk": _text_chunk,
+        "text_fim_transform": _text_fim_transform,
         "text_pack": _text_pack,
         "decontaminate": _decontaminate,
         "sql_exists_subquery": _sql_exists_subquery,
@@ -2279,6 +2288,18 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "AS n_even, max(k) AS max_k, min(k) AS min_k FROM x "
             "GROUP BY event_type"
         ),
+        # open/close replay via ordered first/last on the unique
+        # (ts, event_id) prefix — mirrors Spark's struct-min/max
+        "ev_ohlc_bars": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "first(value ORDER BY ts, event_id) AS open, "
+            "max(value) AS high, min(value) AS low, "
+            "last(value ORDER BY ts, event_id) AS close, "
+            "count(*) AS n, "
+            "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "
+            "AS sum_value FROM events "
+            "GROUP BY date_trunc('hour', ts), event_type"
+        ),
         "ev_hourly_agg": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
             "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "
@@ -2906,6 +2927,23 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "ELSE 'clean' END AS status, count(*) AS n "
             "FROM train_ids LEFT JOIN cont ON train_ids.did = cont.did "
             "GROUP BY 1"
+        ),
+        # the digest proves the full PSM string byte-for-byte
+        "text_fim_transform": (
+            "WITH x AS (SELECT doc_id, text, length(text) AS L, "
+            "(doc_id * 37) % (length(text) + 1) AS h1, "
+            "(doc_id * 61) % (length(text) + 1) AS h2 FROM documents), "
+            "y AS (SELECT doc_id, text, L, "
+            "least(h1, h2) AS a, greatest(h1, h2) AS b FROM x), "
+            "z AS (SELECT doc_id, a, b, "
+            "'<PRE>' || substr(text, 1, CAST(a AS INT)) || '<SUF>' || "
+            "substr(text, CAST(b + 1 AS INT), CAST(L - b AS INT)) || "
+            "'<MID>' || "
+            "substr(text, CAST(a + 1 AS INT), CAST(b - a AS INT)) "
+            "AS fim FROM y) "
+            "SELECT doc_id, CAST(a AS INT) AS cut1, CAST(b AS INT) "
+            "AS cut2, CAST(b - a AS INT) AS mid_len, md5(fim) "
+            "AS fim_digest, substr(fim, 1, 48) AS fim_head FROM z"
         ),
         "text_chunk": (
             "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts "
@@ -3625,6 +3663,21 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "FROM g LEFT JOIN top2 ON g.doc_id = top2.doc_id"
         ),
         "dedup_semantic": _semantic_dedup_oracle_sql(k=32),
+        # per-term p^alpha rounds to 12 decimals before the normalizing
+        # sum (ln-term replay discipline); everything runs over one row
+        # per source
+        "mix_temperature": (
+            "WITH per AS (SELECT source, count(*) AS n_docs, "
+            "CAST(sum(len(string_split_regex(lower(text), '\\s+'))) "
+            "AS BIGINT) AS tokens FROM documents GROUP BY source), "
+            "s AS (SELECT source, n_docs, tokens, "
+            "round(tokens / CAST(sum(tokens) OVER () AS DOUBLE), 6) "
+            "AS p_raw, "
+            "round(pow(tokens / CAST(sum(tokens) OVER () AS DOUBLE), "
+            "0.3), 12) AS pa FROM per) "
+            "SELECT source, n_docs, tokens, p_raw, "
+            "round(pa / sum(pa) OVER (), 6) AS w_temp FROM s"
+        ),
         "mix_domains": (
             # integer per-mille rates (floor `//`), same md5 bucket as
             # operators/sampling.split_bucket(salt='mix'); DuckDB

@@ -41,6 +41,35 @@ def _ev_hourly_agg(spark, sf_dir):
         )
     )
 
+def _ev_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC bars per event_type — the classic time-series
+    downsample (hypertable continuous-aggregate shape): open/close are
+    the first/last value by (ts, event_id) inside the bar, high/low the
+    extrema, plus count and a decimal-exact sum. ONE keyed groupBy —
+    open/close come from min/max over a (ts, event_id, value) struct
+    (lexicographic struct ordering; the unique event_id prefix makes
+    ties impossible), so there is no window and no second shuffle. At
+    100 TB this is a single map-side-combinable aggregate over the
+    natural (hour, type) keys."""
+    ev = _events(spark, sf_dir)
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.min(s).getField("value").alias("open"),
+            F.max(F.col("value")).alias("high"),
+            F.min(F.col("value")).alias("low"),
+            F.max(s).getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
 def _ev_sliding_agg(spark, sf_dir):
     """1-hour windows sliding every 15 minutes: each event lands in 4
     windows. Spark's F.window replicates rows window-count times before

@@ -267,6 +267,43 @@ def _mix_domains(spark, sf_dir):
     )
 
 
+def _mix_temperature(spark, sf_dir):
+    """Temperature-scaled domain sampling weights (the multilingual
+    mixing rule of Arivazhagan et al. 2019 / used for pretraining
+    corpus mixes): per-source token mass p_i, reweighted w_i ∝ p_i^α
+    with α = 0.3 and normalized. The corpus collapses to one row per
+    source in a single map-side-combinable aggregate; the pow/normalize
+    runs over that ≤|sources|-row table (window over 5 rows). Per-term
+    p^α rounds to 12 decimals before the normalizing sum (the ln-term
+    replay discipline) so DuckDB reproduces the weights exactly."""
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.split(F.lower(F.col("text")), r"\s+")).cast("long")
+        ).alias("tokens"),
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = F.col("tokens") / F.sum("tokens").over(tot)
+    pa = F.round(F.pow(p, F.lit(0.3)), 12)
+    scored = per.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(p, 6).alias("p_raw"),
+        pa.alias("pa"),
+    )
+    return scored.select(
+        "source",
+        "n_docs",
+        "tokens",
+        "p_raw",
+        F.round(F.col("pa") / F.sum("pa").over(tot), 6).alias("w_temp"),
+    )
+
+
 def _sample_interleave(spark, sf_dir):
     """Deterministic round-robin epoch order over sources: per-domain
     hash ranking + interleave, pruned per-domain before the final

@@ -83,6 +83,46 @@ def _text_chunk(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return chunk_text(docs, "doc_id", "text", chunk_tokens=64)
 
+def _text_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle transform (Bavarian et al. 2022, the code-LLM
+    pretraining rewrite): split each document at two deterministic
+    doc_id-derived character cuts into (prefix, middle, suffix) and
+    re-emit in PSM order ``<PRE>prefix<SUF>suffix<MID>middle``. Pure
+    scan-stage string arithmetic — zero shuffle, fuses into the
+    document scan at any scale. The digest column proves the full
+    rewritten string byte-for-byte against the oracle's replay."""
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    L = F.length(text)
+    h1 = (F.col("doc_id") * 37) % (L + 1)
+    h2 = (F.col("doc_id") * 61) % (L + 1)
+    a = F.least(h1, h2).cast("int")
+    b = F.greatest(h1, h2).cast("int")
+    staged = docs.select(
+        "doc_id",
+        text.alias("t"),
+        L.alias("len"),
+        a.alias("a"),
+        b.alias("b"),
+    )
+    fim = F.concat(
+        F.lit("<PRE>"),
+        F.col("t").substr(F.lit(1), F.col("a")),
+        F.lit("<SUF>"),
+        F.col("t").substr(F.col("b") + 1, F.col("len") - F.col("b")),
+        F.lit("<MID>"),
+        F.col("t").substr(F.col("a") + 1, F.col("b") - F.col("a")),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("a").alias("cut1"),
+        F.col("b").alias("cut2"),
+        (F.col("b") - F.col("a")).alias("mid_len"),
+        F.md5(fim).alias("fim_digest"),
+        F.substring(fim, 1, 48).alias("fim_head"),
+    )
+
+
 def _text_classifier(spark, sf_dir):
     """Model-based quality filter: score each document with a
     fasttext-style hashed linear classifier (16 md5 buckets, integer
