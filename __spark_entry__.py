@@ -2227,7 +2227,8 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         # emitted measures round
         "quality_gopher_gate": (
             "WITH t AS (SELECT doc_id, "
-            "string_split_regex(lower(text), '\\s+') AS toks, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') AS toks, "
             "len(regexp_replace(text, '\\s', '', 'g')) AS nc "
             "FROM documents), "
             "g AS (SELECT doc_id, toks[gi.i] || ' ' || toks[gi.i + 1] "

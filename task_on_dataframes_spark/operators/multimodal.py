@@ -210,6 +210,17 @@ def make_png_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def _round_half_up5(x: float) -> float:
+    """Round a NON-NEGATIVE value to 5 decimals, half away from zero —
+    matching DuckDB/Spark SQL ``round()`` semantics. Python's builtin
+    ``round()`` is half-to-even, which diverges from the SQL oracle
+    exactly when the mean hits a binary midpoint (n*ch a power of two,
+    first at doc_id 519 on the synthesized WAV corpus)."""
+    import math
+
+    return math.floor(x * 1e5 + 0.5) / 1e5
+
+
 def png_pixel_stats(media: DataFrame) -> DataFrame:
     """Decode ``image/png`` payloads through the pure-stdlib codec and
     aggregate the ACTUAL decoded pixels in-batch: (media_id, width,
@@ -240,7 +251,7 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
                         h,
                         c,
                         s,
-                        round(s / float(h * w * c), 5),
+                        _round_half_up5(s / float(h * w * c)),
                     )
                 )
             yield pd.DataFrame(
@@ -553,7 +564,7 @@ def wav_amplitude_stats(media: DataFrame) -> DataFrame:
                         n,
                         s,
                         int(a.max()),
-                        round(s / float(n * ch), 5),
+                        _round_half_up5(s / float(n * ch)),
                     )
                 )
             yield pd.DataFrame(

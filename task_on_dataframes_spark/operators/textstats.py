@@ -387,7 +387,12 @@ def gopher_quality_gate(
     (longest equal-run) instead of a groupBy. At 100 TB this is one
     pass over the text column.
     """
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # drop empty strings after the split: leading/trailing whitespace
+    # otherwise inflates n_words and deflates alpha_word_frac /
+    # top_token_frac relative to Gopher's word-based definitions
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     staged = df.select(
         F.col(id_col),
         toks.alias("toks"),

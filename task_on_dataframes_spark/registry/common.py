@@ -42,7 +42,10 @@ def _scan_parts(path: str) -> int | None:
         else:
             files = [path]
         n = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
-    except OSError:
+    except Exception:
+        # Missing pyarrow raises ImportError, corrupt/remote paths raise
+        # pyarrow.ArrowInvalid — the floor must degrade to a no-op for
+        # any path Spark itself can read, never fail query construction.
         return None
     _SCAN_PARTS_CACHE[path] = n
     return n
@@ -68,7 +71,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _embs(
+    spark: SparkSession, sf_dir: str, floor: bool = True
+) -> DataFrame:
     """embeddings scan with the same parallelism floor as :func:`_docs`.
 
     Every embedding pipeline does per-row array math (quantization,
@@ -79,8 +84,16 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     completed ratio in the sweep. Same contract as ``_docs``: when the
     footer shows fewer row groups than half the cores, one cheap
     round-robin shuffle spreads the vectors; at real scale (thousands
-    of row groups) this is a no-op with no repartition in the plan."""
+    of row groups) this is a no-op with no repartition in the plan.
+
+    ``floor=False`` opts a consumer out: map-side-reduction pipelines
+    (the Gram partials) already collapse each input split to d^2
+    numbers, so shuffling the corpus first costs more than the
+    parallelism it buys — emb_gram regressed 0.32 -> 0.52 s at sf0.1
+    under the floor while its 10x-data ratio was fine without it."""
     df = _t(spark, sf_dir, "embeddings")
+    if not floor:
+        return df
     target = spark.sparkContext.defaultParallelism
     n = _scan_parts(f"{sf_dir}/embeddings.parquet")
     if n is not None and n < max(2, target // 2):

@@ -129,7 +129,10 @@ def _emb_gram(spark, sf_dir):
     never shuffled (the covariance/PCA front end at 100 TB)."""
     from task_on_dataframes_spark.operators.linalg import gram_matrix
 
-    return gram_matrix(_embs(spark, sf_dir))
+    # floor=False: the Gram partials are a map-side reduction (each
+    # input split collapses to d^2 numbers before the only shuffle), so
+    # pre-shuffling the corpus costs more than the parallelism it buys.
+    return gram_matrix(_embs(spark, sf_dir, floor=False))
 
 def _emb_pca_top(spark, sf_dir):
     """Top principal direction: distributed Gram reduction, then a
@@ -142,7 +145,7 @@ def _emb_pca_top(spark, sf_dir):
         pca_power_top,
     )
 
-    gram = gram_matrix(_embs(spark, sf_dir))
+    gram = gram_matrix(_embs(spark, sf_dir, floor=False))
     return pca_power_top(spark, gram)
 
 def _emb_pca_project(spark, sf_dir):
@@ -156,7 +159,9 @@ def _emb_pca_project(spark, sf_dir):
         pca_power_top,
     )
 
-    emb = _embs(spark, sf_dir)
+    # floor=False: both consumers are shuffle-free over the scan — the
+    # Gram is a map-side reduction and the projection is JVM zip_with.
+    emb = _embs(spark, sf_dir, floor=False)
     v = {
         r["pos"]: r["loading"]
         for r in pca_power_top(spark, gram_matrix(emb)).collect()
@@ -293,7 +298,7 @@ def _emb_pca_top2(spark, sf_dir):
         pca_power_top2,
     )
 
-    gram = gram_matrix(_embs(spark, sf_dir))
+    gram = gram_matrix(_embs(spark, sf_dir, floor=False))
     return pca_power_top2(spark, gram)
 
 

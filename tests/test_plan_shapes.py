@@ -183,12 +183,18 @@ def test_q20_dims_broadcast(spark, sf_dir, queries):
 
 def test_planner_pipeline_compiles_to_zero_shuffle_stage(spark, sf_dir, queries):
     """The 4-task planner pipeline (source -> quality -> filter ->
-    chunk) must compile into ONE Catalyst plan with no Exchange: the
-    quality filter lands in the scan's DataFilters and only `text` is
-    read — planner composition costs nothing at execution."""
+    chunk) must compile into ONE Catalyst plan with no semantic
+    Exchange: the quality filter lands in the scan's DataFilters and
+    only `text` is read — planner composition costs nothing at
+    execution. The documents-source parallelism floor may contribute
+    one REPARTITION_BY_NUM round-robin (a documented no-op at real
+    scale, where the scan has >= cores/2 row groups); no OTHER
+    Exchange is allowed."""
     df = queries["planner_llm_chunks"](spark, sf_dir)
     plan = _physical(df)
-    assert "Exchange" not in plan
+    n_exchange = plan.count("Exchange")
+    n_floor = plan.count("REPARTITION_BY_NUM")
+    assert n_exchange == n_floor, plan
     assert "ReadSchema: struct<text:string>" in plan
 
 
@@ -295,3 +301,47 @@ def test_text_entropy_is_keyed_on_doc(spark, sf_dir, queries):
     plan = _physical(queries["text_entropy"](spark, sf_dir))
     assert "Exchange SinglePartition" not in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_parallelism_floor_noop_when_row_groups_suffice(spark, tmp_path):
+    """The _docs/_embs floor must vanish when the scan already has
+    >= cores/2 row groups — the real-scale contract: a 100 TB corpus
+    has thousands of row groups and must never pay the repartition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from task_on_dataframes_spark.registry.common import _docs, _embs
+
+    d = str(tmp_path / "many_rg")
+    os_mk = __import__("os").makedirs
+    os_mk(d, exist_ok=True)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(64), pa.int64()),
+            "text": pa.array(["w " * 5] * 64),
+        }
+    )
+    # row_group_size=8 -> 8 row groups >= defaultParallelism(4)/2
+    pq.write_table(tbl, f"{d}/documents.parquet", row_group_size=8)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(64), pa.int64()),
+            "label": pa.array([i % 4 for i in range(64)], pa.int64()),
+            "embedding": pa.array(
+                [[0.1] * 4] * 64, pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(emb, f"{d}/embeddings.parquet", row_group_size=8)
+    for df in (_docs(spark, d), _embs(spark, d)):
+        plan = _physical(df)
+        assert "REPARTITION_BY_NUM" not in plan, plan
+
+
+def test_parallelism_floor_fires_on_single_row_group(spark, sf_dir):
+    """Inverse contract at testdata shape: a single-row-group scan
+    under a token-explode pipeline gets exactly one round-robin."""
+    from task_on_dataframes_spark.registry.common import _docs
+
+    plan = _physical(_docs(spark, sf_dir))
+    assert plan.count("REPARTITION_BY_NUM") == 1, plan
