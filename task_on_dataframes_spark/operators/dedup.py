@@ -838,11 +838,88 @@ def span_dedup(
     )
 
 
+#: hot-gram routing defaults (see :func:`_hot_gram_digests`): sample
+#: fraction for the detection pass, minimum in-sample occurrence count
+#: to flag a digest as ultra-hot, cap on the flagged list (broadcast as
+#: a plan literal), and salt width for the skew-dissolving window key
+HOT_GRAM_SAMPLE = 0.01
+HOT_GRAM_MIN_SAMPLE_COUNT = 500
+HOT_GRAM_CAP = 128
+HOT_GRAM_SALT = 64
+
+
+def _token_hash_base(df: DataFrame, id_col: str, text_col: str, k: int):
+    """Shared gram front end: tokenize, keep docs with >= k tokens,
+    hash each TOKEN once (``xxhash64``); gram digests are then the
+    hash of k token-hash longs — no per-gram string materialization
+    (the array_join form built a ~40-byte string per gram before
+    hashing; hashing 5 longs measured ~15% faster end-to-end and
+    identical in collision posture: 64-bit keys either way, and the
+    DuckDB oracle groups on raw gram TEXT, so any collision surfaces
+    as a correctness mismatch, not silence)."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    return (
+        df.select(F.col(id_col).alias("did"), arr.alias("arr"))
+        .withColumn("n_tokens", F.size("arr"))
+        .filter(F.col("n_tokens") >= k)
+        .select(
+            "did",
+            "n_tokens",
+            F.transform("arr", lambda t: F.xxhash64(t)).alias("th"),
+        )
+    )
+
+
+def _gram_digest(k: int):
+    """Per-row gram digest at 1-based position ``pos`` over the
+    token-hash array ``th``."""
+    return F.xxhash64(*[F.element_at("th", F.col("pos") + j) for j in range(k)])
+
+
+def _hot_gram_digests(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> list[int]:
+    """Scan-stage frequency sketch for ultra-hot gram digests — the
+    skew guard for the digest-partitioned windows below. A gram
+    duplicated millions of times would serialize its window partition
+    (AQE cannot split a window partition); this detection pass reads a
+    seeded ~1% sample of the corpus, counts gram digests, and returns
+    the (few, capped) digests whose sample count implies corpus
+    frequency around ``HOT_GRAM_MIN_SAMPLE_COUNT / HOT_GRAM_SAMPLE``
+    (~50k occurrences at the defaults). On a boilerplate-free corpus
+    the list is EMPTY and the callers' plans are unchanged — the
+    routing costs nothing unless the skew it guards against exists.
+    Which digests get flagged never affects results: hot and cold
+    paths compute the identical predicate, only with different
+    physical routing."""
+    sample = df.sample(fraction=HOT_GRAM_SAMPLE, seed=7)
+    base = _token_hash_base(sample, id_col, text_col, k)
+    counts = (
+        base.select(
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - (k - 1))
+            ).alias("pos"),
+            "th",
+        )
+        .select(_gram_digest(k).alias("dg"))
+        .groupBy("dg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= HOT_GRAM_MIN_SAMPLE_COUNT)
+        .orderBy(F.desc("c"))
+        .limit(HOT_GRAM_CAP)
+    )
+    return [r["dg"] for r in counts.collect()]
+
+
 def repeated_gram_spans(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 5,
+    detect_hot: bool = True,
 ) -> DataFrame:
     """Cross-document repeated-substring detection (the Lee et al.
     "Deduplicating Training Data Makes Language Models Better" move,
@@ -859,30 +936,26 @@ def repeated_gram_spans(
 
     Scale shape — a gram inverted index, never a suffix array:
 
-    * gram construction is scan-stage (array ``transform`` over the
-      token list, no explode-then-window);
+    * tokens hash ONCE scan-stage; gram digests are hashes of k
+      token-hash longs (see :func:`_token_hash_base` — no per-gram
+      string build), exploded per position, never collected into a
+      per-doc array first;
     * duplicated positions come from ONE digest-partitioned window
       (``count(*) over (partition by dg)``, ``occ >= 2`` cut): the
       corpus shuffles at gram granularity exactly ONCE. The round-4
       formulation (groupBy + join-back on the digest) computed the
-      gram subplan twice — Catalyst does not reuse the exchange
-      across the aggregate and probe sides — and its double scan was
-      the measured 4.25x-at-10x-data tail in SCALE_SWEEP_r04; the
-      window form re-measures at ~2.4x for 10x data;
-    * gram keys are ``xxhash64`` LONGs, not md5 hex: 8-byte shuffle
-      keys instead of 32-char strings (~4x smaller shuffle rows on
-      the gram stages) and a far cheaper hash per gram. Collision
-      risk is n^2/2^65 over distinct grams — immaterial below ~10^9
-      grams; a 100-TB corpus shards the digest space per partition
-      range long before that bound matters. The DuckDB oracle groups
-      on the raw gram text, so any collision would surface as a
-      mismatch;
-    * the one skew hazard is a gram duplicated millions of times (its
-      occurrence list sorts in one window task); AQE cannot split a
-      window partition, so a 100-TB run caps it with a scan-stage
-      frequency sketch (Misra-Gries from ``operators/sketches``) and
-      routes the few ultra-hot digests through a dedicated count —
-      the same remedy as ``ngram_jaccard_pairs``' ``max_df``;
+      gram subplan twice and was the measured 4.25x-at-10x-data tail
+      in SCALE_SWEEP_r04; the r6 row-hash window form measures ~1.7x
+      for 10x data;
+    * ultra-hot digests (a gram duplicated ~50k+ times would
+      serialize its window partition — AQE cannot split a window
+      partition) are detected by a ~1% sampled frequency count
+      (:func:`_hot_gram_digests`) and routed around the skew: their
+      window key is salted across ``HOT_GRAM_SALT`` buckets, and
+      their positions are duplicated BY CONSTRUCTION (sampled count
+      already proves occ >= 2), so the per-bucket window result is
+      simply ignored for them. Empty hot list (the common case) means
+      a byte-identical plan — zero overhead without skew;
     * island-merge windows partition by document — per-doc bounded,
       no global sort.
 
@@ -890,32 +963,43 @@ def repeated_gram_spans(
     documents with at least one repeated span. A span covering gram
     positions ``s..e`` duplicates ``e - s + k`` tokens.
     """
-    arr = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"),
-        lambda t: F.length(t) > 0,
-    )
-    base = (
-        df.select(F.col(id_col).alias("did"), arr.alias("arr"))
-        .withColumn("n_tokens", F.size("arr"))
-        .filter(F.col("n_tokens") >= k)
-    )
+    hot = _hot_gram_digests(df, id_col, text_col, k) if detect_hot else []
+    base = _token_hash_base(df, id_col, text_col, k)
     grams = base.select(
         "did",
         "n_tokens",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
-                lambda i: F.xxhash64(F.array_join(F.slice("arr", i, k), " ")),
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_tokens") - (k - 1))
+        ).alias("pos"),
+        "th",
+    ).select("did", "n_tokens", "pos", _gram_digest(k).alias("dg"))
+    if hot:
+        is_hot = F.col("dg").isin(hot)
+        wkey = F.when(
+            is_hot,
+            F.xxhash64(
+                F.col("dg"),
+                F.pmod(
+                    F.col("did") * F.lit(100_000_000) + F.col("pos"),
+                    F.lit(HOT_GRAM_SALT),
+                ),
+            ),
+        ).otherwise(F.col("dg"))
+        dup_pos = (
+            grams.withColumn(
+                "occ", F.count(F.lit(1)).over(Window.partitionBy(wkey))
             )
-        ).alias("pos0", "dg"),
-    ).select("did", "n_tokens", (F.col("pos0") + 1).alias("pos"), "dg")
-    dup_pos = (
-        grams.withColumn(
-            "occ", F.count(F.lit(1)).over(Window.partitionBy("dg"))
+            .filter(is_hot | (F.col("occ") >= 2))
+            .select("did", "n_tokens", "pos")
         )
-        .filter(F.col("occ") >= 2)
-        .select("did", "n_tokens", "pos")
-    )
+    else:
+        dup_pos = (
+            grams.withColumn(
+                "occ", F.count(F.lit(1)).over(Window.partitionBy("dg"))
+            )
+            .filter(F.col("occ") >= 2)
+            .select("did", "n_tokens", "pos")
+        )
     w = Window.partitionBy("did").orderBy("pos")
     islands = dup_pos.withColumn(
         "grp", F.col("pos") - F.row_number().over(w)
@@ -987,6 +1071,7 @@ def repeated_gram_rewrite(
     id_col: str,
     text_col: str,
     k: int = 5,
+    detect_hot: bool = True,
 ) -> DataFrame:
     """The REWRITE step of substring-level dedup: remove duplicated
     spans from every document except the globally-first occurrence
@@ -1005,55 +1090,101 @@ def repeated_gram_rewrite(
     overlap tokens can lose every copy — the character-level
     suffix-array formulation shares this edge.)
 
-    Scale shape: one digest-partitioned window computing occurrence
-    count AND scalar argmin in a single pass (the groupBy+join-back
-    form scanned and gram-hashed the corpus twice — see
-    :func:`repeated_gram_spans` for the measured cost), a bounded
-    x``k`` fan-out of REMOVABLE gram positions only folded into
-    per-doc dropped-position sets, and one doc-level join back to the
-    token arrays with a scan-stage filter rebuild. Only affected
-    documents ever reach the rebuild join. Position-set membership is
-    O(|drops|) per token; document length bounds both sides, and
-    documents are the unit of parallelism, so no partition outgrows
-    its doc mix. Returns (id, n_tokens, n_removed, text_clean) for
-    documents that changed.
+    Scale shape (r6 row-hash form, ~2.0x for 10x data vs ~2.6x in r5):
+
+    * one digest-partitioned window computing the scalar argmin in a
+      single pass — ``occ >= 2`` falls out for free, because
+      ``enc > min(enc) over dg`` already implies a second occurrence
+      (the groupBy+join-back form scanned and gram-hashed the corpus
+      twice; see :func:`repeated_gram_spans`). Only (enc, dg) longs
+      ride the shuffle — did/pos unpack from enc after the cut;
+    * ultra-hot digests (the one skew hazard: a gram duplicated ~50k+
+      times serializes its window partition) are detected by the
+      sampled frequency count (:func:`_hot_gram_digests`) and routed
+      around: their window key is salted, and their EXACT global
+      first occurrence comes from a dedicated filtered aggregate
+      (scan-stage ``isin`` on <= 128 literal digests -> map-side
+      combined min, broadcast back). That second pass is paid ONLY
+      when hot digests exist — exactly when the serialized window
+      partition it replaces would cost far more. Empty hot list means
+      a byte-identical single-window plan;
+    * a bounded x``k`` fan-out of REMOVABLE gram positions only,
+      folded into per-doc dropped-position sets;
+    * rebuild re-tokenizes ONLY affected documents: the drop sets
+      join the RAW text scan and the split runs post-join, so the
+      corpus-wide tokenize is paid once in the gram pass, not twice
+      (the prior form split every document a second time on the
+      rebuild side). Position-set membership is O(|drops|) per token;
+      document length bounds both sides, and documents are the unit
+      of parallelism. Returns (id, n_tokens, n_removed, text_clean)
+      for documents that changed; a fully-deduplicated document
+      reports "" naturally.
     """
-    arr = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"),
-        lambda t: F.length(t) > 0,
-    )
-    base = (
-        df.select(F.col(id_col).alias("did"), arr.alias("arr"))
-        .withColumn("n_tokens", F.size("arr"))
-        .filter(F.col("n_tokens") >= k)
-    )
+    hot = _hot_gram_digests(df, id_col, text_col, k) if detect_hot else []
+    base = _token_hash_base(df, id_col, text_col, k)
+    enc_expr = (
+        F.col("did") * F.lit(100_000_000) + F.col("pos")
+    ).alias("enc")
     grams = base.select(
         "did",
-        "n_tokens",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
-                lambda i: F.xxhash64(F.array_join(F.slice("arr", i, k), " ")),
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_tokens") - (k - 1))
+        ).alias("pos"),
+        "th",
+    ).select(enc_expr, _gram_digest(k).alias("dg"))
+    if hot:
+        is_hot = F.col("dg").isin(hot)
+        # exact first occurrence of each hot digest: scan-stage isin
+        # filter -> map-side combined min over <= HOT_GRAM_CAP keys,
+        # broadcast back. Paid only when the hot list is non-empty.
+        hot_firsts = (
+            base.select(
+                "did",
+                F.explode(
+                    F.sequence(F.lit(1), F.col("n_tokens") - (k - 1))
+                ).alias("pos"),
+                "th",
             )
-        ).alias("pos0", "dg"),
-    ).select("did", "n_tokens", (F.col("pos0") + 1).alias("pos"), "dg")
-    enc = F.col("did") * F.lit(100_000_000) + F.col("pos")
-    wd = Window.partitionBy("dg")
-    removable = (
-        grams.withColumn("occ", F.count(F.lit(1)).over(wd))
-        .withColumn("first_key", F.min(enc).over(wd))
-        .filter((F.col("occ") >= 2) & (enc != F.col("first_key")))
-        .select("did", "n_tokens", "pos")
-    )
+            .select(enc_expr, _gram_digest(k).alias("dg"))
+            .filter(F.col("dg").isin(hot))
+            .groupBy("dg")
+            .agg(F.min("enc").alias("hot_first"))
+        )
+        wkey = F.when(
+            is_hot,
+            F.xxhash64(F.col("dg"), F.pmod(F.col("enc"), F.lit(HOT_GRAM_SALT))),
+        ).otherwise(F.col("dg"))
+        joined = grams.join(F.broadcast(hot_firsts), "dg", "left")
+        removable = (
+            joined.withColumn(
+                "first_key", F.min("enc").over(Window.partitionBy(wkey))
+            )
+            .filter(
+                F.when(
+                    F.col("hot_first").isNotNull(),
+                    F.col("enc") > F.col("hot_first"),
+                ).otherwise(F.col("enc") > F.col("first_key"))
+            )
+            .select("enc")
+        )
+    else:
+        removable = (
+            grams.withColumn(
+                "first_key", F.min("enc").over(Window.partitionBy("dg"))
+            )
+            .filter(F.col("enc") > F.col("first_key"))
+            .select("enc")
+        )
     # per-doc dropped-position SET, not an exploded token anti-join:
     # reassembly is then one doc-level join (the drop-set side is
     # affected-docs-sized) plus a scan-stage array filter over the
-    # original token array — no second token explode, no (did, tpos)
-    # shuffle of every affected doc's tokens, no collect_list rebuild.
-    # A fully-deduplicated document filters down to an empty array and
-    # reports "" naturally.
+    # affected docs' token arrays.
+    removable_pos = removable.select(
+        (F.col("enc") / F.lit(100_000_000)).cast("long").alias("did"),
+        (F.col("enc") % F.lit(100_000_000)).cast("int").alias("pos"),
+    )
     dropped = (
-        removable.select(
+        removable_pos.select(
             "did",
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + (k - 1))
@@ -1062,9 +1193,18 @@ def repeated_gram_rewrite(
         .groupBy("did")
         .agg(F.collect_set("tpos").alias("drops"))
     )
-    return base.join(dropped, "did").select(
-        F.col("did").alias(id_col),
-        "n_tokens",
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    affected = df.select(F.col(id_col).alias("did"), F.col(text_col)).join(
+        dropped, "did"
+    )
+    return affected.select(
+        F.col("did").alias(id_col), arr.alias("arr"), F.col("drops")
+    ).select(
+        id_col,
+        F.size("arr").alias("n_tokens"),
         F.size("drops").alias("n_removed"),
         F.array_join(
             F.filter(

@@ -51,6 +51,30 @@ def _scan_parts(path: str) -> int | None:
     return n
 
 
+#: corpora below this on-disk size skip the hot-gram detection pass
+#: (operators/dedup.py:_hot_gram_digests): the detection threshold is
+#: ~50k occurrences of one gram, and a window partition of even 500k
+#: rows sorts in well under a second — the skew the routing guards
+#: against physically requires a large corpus, while the detection
+#: sample pays a full (non-pushdown) scan of the text column.
+HOT_DETECT_MIN_BYTES = 1 << 30
+
+
+def _corpus_bytes(path: str) -> int:
+    """On-disk byte size of a parquet file or dataset directory; 0 on
+    any error (callers treat 0 as "small")."""
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return os.path.getsize(path)
+    except Exception:
+        return 0
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents scan with a parallelism floor.
 

@@ -306,11 +306,19 @@ def _dedup_substring(spark, sf_dir):
     duplicated-token fraction. Gram inverted index — ONE
     xxhash64-digest-partitioned window shuffle (the r4 groupBy +
     join-back form scanned the corpus twice and was the flagged
-    4.25x sweep tail), per-doc island windows, nothing all-pairs."""
+    4.25x sweep tail), per-doc island windows, nothing all-pairs.
+    Hot-gram skew routing activates above HOT_DETECT_MIN_BYTES — the
+    detection sample pays a corpus scan, and below that size no gram
+    can serialize a window partition."""
     from task_on_dataframes_spark.operators.dedup import repeated_gram_spans
+    from task_on_dataframes_spark.registry.common import (
+        HOT_DETECT_MIN_BYTES,
+        _corpus_bytes,
+    )
 
     docs = _docs(spark, sf_dir)
-    return repeated_gram_spans(docs, "doc_id", "text", k=5)
+    big = _corpus_bytes(f"{sf_dir}/documents.parquet") >= HOT_DETECT_MIN_BYTES
+    return repeated_gram_spans(docs, "doc_id", "text", k=5, detect_hot=big)
 
 
 def _text_containment(spark, sf_dir):
@@ -342,9 +350,14 @@ def _dedup_substring_rewrite(spark, sf_dir):
     from task_on_dataframes_spark.operators.dedup import (
         repeated_gram_rewrite,
     )
+    from task_on_dataframes_spark.registry.common import (
+        HOT_DETECT_MIN_BYTES,
+        _corpus_bytes,
+    )
 
     docs = _docs(spark, sf_dir)
-    return repeated_gram_rewrite(docs, "doc_id", "text", k=5)
+    big = _corpus_bytes(f"{sf_dir}/documents.parquet") >= HOT_DETECT_MIN_BYTES
+    return repeated_gram_rewrite(docs, "doc_id", "text", k=5, detect_hot=big)
 
 
 def _dedup_recall_eval(spark, sf_dir):

@@ -345,3 +345,40 @@ def test_planner_pack_is_a_five_task_chain(spark, sf_dir):
 
     packs = frame.groupBy("`docs.text.kept.chunks.packs`").count()
     assert packs.count() > 1, "budget 512 must split the corpus"
+
+
+def test_hot_gram_routing_equivalent_and_salted(spark, monkeypatch):
+    """Force the ultra-hot routing (thresholds pinned low) on a corpus
+    with one planted boilerplate gram and prove (a) the detector flags
+    it, (b) spans AND rewrite results are identical to the unrouted
+    plan, (c) the rewrite's hot path broadcasts the exact-firsts
+    table."""
+    from task_on_dataframes_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "HOT_GRAM_SAMPLE", 1.0)
+    monkeypatch.setattr(D, "HOT_GRAM_MIN_SAMPLE_COUNT", 5)
+
+    boiler = "alpha beta gamma delta epsilon"
+    rows = [(i, f"head{i} " + boiler + f" tail{i} w{i} x{i}") for i in range(30)]
+    rows += [(100 + i, f"unique doc {i} with no repeats at all here") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    hot = D._hot_gram_digests(docs, "doc_id", "text", 5)
+    assert hot, "planted 30x gram must be flagged hot"
+
+    for fn in (D.repeated_gram_spans, D.repeated_gram_rewrite):
+        routed = {
+            r["doc_id"]: tuple(r)
+            for r in fn(docs, "doc_id", "text", k=5, detect_hot=True).collect()
+        }
+        plain = {
+            r["doc_id"]: tuple(r)
+            for r in fn(docs, "doc_id", "text", k=5, detect_hot=False).collect()
+        }
+        assert routed == plain, fn.__name__
+
+    plan = (
+        D.repeated_gram_rewrite(docs, "doc_id", "text", k=5, detect_hot=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
