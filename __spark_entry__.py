@@ -222,6 +222,7 @@ from task_on_dataframes_spark.registry.text import (
     _text_bpe_apply,
     _text_bpe_train,
     _text_bpe_train64,
+    _text_bpe_train256,
     _curriculum_quality_bins,
     _pipeline_c4_curation,
     _text_bm25,
@@ -795,6 +796,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_top2": _emb_pca_top2,
         "text_bpe_train": _text_bpe_train,
         "text_bpe_train64": _text_bpe_train64,
+        "text_bpe_train256": _text_bpe_train256,
         "text_bpe_apply": _text_bpe_apply,
         "dedup_semantic": _dedup_semantic,
         "decontaminate_bloom": _decontaminate_bloom,
@@ -3730,6 +3732,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         "decontaminate_bloom": _bloom_decontaminate_oracle_sql(),
         "text_bpe_train": _bpe_train_oracle_sql(),
         "text_bpe_train64": _bpe_train_oracle_sql(64),
+        "text_bpe_train256": _bpe_train_oracle_sql(256),
         "text_bpe_apply": _bpe_apply_oracle_sql(),
         "emb_pca_top2": _pca2_oracle_sql(),
         "s16_zorder_stats": (

@@ -232,6 +232,254 @@ def bpe_train_delta(
     )
 
 
+def bpe_train_batched(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: int = 512,
+    top_m: int = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """:func:`bpe_train_delta` with MULTI-MERGE BATCHES — the shape
+    that makes a real 32k-merge vocabulary tractable: instead of one
+    Spark job per merge (32k sequential jobs), each job collects the
+    top ``top_m`` pair counts and the driver accepts the longest
+    PREFIX of that ranking that is provably equivalent to sequential
+    greedy BPE, applying the whole batch in one vocabulary pass.
+
+    Exactness argument (each accepted batch replays bit-identically to
+    merge-at-a-time greedy with (pc DESC, lhs, rhs) tie-breaks — the
+    chained-CTE DuckDB oracle checks this at 512 merges):
+
+    * acceptance is PREFIX-ONLY: the first rejected pair stops the
+      batch, so at simulated step i every higher-ranked original pair
+      is already merged (count 0) and every lower-ranked original
+      pair's count can only have DECREASED — p_i, whose symbols are
+      disjoint from all earlier accepted pairs, keeps exactly its
+      collected count and wins any tie lexicographically;
+    * symbol-disjointness includes the MERGED symbols: an original
+      symbol spelled identically to an earlier batch-mate's
+      concatenation would alias its pair counts, so any pair touching
+      ``lhs+rhs`` of an accepted mate is rejected;
+    * pairs CREATED by an earlier accepted merge (x,m_j)/(m_j,y) have
+      counts bounded by the pre-merge counts of (x,a_j)/(b_j,y) —
+      pairs sharing a symbol with the accepted set. p_i is accepted
+      only if its count STRICTLY exceeds every collected sharing
+      pair's count and the last collected count (the ceiling on
+      anything uncollected), so no created pair can win or tie;
+    * disjoint replaces neither destroy nor create each other's
+      matches ((x)(m_j)(y) contains no new adjacency between original
+      symbols), so the one chained-replace vocabulary pass equals the
+      sequential per-merge passes.
+
+    Jobs grow with BATCHES, not merges: one collect per batch, ~3
+    shuffles per batch (the delta update over affected words only) —
+    measured ~5x fewer jobs than merge-at-a-time at 512 merges on the
+    testdata corpus (batch sizes start at 1-2 while single letters
+    dominate the ranking and widen as the symbol alphabet grows).
+    Pass ``stats={}`` to receive ``{"batches": N, "merges": M}``.
+    """
+    spark = docs.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    words = _word_table(docs, text_col).localCheckpoint()
+    pc = _pair_counts(words).localCheckpoint()
+    live: list[tuple[DataFrame, DataFrame]] = []
+    out_rows = []
+    n_batches = 0
+    while len(out_rows) < merges:
+        top = pc.orderBy(F.desc("pc"), "lhs", "rhs").limit(top_m).collect()
+        while len(live) > 2:
+            for f in live.pop(0):
+                f.unpersist()
+        if not top:
+            break
+        n_batches += 1
+        # ceiling on the count of any pair NOT in the collected list
+        floor = top[-1]["pc"] if len(top) == top_m else 0
+        accepted = [top[0]]
+        used = {top[0]["lhs"], top[0]["rhs"], top[0]["lhs"] + top[0]["rhs"]}
+        for row in top[1:]:
+            if len(out_rows) + len(accepted) >= merges:
+                break
+            if (
+                row["lhs"] in used
+                or row["rhs"] in used
+                or (row["lhs"] + row["rhs"]) in used
+            ):
+                break
+            bound = floor
+            for q in top:
+                if (q["lhs"] in used or q["rhs"] in used) and not any(
+                    q["lhs"] == a["lhs"] and q["rhs"] == a["rhs"]
+                    for a in accepted
+                ):
+                    bound = max(bound, q["pc"])
+            if row["pc"] <= bound:
+                break
+            accepted.append(row)
+            used.update({row["lhs"], row["rhs"], row["lhs"] + row["rhs"]})
+        step0 = len(out_rows) + 1
+        for i, r in enumerate(accepted):
+            out_rows.append(
+                (step0 + i, r["lhs"], r["rhs"], r["lhs"] + r["rhs"], int(r["pc"]))
+            )
+        if len(out_rows) >= merges:
+            break
+        patterns = [f"({r['lhs']})({r['rhs']})" for r in accepted]
+        any_hit = F.col("repr").contains(patterns[0])
+        for p in patterns[1:]:
+            any_hit = any_hit | F.col("repr").contains(p)
+        hit = words.filter(any_hit)
+        repr_col = F.col("repr")
+        for r in accepted:
+            repr_col = F.replace(
+                repr_col,
+                F.lit(f"({r['lhs']})({r['rhs']})"),
+                F.lit(f"({r['lhs'] + r['rhs']})"),
+            )
+        new_hit = hit.select(repr_col.alias("repr"), "cnt")
+        minus = _pair_counts(hit).select(
+            "lhs", "rhs", (-F.col("pc")).alias("pc")
+        )
+        new_words = (
+            words.filter(~any_hit)
+            .unionAll(new_hit)
+            .coalesce(width)
+            .localCheckpoint(eager=False)
+        )
+        new_pc = (
+            pc.unionAll(_pair_counts(new_hit))
+            .unionAll(minus)
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("pc").alias("pc"))
+            .filter(F.col("pc") > 0)
+            .coalesce(width)
+            .localCheckpoint(eager=False)
+        )
+        live.append((words, pc))
+        words, pc = new_words, new_pc
+    for gen in live + [(words, pc)]:
+        for f in gen:
+            f.unpersist()
+    if stats is not None:
+        stats["batches"] = n_batches
+        stats["merges"] = len(out_rows)
+    return spark.createDataFrame(
+        out_rows,
+        "step int, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+def _local_greedy_merges(
+    rows: list[tuple[str, int]], merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-local exact greedy BPE over a collected (repr, cnt) word
+    table — identical semantics to the distributed loop: pair counts
+    weighted by word frequency, argmax with (pc DESC, lhs, rhs)
+    tie-break (Python str compare == SQL/Java lex compare on the
+    [a-z]+ alphabet), and left-to-right non-overlapping merge
+    application (``(a)(a)(a)`` -> ``(aa)(a)``, exactly Java
+    ``String.replace``). Delta-maintained with a lazy heap: only the
+    words containing the winning pair are touched per merge."""
+    import heapq
+    from collections import defaultdict
+
+    words = [r[0][1:-1].split(")(") for r in rows]
+    cnts = [int(r[1]) for r in rows]
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, syms in enumerate(words):
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += cnts[wi]
+            pair_words[(a, b)].add(wi)
+    heap = [(-pc, p[0], p[1]) for p, pc in pair_counts.items()]
+    heapq.heapify(heap)
+    out = []
+    step = 0
+    while step < merges and heap:
+        npc, lhs, rhs = heapq.heappop(heap)
+        cur = pair_counts.get((lhs, rhs), 0)
+        if cur <= 0 or -npc != cur:
+            continue  # stale heap entry; the live count was re-pushed
+        step += 1
+        merged = lhs + rhs
+        out.append((step, lhs, rhs, merged, cur))
+        touched: set[tuple[str, str]] = set()
+        for wi in sorted(pair_words[(lhs, rhs)]):
+            syms = words[wi]
+            c = cnts[wi]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= c
+                pair_words[(a, b)].discard(wi)
+                touched.add((a, b))
+            new = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            words[wi] = new
+            for a, b in zip(new, new[1:]):
+                pair_counts[(a, b)] += c
+                pair_words[(a, b)].add(wi)
+                touched.add((a, b))
+        for p in touched:
+            pc = pair_counts.get(p, 0)
+            if pc > 0:
+                heapq.heappush(heap, (-pc, p[0], p[1]))
+            else:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+    return out
+
+
+def bpe_train_scalable(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: int = 256,
+    driver_vocab_cap: int = 2_000_000,
+    top_m: int = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The production BPE-training shape: ONE distributed word-count
+    aggregation, then — when the distinct-word vocabulary fits the
+    driver cap — the entire merge loop runs driver-local over the
+    collected (word, count) table in exact greedy order. This is what
+    every real tokenizer trainer does (HF tokenizers, SentencePiece:
+    corpus-scale work is the word count; the merge loop is
+    vocabulary-local), and it makes a 32k-merge vocabulary cost TWO
+    Spark jobs instead of 32k. Even web-scale corpora keep the
+    alphabetic-word vocabulary in the low millions — ~100 MB of
+    driver state; the cap guards the pathological case and falls back
+    to :func:`bpe_train_batched` (one job per provably-sequential
+    merge BATCH) above it, so no input size ever collects an
+    unbounded table.
+
+    Bit-identical to :func:`bpe_train` / :func:`bpe_train_delta` /
+    the chained-CTE DuckDB oracle (same weighting, same (pc DESC,
+    lhs, rhs) tie-break, same left-to-right merge application).
+    Pass ``stats={}`` to receive ``{"path": "local"|"batched",
+    "jobs": N}``."""
+    spark = docs.sparkSession
+    words = _word_table(docs, text_col)
+    n = words.count()
+    if n > driver_vocab_cap:
+        if stats is not None:
+            stats["path"] = "batched"
+        return bpe_train_batched(docs, text_col, merges, top_m, stats)
+    rows = [(r["repr"], r["cnt"]) for r in words.collect()]
+    out_rows = _local_greedy_merges(rows, merges)
+    if stats is not None:
+        stats["path"] = "local"
+        stats["jobs"] = 2
+    return spark.createDataFrame(
+        out_rows,
+        "step int, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
 def bpe_apply_token_counts(
     docs: DataFrame,
     merge_table: DataFrame,

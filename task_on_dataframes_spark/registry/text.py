@@ -502,6 +502,24 @@ def _text_bpe_train64(spark, sf_dir):
     return bpe_train_delta(_docs(spark, sf_dir), "text", merges=64)
 
 
+def _text_bpe_train256(spark, sf_dir):
+    """256-merge BPE training through the SCALABLE path
+    (operators/bpe.py:bpe_train_scalable): one distributed word-count
+    aggregation, then the whole merge loop runs driver-local over the
+    vocabulary-sized (word, count) table — two Spark jobs total for
+    any merge count, the shape every production tokenizer trainer
+    uses (the corpus-scale work IS the word count). Above the driver
+    vocab cap it falls back to bpe_train_batched (one job per
+    provably-sequential-equivalent merge BATCH, not per merge). The
+    corpus's 31-word vocabulary exhausts all pairs after 89 merges,
+    so the table caps there; the oracle replays all 256 requested
+    iterations through the chained-CTE program and naturally empties
+    at the same step."""
+    from task_on_dataframes_spark.operators.bpe import bpe_train_scalable
+
+    return bpe_train_scalable(_docs(spark, sf_dir), "text", merges=256)
+
+
 def _text_bpe_apply(spark, sf_dir):
     """Apply the learned BPE merge table to the corpus: per-document
     token counts under the trained vocabulary. The 6-rule table is the

@@ -278,3 +278,62 @@ def test_bpe_train_delta_exhausts_pairs(spark):
         "b",
         "ab",
     )
+
+
+def test_bpe_train_batched_and_scalable_match_delta(spark):
+    """The batched-prefix trainer and the driver-local scalable trainer
+    must both replay merge-at-a-time greedy bit-identically, including
+    tie-breaks and counts, while costing far fewer jobs."""
+    from task_on_dataframes_spark.operators.bpe import (
+        bpe_train_batched,
+        bpe_train_delta,
+        bpe_train_scalable,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "banana bandana banana cabana"),
+            (2, "cabana banana band bandit"),
+            (3, "an ban nab banana banter"),
+            (4, "deed deeded dada abba banana"),
+        ],
+        ["doc_id", "text"],
+    )
+    ref = [tuple(r) for r in bpe_train_delta(docs, "text", merges=20).collect()]
+    stats_b: dict = {}
+    batched = [
+        tuple(r)
+        for r in bpe_train_batched(docs, "text", merges=20, stats=stats_b).collect()
+    ]
+    assert batched == ref
+    assert stats_b["batches"] < stats_b["merges"], stats_b
+    stats_s: dict = {}
+    local = [
+        tuple(r)
+        for r in bpe_train_scalable(docs, "text", merges=20, stats=stats_s).collect()
+    ]
+    assert local == ref
+    assert stats_s["path"] == "local" and stats_s["jobs"] == 2
+
+
+def test_bpe_train_scalable_falls_back_above_cap(spark):
+    from task_on_dataframes_spark.operators.bpe import (
+        bpe_train_delta,
+        bpe_train_scalable,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana cabana"), (2, "band bandit banter")],
+        ["doc_id", "text"],
+    )
+    stats: dict = {}
+    out = [
+        tuple(r)
+        for r in bpe_train_scalable(
+            docs, "text", merges=8, driver_vocab_cap=2, stats=stats
+        ).collect()
+    ]
+    assert stats["path"] == "batched"
+    assert out == [
+        tuple(r) for r in bpe_train_delta(docs, "text", merges=8).collect()
+    ]
