@@ -108,6 +108,7 @@ from task_on_dataframes_spark.registry.embeddings import (
     _emb_pca_top2,
     _ann_ivf_topk,
     _ann_ivfpq_topk,
+    _ann_ivfsq_topk,
     _ann_pq_topk,
     _ann_lsh_multi_topk,
     _ann_sq_rerank,
@@ -678,61 +679,11 @@ def _bloom_decontaminate_oracle_sql(k: int = 3, m: int = 1 << 16) -> str:
 #: windows union to 155 distinct driver-checked queries; these are the
 #: 48 that never received a driver row (computed from the four
 #: CORRECTNESS_r0*.json artifacts), plus this round's new queries, so
-#: CORRECTNESS_r05 extends driver coverage instead of re-checking
-#: long-green entries (VERDICT r4 item 5 / ADVICE-corrected counts).
-_R5_WINDOW = [
-    # new this round
-    "mm_png_decode",
-    "text_bpe_train64",
-    "mm_wav_decode",
-    "mm_audio_features",
-    "mm_audio_resample",
-    "quality_gopher_gate",
-    "quality_psi_drift",
-    "ann_sq_rerank",
-    "ev_ohlc_bars",
-    "mix_temperature",
-    "text_fim_transform",
-    # never driver-checked, r1-r4
-    "sketch_hll_bound",
-    "sketch_quantile_bound",
-    "sketch_heavy_hitters",
-    "s14_compaction",
-    "f_map_funcs",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "stream_windowed_topk",
-    "s15_schema_merge",
-    "ev_session_window_builtin",
-    "stream_dedup",
-    "stream_enrich",
-    "stream_stream_join",
-    "emb_label_centroids",
-    "emb_gram",
-    "emb_pca_top",
-    "shard_assign",
-    "s9_orc_roundtrip",
-    "s10_jsonl_roundtrip",
-    "pipeline_c4_curation",
-    "j9_full_outer",
-    "w8_first_last",
-    "profile_table",
-    "scd2_history",
-    "graph_pagerank",
-    "s11_partition_prune",
-    "sample_bottomk",
-    "dedup_daily_first",
-    "emb_pca_project",
-    "text_sentences",
-    "curriculum_quality_bins",
-    "dedup_cross_corpus",
-    "mm_decode_meta",
-    "mm_frame_sample",
-    "mm_raw_decode",
-    "mm_raw_pipeline",
-    "text_bigram_lm",
-    "sample_negatives",
-    "s12_sorted_stats_prune",
+#: CORRECTNESS_r06 window: the 9 queries never driver-checked in any
+#: round (closing VERDICT r5 item 6), the round-6 additions, every
+#: query whose code changed this round, then the least-recently-checked
+#: tail (r1/r2-era) — so driver coverage keeps rotating.
+_R6_WINDOW = [
     "set_ops",
     "f_posexplode",
     "w3_ranking",
@@ -742,19 +693,60 @@ _R5_WINDOW = [
     "text_winnow",
     "emb_quantize",
     "sample_split",
+    "text_bpe_train256",
+    "ann_ivfsq_topk",
+    "dedup_substring",
+    "dedup_substring_rewrite",
+    "mm_wav_decode",
+    "mm_png_decode",
+    "quality_gopher_gate",
+    "emb_gram",
+    "emb_pca_top",
+    "emb_pca_project",
+    "emb_pca_top2",
+    "text_bpe_train64",
+    "text_bpe_train",
+    "text_bpe_apply",
+    "ann_pq_topk",
+    "ann_sq_rerank",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_simhash",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_token_count",
+    "text_token_stats",
+    "a1_value_counts",
+    "a2_scalar_sum",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "f1_explode_carry",
+    "f2_word_boundary_split",
+    "f_array_funcs",
+    "f_date_funcs",
+    "f_string_funcs",
+    "j3_left_join",
+    "j4_semi_join",
+    "j5_anti_join",
+    "o2_pagination",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    head = {k: q[k] for k in _R5_WINDOW if k in q}
+    head = {k: q[k] for k in _R6_WINDOW if k in q}
     return head | {k: v for k, v in q.items() if k not in head}
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r4 ordering below; the driver window is imposed by
-        # _R5_WINDOW in queries() ---
+        # _R6_WINDOW in queries() ---
         "j10_interval_overlap_join": _j10_interval_overlap_join,
         "quality_ks_drift": _quality_ks_drift,
         "quality_psi_drift": _quality_psi_drift,
@@ -920,6 +912,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_agg": _stream_hourly_agg,
         "ann_lsh_multi_topk": _ann_lsh_multi_topk,
         "ann_sq_rerank": _ann_sq_rerank,
+        "ann_ivfsq_topk": _ann_ivfsq_topk,
         "sample_topk_per_stratum": _sample_topk_per_stratum,
         "dedup_winnow": _dedup_winnow,
         "w5_lag_delta": _w5_lag_delta,
@@ -1520,6 +1513,69 @@ def _ivf_oracle(where: str = "") -> str:
         "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s) "
         "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
         "FROM r WHERE rank <= 10"
+    )
+
+
+def _ivfsq_oracle() -> str:
+    """IVF + int8 SQ + exact rerank oracle (mirrors
+    similarity.ivfsq_ann_topk): identical centroid selection /
+    assignment / probe ranking to :func:`_ivf_oracle`, then the int8
+    quantized dot over probed-list members with the exact-cosine
+    rerank of the top-50 shortlist (identical quantization math to
+    the ann_sq_rerank oracle)."""
+    q8 = (
+        "CASE WHEN amax > 0 THEN list_transform(v, "
+        "x -> CAST(round(x / (amax / 127.0)) AS INT)) "
+        "ELSE list_transform(v, x -> 0) END"
+    )
+    return (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings), "
+        "ch AS (SELECT vec_id, v, "
+        "CAST(('0x' || substr(md5(CAST('ivf:' || CAST(vec_id AS VARCHAR) "
+        "AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM c), "
+        "cent AS (SELECT vec_id AS cid, v AS cv FROM ("
+        "SELECT vec_id, v, row_number() OVER "
+        "(PARTITION BY h % 16 ORDER BY h, vec_id) AS rn FROM ch) "
+        "WHERE rn = 1), "
+        "assign AS (SELECT c.vec_id, c.v, cent.cid, "
+        "round(list_dot_product(c.v, cent.cv) / "
+        "(sqrt(list_dot_product(c.v, c.v)) * "
+        "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS sim "
+        "FROM c, cent), "
+        "member0 AS (SELECT vec_id, v, cid FROM ("
+        "SELECT vec_id, v, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM assign) "
+        "WHERE rn = 1), "
+        "member AS (SELECT vec_id, v, cid, amax / 127.0 AS scale, "
+        f"{q8} AS q8 FROM (SELECT vec_id, v, cid, "
+        "list_max(list_transform(v, x -> abs(x))) AS amax FROM member0)), "
+        "qa AS (SELECT vec_id AS query_id, v, cid, sim FROM assign "
+        "WHERE vec_id < 10), "
+        "probes0 AS (SELECT query_id, v, cid FROM ("
+        "SELECT query_id, v, cid, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, cid ASC) AS pr FROM qa) "
+        "WHERE pr <= 12), "
+        "probes AS (SELECT query_id, v, cid, amax / 127.0 AS scale, "
+        f"{q8} AS q8 FROM (SELECT query_id, v, cid, "
+        "list_max(list_transform(v, x -> abs(x))) AS amax FROM probes0)), "
+        "s1 AS (SELECT p.query_id, m.vec_id, p.v AS vq, m.v AS vc, "
+        "round(list_dot_product(p.q8::DOUBLE[], m.q8::DOUBLE[]) "
+        "* p.scale * m.scale, 6) AS approx "
+        "FROM member m JOIN probes p ON m.cid = p.cid "
+        "WHERE p.query_id != m.vec_id), "
+        "r1 AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY approx DESC, vec_id ASC) AS rn FROM s1), "
+        "s2 AS (SELECT query_id, vec_id, approx, "
+        "round(list_dot_product(vq, vc) / "
+        "(sqrt(list_dot_product(vq, vq)) * "
+        "sqrt(list_dot_product(vc, vc))), 5) AS cos "
+        "FROM r1 WHERE rn <= 50), "
+        "r2 AS (SELECT query_id, vec_id, approx, cos, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, vec_id ASC) AS rank FROM s2) "
+        "SELECT query_id, vec_id, approx, cos, "
+        "CAST(rank AS INTEGER) AS rank FROM r2 WHERE rank <= 10"
     )
 
 
@@ -2406,6 +2462,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "CAST(rank AS INTEGER) AS rank FROM r2 WHERE rank <= 10"
         ),
         "ann_ivf_topk": _ivf_oracle(),
+        "ann_ivfsq_topk": _ivfsq_oracle(),
         "ann_filtered_topk": _ivf_oracle(" WHERE label % 4 = 0"),
         # the recursive-CTE query ships ONE SQL text for both engines
         "sql_recursive_reach": RECURSIVE_REACH_SQL,

@@ -250,6 +250,30 @@ def _ann_ivfpq_topk(spark, sf_dir):
     )
 
 
+def _ann_ivfsq_topk(spark, sf_dir):
+    """IVF + int8 scalar-quantized list scan + exact rerank (FAISS
+    ``IVF16,SQ8`` shape): the coarse index prunes WHICH vectors are
+    scored, the quantized dot makes each scored candidate 4x cheaper
+    in bandwidth, exact cosine reranks the top-50 shortlist. Closes
+    ann_sq_rerank's flat-scan gap — its stage 1 touched every corpus
+    vector per query. n_probe=12/16 here because the synthetic
+    UNIFORM-random vectors are IVF-pessimal (no cluster structure, so
+    true neighbors scatter across lists — recall@10 is ~coverage:
+    0.46 at 4 probes, 0.90 at 12, measured at sf0.01); real embedding
+    manifolds cluster and run the same shape at n_probe 2-4. Oracle
+    replays centroid selection, assignment, probes, quantization, and
+    both rerank stages exactly."""
+    from task_on_dataframes_spark.operators.similarity import ivfsq_ann_topk
+
+    emb = _embs(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfsq_ann_topk(
+        emb, queries_df, k=10, n_centroids=16, n_probe=12, shortlist=50
+    )
+
+
 def _ann_recall_eval(spark, sf_dir):
     """ANN quality evaluation: recall@10 of the multi-table LSH index
     against the exact cosine top-10, per query — the measurement loop
