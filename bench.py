@@ -97,6 +97,10 @@ def main() -> None:
         # round-4 wave 12
         "mix_token_budget",
         "ann_hybrid_rrf",
+        # round-6 flagships
+        "dedup_substring_rewrite",
+        "ann_ivfsq_topk",
+        "text_bpe_train256",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}
