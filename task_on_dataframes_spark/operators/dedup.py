@@ -1178,7 +1178,12 @@ def repeated_gram_rewrite(
     # per-doc dropped-position SET, not an exploded token anti-join:
     # reassembly is then one doc-level join (the drop-set side is
     # affected-docs-sized) plus a scan-stage array filter over the
-    # affected docs' token arrays.
+    # affected docs' token arrays. (Aggregating raw gram positions and
+    # expanding the x``k`` cover scan-stage AFTER the groupBy was
+    # measured SLOWER despite 1/k the shuffle rows — the
+    # transform/flatten/array_distinct chain is interpreted, while the
+    # exploded collect_set stays in codegen'd aggregate machinery;
+    # 2.9x vs 2.1x at 10x data, so the explode form stays.)
     removable_pos = removable.select(
         (F.col("enc") / F.lit(100_000_000)).cast("long").alias("did"),
         (F.col("enc") % F.lit(100_000_000)).cast("int").alias("pos"),
