@@ -613,3 +613,22 @@ def test_approx_sketches_within_error_bounds(spark, sf_dir):
         li, "l_quantity", probs=(0.5,), group_by=["l_returnflag"]
     )
     assert per_group.count() == 3
+
+
+def test_tfidf_df_strategies_identical(spark, sf_dir):
+    from task_on_dataframes_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(
+        tuple(r)
+        for r in tfidf_top_terms(
+            docs, "doc_id", "text", k=3, df_strategy="window"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in tfidf_top_terms(
+            docs, "doc_id", "text", k=3, df_strategy="join"
+        ).collect()
+    )
+    assert a == b and a
