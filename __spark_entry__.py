@@ -109,6 +109,7 @@ from task_on_dataframes_spark.registry.embeddings import (
     _ann_ivf_topk,
     _ann_ivfpq_topk,
     _ann_ivfsq_topk,
+    _ann_ivf_incremental,
     _ann_pq_topk,
     _ann_lsh_multi_topk,
     _ann_sq_rerank,
@@ -695,6 +696,7 @@ _R6_WINDOW = [
     "sample_split",
     "text_bpe_train256",
     "ann_ivfsq_topk",
+    "ann_ivf_incremental",
     "dedup_substring",
     "dedup_substring_rewrite",
     "mm_wav_decode",
@@ -913,6 +915,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multi_topk": _ann_lsh_multi_topk,
         "ann_sq_rerank": _ann_sq_rerank,
         "ann_ivfsq_topk": _ann_ivfsq_topk,
+        "ann_ivf_incremental": _ann_ivf_incremental,
         "sample_topk_per_stratum": _sample_topk_per_stratum,
         "dedup_winnow": _dedup_winnow,
         "w5_lag_delta": _w5_lag_delta,
@@ -1513,6 +1516,58 @@ def _ivf_oracle(where: str = "") -> str:
         "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s) "
         "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
         "FROM r WHERE rank <= 10"
+    )
+
+
+def _ivf_incr_oracle() -> str:
+    """IVF incremental-maintenance oracle (mirrors
+    similarity.ivf_ann_incremental): centroids from the base split
+    only, assignment over base ∪ new batch, probes and exact scoring
+    identical to :func:`_ivf_oracle`."""
+    return (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings), "
+        "base AS (SELECT vec_id, v FROM c WHERE vec_id % 10 != 0), "
+        "newb AS (SELECT vec_id, v FROM c "
+        "WHERE vec_id % 10 = 0 AND vec_id >= 10), "
+        "ch AS (SELECT vec_id, v, "
+        "CAST(('0x' || substr(md5(CAST('ivf:' || CAST(vec_id AS VARCHAR) "
+        "AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM base), "
+        "cent AS (SELECT vec_id AS cid, v AS cv FROM ("
+        "SELECT vec_id, v, row_number() OVER "
+        "(PARTITION BY h % 16 ORDER BY h, vec_id) AS rn FROM ch) "
+        "WHERE rn = 1), "
+        "un AS (SELECT vec_id, v, FALSE AS is_new FROM base "
+        "UNION ALL SELECT vec_id, v, TRUE AS is_new FROM newb), "
+        "assign AS (SELECT u.vec_id, u.v, u.is_new, cent.cid, "
+        "round(list_dot_product(u.v, cent.cv) / "
+        "(sqrt(list_dot_product(u.v, u.v)) * "
+        "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS sim "
+        "FROM un u, cent), "
+        "member AS (SELECT vec_id, v, is_new, cid FROM ("
+        "SELECT vec_id, v, is_new, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM assign) "
+        "WHERE rn = 1), "
+        "q AS (SELECT vec_id AS query_id, v AS vq FROM c WHERE vec_id < 10), "
+        "qa AS (SELECT q.query_id, q.vq, cent.cid, "
+        "round(list_dot_product(q.vq, cent.cv) / "
+        "(sqrt(list_dot_product(q.vq, q.vq)) * "
+        "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS qsim "
+        "FROM q, cent), "
+        "probes AS (SELECT query_id, vq, cid FROM ("
+        "SELECT query_id, vq, cid, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY qsim DESC, cid ASC) AS pr FROM qa) "
+        "WHERE pr <= 4), "
+        "s AS (SELECT p.query_id, m.vec_id, m.is_new, "
+        "round(list_dot_product(p.vq, m.v) / "
+        "(sqrt(list_dot_product(p.vq, p.vq)) * "
+        "sqrt(list_dot_product(m.v, m.v))), 5) AS cos "
+        "FROM member m JOIN probes p ON m.cid = p.cid "
+        "WHERE p.query_id != m.vec_id), "
+        "r AS (SELECT query_id, vec_id, is_new, cos, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM s) "
+        "SELECT query_id, vec_id, is_new, cos, "
+        "CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10"
     )
 
 
@@ -2463,6 +2518,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         ),
         "ann_ivf_topk": _ivf_oracle(),
         "ann_ivfsq_topk": _ivfsq_oracle(),
+        "ann_ivf_incremental": _ivf_incr_oracle(),
         "ann_filtered_topk": _ivf_oracle(" WHERE label % 4 = 0"),
         # the recursive-CTE query ships ONE SQL text for both engines
         "sql_recursive_reach": RECURSIVE_REACH_SQL,

@@ -232,6 +232,46 @@ def bpe_train_delta(
     )
 
 
+def _accept_batch(
+    top: list[tuple[str, str, int]],
+    capped: bool,
+    remaining: int,
+) -> list[tuple[str, str, int]]:
+    """Longest PREFIX of the collected pair ranking provably equivalent
+    to sequential greedy BPE (the driver-side core of
+    :func:`bpe_train_batched`; fuzz-tested against naive recount
+    greedy). ``top`` is sorted by (pc DESC, lhs, rhs); ``capped`` says
+    the list was truncated, so uncollected pairs may hold counts up to
+    ``top[-1]``'s. Acceptance of p_i requires:
+
+    * prefix-only: the first rejection stops the batch;
+    * p_i shares no symbol with any earlier accepted pair, nor spells
+      any earlier mate's concatenation (which would alias its counts);
+    * p_i's count strictly exceeds every collected pair that shares a
+      symbol with the accepted set (the ceiling on pairs CREATED by
+      those merges) and, when capped, the last collected count (the
+      ceiling on anything uncollected)."""
+    accepted = [top[0]]
+    used = {top[0][0], top[0][1], top[0][0] + top[0][1]}
+    floor = top[-1][2] if capped else 0
+    for lhs, rhs, pc in top[1:]:
+        if len(accepted) >= remaining:
+            break
+        if lhs in used or rhs in used or (lhs + rhs) in used:
+            break
+        bound = floor
+        for ql, qr, qpc in top:
+            if (ql in used or qr in used) and not any(
+                ql == al and qr == ar for al, ar, _ in accepted
+            ):
+                bound = max(bound, qpc)
+        if pc <= bound:
+            break
+        accepted.append((lhs, rhs, pc))
+        used.update({lhs, rhs, lhs + rhs})
+    return accepted[:remaining]
+
+
 def bpe_train_batched(
     docs: DataFrame,
     text_col: str = "text",
@@ -293,48 +333,27 @@ def bpe_train_batched(
         if not top:
             break
         n_batches += 1
-        # ceiling on the count of any pair NOT in the collected list
-        floor = top[-1]["pc"] if len(top) == top_m else 0
-        accepted = [top[0]]
-        used = {top[0]["lhs"], top[0]["rhs"], top[0]["lhs"] + top[0]["rhs"]}
-        for row in top[1:]:
-            if len(out_rows) + len(accepted) >= merges:
-                break
-            if (
-                row["lhs"] in used
-                or row["rhs"] in used
-                or (row["lhs"] + row["rhs"]) in used
-            ):
-                break
-            bound = floor
-            for q in top:
-                if (q["lhs"] in used or q["rhs"] in used) and not any(
-                    q["lhs"] == a["lhs"] and q["rhs"] == a["rhs"]
-                    for a in accepted
-                ):
-                    bound = max(bound, q["pc"])
-            if row["pc"] <= bound:
-                break
-            accepted.append(row)
-            used.update({row["lhs"], row["rhs"], row["lhs"] + row["rhs"]})
+        accepted = _accept_batch(
+            [(r["lhs"], r["rhs"], int(r["pc"])) for r in top],
+            capped=len(top) == top_m,
+            remaining=merges - len(out_rows),
+        )
         step0 = len(out_rows) + 1
-        for i, r in enumerate(accepted):
-            out_rows.append(
-                (step0 + i, r["lhs"], r["rhs"], r["lhs"] + r["rhs"], int(r["pc"]))
-            )
+        for i, (al, ar, apc) in enumerate(accepted):
+            out_rows.append((step0 + i, al, ar, al + ar, apc))
         if len(out_rows) >= merges:
             break
-        patterns = [f"({r['lhs']})({r['rhs']})" for r in accepted]
+        patterns = [f"({al})({ar})" for al, ar, _ in accepted]
         any_hit = F.col("repr").contains(patterns[0])
         for p in patterns[1:]:
             any_hit = any_hit | F.col("repr").contains(p)
         hit = words.filter(any_hit)
         repr_col = F.col("repr")
-        for r in accepted:
+        for al, ar, _ in accepted:
             repr_col = F.replace(
                 repr_col,
-                F.lit(f"({r['lhs']})({r['rhs']})"),
-                F.lit(f"({r['lhs'] + r['rhs']})"),
+                F.lit(f"({al})({ar})"),
+                F.lit(f"({al + ar})"),
             )
         new_hit = hit.select(repr_col.alias("repr"), "cnt")
         minus = _pair_counts(hit).select(

@@ -323,6 +323,111 @@ def ivf_ann_topk(
     )
 
 
+def ivf_ann_incremental(
+    base: DataFrame,
+    new_batch: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF index MAINTENANCE: centroids train on the existing ``base``
+    corpus only; ``new_batch`` vectors are assigned to those frozen
+    lists (one broadcast-centroid argmax over the batch — no
+    retraining, no base re-scan beyond its own one-time assignment)
+    and search runs over base ∪ batch. This is how a production vector
+    index absorbs a day's arrivals at 100 TB: the expensive coarse
+    quantizer stays fixed between rebuilds, ingest cost is linear in
+    the BATCH, and the same machinery answers queries immediately —
+    the ANN twin of ``dedup.incremental_lsh_pairs``. Drift between the
+    frozen centroids and new data shows up as list imbalance, which
+    the recall-eval queries measure; the rebuild cadence is an
+    offline decision.
+
+    Centroid selection / assignment / probe ranking are identical to
+    :func:`ivf_ann_topk` (hash-stratified deterministic centroids,
+    map-side-partial argmax, broadcast probed pairs), replayed exactly
+    by the DuckDB oracle. Output (query_id, vec_id, is_new, cos,
+    rank), rank 1..k by exact cosine within probed lists.
+    """
+    b = base.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vc"),
+    )
+    nb = new_batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vc"),
+    )
+    h = hash32(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
+    cents = (
+        b.withColumn("h", h)
+        .withColumn("stratum", F.col("h") % n_centroids)
+        .groupBy("stratum")
+        .agg(F.min(F.struct("h", "vec_id", "vc")).alias("m"))
+        .select(F.col("m.vec_id").alias("cid"), F.col("m.vc").alias("cv"))
+        .persist()
+    )
+    union = b.withColumn("is_new", F.lit(False)).unionAll(
+        nb.withColumn("is_new", F.lit(True))
+    )
+    assigned = union.join(F.broadcast(cents)).select(
+        "vec_id",
+        "vc",
+        "is_new",
+        "cid",
+        F.round(cosine("vc", "cv"), 5).alias("sim"),
+    )
+    member = (
+        assigned.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))
+            ).alias("m"),
+            F.first("vc").alias("vc"),
+            F.first("is_new").alias("is_new"),
+        )
+        .select("vec_id", "vc", "is_new", (-F.col("m.ncid")).alias("cid"))
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cid"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "vq",
+            "cid",
+            F.round(cosine("vq", "cv"), 5).alias("qsim"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "vq", "cid")
+    )
+    scored = (
+        member.withColumn("nc", norm("vc"))
+        .join(F.broadcast(probes.withColumn("nq", norm("vq"))), on="cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "is_new",
+            F.round(
+                dot("vq", "vc") / (F.col("nq") * F.col("nc")), 5
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def quantize_int8(
     emb: DataFrame,
     id_col: str = "vec_id",

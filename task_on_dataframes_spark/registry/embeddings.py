@@ -274,6 +274,29 @@ def _ann_ivfsq_topk(spark, sf_dir):
     )
 
 
+def _ann_ivf_incremental(spark, sf_dir):
+    """IVF index maintenance: centroids frozen on the 90% base corpus
+    (vec_id % 10 != 0), the 10% "new arrivals" batch assigned to those
+    lists without retraining (ingest linear in the BATCH), queries
+    answered over base ∪ batch immediately — the ANN twin of
+    dedup_incremental_lsh. is_new marks hits from the fresh batch.
+    Oracle replays the split, frozen-centroid selection, both
+    assignments, probes, and scoring exactly."""
+    from task_on_dataframes_spark.operators.similarity import (
+        ivf_ann_incremental,
+    )
+
+    emb = _embs(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    newb = emb.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") >= 10))
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_incremental(
+        base, newb, queries_df, k=10, n_centroids=16, n_probe=4
+    )
+
+
 def _ann_recall_eval(spark, sf_dir):
     """ANN quality evaluation: recall@10 of the multi-table LSH index
     against the exact cosine top-10, per query — the measurement loop

@@ -337,3 +337,115 @@ def test_bpe_train_scalable_falls_back_above_cap(spark):
     assert out == [
         tuple(r) for r in bpe_train_delta(docs, "text", merges=8).collect()
     ]
+
+
+def test_local_greedy_merges_fuzz_vs_naive():
+    """Property fuzz (pure driver, no Spark): the lazy-heap
+    delta-maintained local trainer must match a naive recount-greedy
+    reference on random word tables — same merges, same counts, same
+    tie-breaks."""
+    import random
+
+    def naive(rows, merges):
+        words = [(r[0][1:-1].split(")("), r[1]) for r in rows]
+        out = []
+        for step in range(1, merges + 1):
+            counts = {}
+            for syms, cnt in words:
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + cnt
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            (lhs, rhs), pc = best
+            out.append((step, lhs, rhs, lhs + rhs, pc))
+            merged = lhs + rhs
+            nw = []
+            for syms, cnt in words:
+                new = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                        new.append(merged)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                nw.append((new, cnt))
+            words = nw
+        return out
+
+    from task_on_dataframes_spark.operators.bpe import _local_greedy_merges
+
+    rng = random.Random(11)
+    for trial in range(200):
+        n_words = rng.randint(1, 12)
+        rows = []
+        seen = set()
+        for _ in range(n_words):
+            w = "".join(
+                rng.choice("abc") for _ in range(rng.randint(1, 7))
+            )
+            if w in seen:
+                continue
+            seen.add(w)
+            rows.append(
+                ("(" + ")(".join(w) + ")", rng.randint(1, 9))
+            )
+        merges = rng.randint(1, 15)
+        got = _local_greedy_merges(list(rows), merges)
+        want = naive(list(rows), merges)
+        assert got == want, (trial, rows, merges, got, want)
+
+
+def test_accept_batch_fuzz_equals_sequential_greedy():
+    """Property fuzz (pure driver): every batch _accept_batch returns
+    must equal the next len(batch) steps of naive sequential greedy —
+    the exactness claim bpe_train_batched rests on, exercised over
+    random word tables and random collection cutoffs (capped lists)."""
+    import random
+
+    from task_on_dataframes_spark.operators.bpe import _accept_batch
+
+    def pair_counts(words):
+        counts = {}
+        for syms, cnt in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + cnt
+        return counts
+
+    def apply_merge(words, lhs, rhs):
+        merged, nw = lhs + rhs, []
+        for syms, cnt in words:
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            nw.append((new, cnt))
+        return nw
+
+    rng = random.Random(23)
+    for trial in range(300):
+        words = []
+        for _ in range(rng.randint(2, 10)):
+            w = "".join(rng.choice("abcd") for _ in range(rng.randint(2, 8)))
+            words.append(([*w], rng.randint(1, 9)))
+        top_m = rng.randint(2, 12)
+        counts = pair_counts(words)
+        if not counts:
+            continue
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = [(l, r, pc) for (l, r), pc in ranked[:top_m]]
+        batch = _accept_batch(top, capped=len(ranked) > top_m, remaining=len(top))
+        # sequential greedy replay over the SAME table
+        cur = words
+        for i, (lhs, rhs, pc) in enumerate(batch):
+            c = pair_counts(cur)
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            assert best == ((lhs, rhs), pc), (
+                trial, i, batch, best, ((lhs, rhs), pc))
+            cur = apply_merge(cur, lhs, rhs)

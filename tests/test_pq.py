@@ -187,3 +187,48 @@ def test_ivfsq_prunes_to_probed_lists_and_broadcasts(spark, emb):
         a = list(full_sq[full_sq.query_id == qid].vec_id)
         b = list(full_ivf[full_ivf.query_id == qid].vec_id)
         assert a == b, (qid, a, b)
+
+
+def test_ivf_incremental_matches_full_when_batch_empty(spark, emb):
+    from task_on_dataframes_spark.operators.similarity import (
+        ivf_ann_incremental,
+        ivf_ann_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    empty = emb.filter(F.lit(False))
+    inc = ivf_ann_incremental(
+        emb, empty, queries, k=5, n_centroids=8, n_probe=3
+    ).toPandas()
+    full = ivf_ann_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=3
+    ).toPandas()
+    assert not inc.is_new.any()
+    a = inc[["query_id", "vec_id", "cos", "rank"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    b = full[["query_id", "vec_id", "cos", "rank"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_ivf_incremental_surfaces_new_batch_hits(spark, emb):
+    from task_on_dataframes_spark.operators.similarity import (
+        ivf_ann_incremental,
+    )
+
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    newb = emb.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") >= 10))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_ann_incremental(
+        base, newb, queries, k=10, n_centroids=16, n_probe=4
+    ).toPandas()
+    # fresh arrivals are searchable immediately: ~10% of the corpus is
+    # new, so across 10 queries x 10 hits some must come from the batch
+    assert got.is_new.any()
+    # and every new hit really is a batch member
+    assert (got[got.is_new].vec_id % 10 == 0).all()
+    assert (got[got.is_new].vec_id >= 10).all()
