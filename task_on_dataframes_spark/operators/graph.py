@@ -26,11 +26,60 @@ from pyspark.sql import functions as F
 _last_persisted: DataFrame | None = None
 
 
+def _round_half_up(x: float, nd: int) -> float:
+    """Decimal-exact HALF_UP rounding of a double — bit-identical to
+    Spark/DuckDB ``round(double, nd)`` (both round the exact binary
+    value of the double half-up in decimal). Python's builtin round()
+    is half-to-even and the float-scaling trick mis-rounds near ULP
+    boundaries, so this goes through the decimal module."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(x).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
+    )
+
+
+def _pagerank_local(
+    edge_rows, node_vals, iters: int, damping: float
+) -> list[tuple]:
+    """Driver-local replay of the distributed iteration — identical
+    arithmetic: integer-exact out-weights, ``w / out_w`` double
+    division, per-iteration round-12 (the engine sync point that
+    already absorbs summation-order noise between Spark and DuckDB),
+    final round-8, HALF_UP throughout."""
+    from collections import defaultdict
+
+    n = len(node_vals)
+    teleport = (1.0 - damping) / n
+    nodeset = set(node_vals)
+    out_w = defaultdict(int)
+    for src, dst, w in edge_rows:
+        out_w[src] += w
+    fracs = sorted(
+        (src, dst, w / out_w[src]) for src, dst, w in edge_rows
+    )
+    rank = {v: 1.0 / n for v in node_vals}
+    for _ in range(iters):
+        acc = defaultdict(float)
+        for src, dst, f in fracs:
+            if src in rank:
+                acc[dst] += f * rank[src]
+        contrib = {d: _round_half_up(s, 12) for d, s in acc.items()}
+        rank = {
+            v: _round_half_up(
+                teleport + damping * contrib.get(v, 0.0), 12
+            )
+            for v in node_vals
+        }
+    return [(v, _round_half_up(rank[v], 8)) for v in node_vals]
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,
     iters: int = 5,
     damping: float = 0.85,
+    local_edge_cap: int = 100_000,
 ) -> DataFrame:
     """Weighted PageRank over ``edges`` (src, dst, w) restricted to the
     ``nodes`` frame (one column ``node``).
@@ -41,11 +90,38 @@ def pagerank(
     the SQL oracle). Contributions and ranks round to 12 decimals per
     iteration so IEEE summation-order differences between engines
     cannot accumulate; the returned rank is rounded to 8.
+
+    DIMENSION-BOUNDED fast path: when the aggregated edge list holds
+    at most ``local_edge_cap`` rows (it is distinct-(src,dst)-sized —
+    n² at worst, NOT corpus-sized; the corpus-scale work is the edge
+    AGGREGATION upstream, which always runs distributed), the
+    iteration itself runs on the driver with bit-identical arithmetic
+    (integer-exact out-weights, same division, same HALF_UP
+    round-12/round-8 sync points) — the same locality rule as the PCA
+    power iteration and the BPE merge loop: iterate where the state
+    lives, and the state here is node-count-sized. Spark cost drops
+    from iters x (join + agg) stages to ONE edge aggregation + a
+    collect. A 100M-node web graph exceeds the cap and takes the
+    distributed path below, whose per-iteration shape is one keyed
+    shuffle of edge contributions against a broadcast rank vector.
     """
     from pyspark.sql import Window
 
     n = nodes.count()
     teleport = (1.0 - damping) / n
+
+    # size probe and collection in ONE action: if limit(cap+1) returns
+    # <= cap rows, it necessarily returned ALL of them
+    probe = edges.select("src", "dst", "w").limit(local_edge_cap + 1).collect()
+    if len(probe) <= local_edge_cap:
+        node_vals = [r["node"] for r in nodes.collect()]
+        edge_rows = [(r["src"], r["dst"], r["w"]) for r in probe]
+        out = _pagerank_local(edge_rows, node_vals, iters, damping)
+        spark = edges.sparkSession
+        node_t = nodes.schema["node"].dataType.simpleString()
+        return spark.createDataFrame(
+            out, f"node {node_t}, rank double"
+        )
 
     # out-weight normalization as a window over src — no edges-vs-
     # aggregate self-join (that plan sort-merge-joins the edge list

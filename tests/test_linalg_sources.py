@@ -126,11 +126,52 @@ def test_partition_prune_reaches_scan(spark, sf_dir):
 
 
 def test_pagerank_rank_vector_broadcasts(spark, sf_dir):
-    # the edge list may shuffle; the 25-row rank vector must broadcast
-    # into every iteration join, never trigger a sort-merge join
-    plan = _physical(entrymod.queries()["graph_pagerank"](spark, sf_dir))
+    # DISTRIBUTED path (forced via local_edge_cap=0): the edge list may
+    # shuffle; the rank vector must broadcast into every iteration
+    # join, never trigger a sort-merge join
+    from pyspark.sql import functions as F
+
+    from task_on_dataframes_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 5, (i + 1) % 5, 1 + i % 3) for i in range(20)],
+        "src int, dst int, w long",
+    ).groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node int")
+    df = pagerank(edges, nodes, iters=3, local_edge_cap=0)
+    plan = _physical(df)
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_local_path_matches_distributed(spark, sf_dir):
+    # the dimension-bounded driver iteration must replay the
+    # distributed chain bit-identically (same round-12/round-8 sync
+    # points, HALF_UP)
+    from pyspark.sql import functions as F
+
+    from task_on_dataframes_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [
+            (s, d, w)
+            for i, (s, d, w) in enumerate(
+                ((i * 7) % 9, (i * 5 + 2) % 9, 1 + (i % 4))
+                for i in range(40)
+            )
+        ],
+        "src int, dst int, w long",
+    ).groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "node int")
+    local = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, nodes, iters=5).collect()
+    }
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, nodes, iters=5, local_edge_cap=0).collect()
+    }
+    assert local == dist
 
 
 def test_heavy_hitters_within_misra_gries_bounds(spark, sf_dir):
