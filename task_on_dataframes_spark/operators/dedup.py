@@ -894,7 +894,11 @@ def _hot_gram_digests(
     routing costs nothing unless the skew it guards against exists.
     Which digests get flagged never affects results: hot and cold
     paths compute the identical predicate, only with different
-    physical routing."""
+    physical routing. (A salted hot window key could in principle
+    collide with a cold digest's value and co-partition their rows —
+    odds are the same documented n^2/2^65 class as gram-digest
+    collisions themselves, and the oracle's raw-text grouping would
+    surface one as a loud mismatch.)"""
     sample = df.sample(fraction=HOT_GRAM_SAMPLE, seed=7)
     base = _token_hash_base(sample, id_col, text_col, k)
     counts = (
