@@ -247,10 +247,17 @@ def _accept_batch(
     * prefix-only: the first rejection stops the batch;
     * p_i shares no symbol with any earlier accepted pair, nor spells
       any earlier mate's concatenation (which would alias its counts);
-    * p_i's count strictly exceeds every collected pair that shares a
-      symbol with the accepted set (the ceiling on pairs CREATED by
-      those merges) and, when capped, the last collected count (the
-      ceiling on anything uncollected)."""
+    * p_i's count strictly exceeds TWICE the ceiling M = max(count of
+      any collected pair sharing a symbol with the accepted set, the
+      last collected count when capped). Why 2M and not M: a merge
+      (a, ba) -> "aba" can ALIAS a pre-existing symbol spelled "aba",
+      so an original pair (aba, x) gains the created occurrences ON
+      TOP of its original count — post-merge <= count_old(aba, x) +
+      count_old(ba, x) <= 2M, since both terms belong to pairs
+      sharing a symbol in the accepted set (purely-created pairs stay
+      <= M, unaffected pairs cannot increase). Fuzz-tested including
+      pre-merged multi-character symbols that make aliasing
+      reachable."""
     accepted = [top[0]]
     used = {top[0][0], top[0][1], top[0][0] + top[0][1]}
     floor = top[-1][2] if capped else 0
@@ -261,11 +268,20 @@ def _accept_batch(
             break
         bound = floor
         for ql, qr, qpc in top:
-            if (ql in used or qr in used) and not any(
+            is_accepted = any(
                 ql == al and qr == ar for al, ar, _ in accepted
+            )
+            # accepted pairs vanish post-merge, EXCEPT a self-pair
+            # (a, a): its odd-run leftovers create (aa, a)/(aa, aa)
+            # pairs whose junction pre-merge pair IS the accepted pair
+            # itself, so its own count stays in the creation ceiling
+            # (fuzz counterexample: accept (a,a)@18, a created (aa,a)@9
+            # then outranks a disjoint pair@8)
+            if (ql in used or qr in used) and (
+                not is_accepted or ql == qr
             ):
                 bound = max(bound, qpc)
-        if pc <= bound:
+        if pc <= 2 * bound:
             break
         accepted.append((lhs, rhs, pc))
         used.update({lhs, rhs, lhs + rhs})
@@ -468,8 +484,8 @@ def bpe_train_scalable(
     collected (word, count) table in exact greedy order. This is what
     every real tokenizer trainer does (HF tokenizers, SentencePiece:
     corpus-scale work is the word count; the merge loop is
-    vocabulary-local), and it makes a 32k-merge vocabulary cost TWO
-    Spark jobs instead of 32k. Even web-scale corpora keep the
+    vocabulary-local), and it makes a 32k-merge vocabulary cost ONE
+    Spark job (the word-count collect) instead of 32k. Even web-scale corpora keep the
     alphabetic-word vocabulary in the low millions — ~100 MB of
     driver state; the cap guards the pathological case and falls back
     to :func:`bpe_train_batched` (one job per provably-sequential
@@ -483,16 +499,23 @@ def bpe_train_scalable(
     "jobs": N}``."""
     spark = docs.sparkSession
     words = _word_table(docs, text_col)
-    n = words.count()
-    if n > driver_vocab_cap:
+    # size probe and collection in ONE action: if limit(cap+1) returns
+    # <= cap rows it necessarily returned the whole vocabulary, so the
+    # corpus-scale word aggregation runs exactly once either way
+    probe = words.limit(driver_vocab_cap + 1).collect()
+    if len(probe) > driver_vocab_cap:
         if stats is not None:
             stats["path"] = "batched"
-        return bpe_train_batched(docs, text_col, merges, top_m, stats)
-    rows = [(r["repr"], r["cnt"]) for r in words.collect()]
+        out = bpe_train_batched(docs, text_col, merges, top_m, stats)
+        if stats is not None:
+            # one collect job per batch plus the probe above
+            stats["jobs"] = stats.get("batches", 0) + 1
+        return out
+    rows = [(r["repr"], r["cnt"]) for r in probe]
     out_rows = _local_greedy_merges(rows, merges)
     if stats is not None:
         stats["path"] = "local"
-        stats["jobs"] = 2
+        stats["jobs"] = 1
     return spark.createDataFrame(
         out_rows,
         "step int, lhs string, rhs string, merged string, pair_count long",

@@ -1188,8 +1188,10 @@ def repeated_gram_rewrite(
     # transform/flatten/array_distinct chain is interpreted, while the
     # exploded collect_set stays in codegen'd aggregate machinery;
     # 2.9x vs 2.1x at 10x data, so the explode form stays.)
+    # integer division: enc exceeds 2^53 once doc_id passes ~9e7, where
+    # a double-rounded `/` would attribute drops to a neighboring doc
     removable_pos = removable.select(
-        (F.col("enc") / F.lit(100_000_000)).cast("long").alias("did"),
+        F.expr("enc div 100000000").alias("did"),
         (F.col("enc") % F.lit(100_000_000)).cast("int").alias("pos"),
     )
     dropped = (

@@ -51,7 +51,6 @@ def _pagerank_local(
 
     n = len(node_vals)
     teleport = (1.0 - damping) / n
-    nodeset = set(node_vals)
     out_w = defaultdict(int)
     for src, dst, w in edge_rows:
         out_w[src] += w
@@ -107,14 +106,18 @@ def pagerank(
     """
     from pyspark.sql import Window
 
-    n = nodes.count()
-    teleport = (1.0 - damping) / n
-
     # size probe and collection in ONE action: if limit(cap+1) returns
-    # <= cap rows, it necessarily returned ALL of them
+    # <= cap rows, it necessarily returned ALL of them. The NODE table
+    # is probed the same way — a small edge list over a huge mostly-
+    # isolated node set must still take the distributed path, since
+    # the local rank dict is node-count-sized driver state.
+    node_probe = nodes.select("node").limit(local_edge_cap + 1).collect()
     probe = edges.select("src", "dst", "w").limit(local_edge_cap + 1).collect()
-    if len(probe) <= local_edge_cap:
-        node_vals = [r["node"] for r in nodes.collect()]
+    if (
+        len(probe) <= local_edge_cap
+        and len(node_probe) <= local_edge_cap
+    ):
+        node_vals = [r["node"] for r in node_probe]
         edge_rows = [(r["src"], r["dst"], r["w"]) for r in probe]
         out = _pagerank_local(edge_rows, node_vals, iters, damping)
         spark = edges.sparkSession
@@ -122,6 +125,9 @@ def pagerank(
         return spark.createDataFrame(
             out, f"node {node_t}, rank double"
         )
+
+    n = nodes.count()
+    teleport = (1.0 - damping) / n
 
     # out-weight normalization as a window over src — no edges-vs-
     # aggregate self-join (that plan sort-merge-joins the edge list

@@ -211,14 +211,19 @@ def make_png_media_table(docs: DataFrame) -> DataFrame:
 
 
 def _round_half_up5(x: float) -> float:
-    """Round a NON-NEGATIVE value to 5 decimals, half away from zero —
-    matching DuckDB/Spark SQL ``round()`` semantics. Python's builtin
-    ``round()`` is half-to-even, which diverges from the SQL oracle
-    exactly when the mean hits a binary midpoint (n*ch a power of two,
-    first at doc_id 519 on the synthesized WAV corpus)."""
-    import math
+    """Round to 5 decimals, half away from zero, decimal-exact —
+    matching DuckDB/Spark SQL ``round()`` semantics bit for bit.
+    Python's builtin ``round()`` is half-to-even, which diverges from
+    the SQL oracle exactly when the mean hits a binary midpoint (n*ch
+    a power of two, first at doc_id 519 on the synthesized WAV
+    corpus); the float-scaling trick (floor(x*1e5+0.5)/1e5) can
+    mis-round near ULP boundaries of the scaled product, so this goes
+    through the decimal module like graph._round_half_up."""
+    from decimal import ROUND_HALF_UP, Decimal
 
-    return math.floor(x * 1e5 + 0.5) / 1e5
+    return float(
+        Decimal(x).quantize(Decimal("0.00001"), rounding=ROUND_HALF_UP)
+    )
 
 
 def png_pixel_stats(media: DataFrame) -> DataFrame:

@@ -526,7 +526,7 @@ def _text_bpe_train256(spark, sf_dir):
     """256-merge BPE training through the SCALABLE path
     (operators/bpe.py:bpe_train_scalable): one distributed word-count
     aggregation, then the whole merge loop runs driver-local over the
-    vocabulary-sized (word, count) table — two Spark jobs total for
+    vocabulary-sized (word, count) table — ONE Spark job total for
     any merge count, the shape every production tokenizer trainer
     uses (the corpus-scale work IS the word count). Above the driver
     vocab cap it falls back to bpe_train_batched (one job per

@@ -313,7 +313,7 @@ def test_bpe_train_batched_and_scalable_match_delta(spark):
         for r in bpe_train_scalable(docs, "text", merges=20, stats=stats_s).collect()
     ]
     assert local == ref
-    assert stats_s["path"] == "local" and stats_s["jobs"] == 2
+    assert stats_s["path"] == "local" and stats_s["jobs"] == 1
 
 
 def test_bpe_train_scalable_falls_back_above_cap(spark):
@@ -429,11 +429,19 @@ def test_accept_batch_fuzz_equals_sequential_greedy():
         return nw
 
     rng = random.Random(23)
-    for trial in range(300):
+    # symbol pool includes MULTI-CHARACTER symbols whose spellings can
+    # alias batch-mate concatenations ("a"+"ba" == "ab"+"a" == "aba"),
+    # the case where a merge INCREASES an existing pair's count — the
+    # 2M acceptance bound exists for exactly this
+    pool = ["a", "b", "c", "ab", "ba", "aba", "bb"]
+    for trial in range(600):
         words = []
         for _ in range(rng.randint(2, 10)):
-            w = "".join(rng.choice("abcd") for _ in range(rng.randint(2, 8)))
-            words.append(([*w], rng.randint(1, 9)))
+            if rng.random() < 0.5:
+                syms = [rng.choice("abcd") for _ in range(rng.randint(2, 8))]
+            else:
+                syms = [rng.choice(pool) for _ in range(rng.randint(2, 6))]
+            words.append((syms, rng.randint(1, 9)))
         top_m = rng.randint(2, 12)
         counts = pair_counts(words)
         if not counts:

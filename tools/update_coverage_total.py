@@ -30,11 +30,13 @@ def main() -> int:
         "driver-grade dtype sweep (tools/check_types_strict.py) also passes on\n"
         "every query.\n"
     )
-    m = re.search(r"Total: \d+ registered queries", src)
-    if not m:
+    # anchor on the LAST occurrence (the trailing block) so a body
+    # mention of the phrase can never truncate the document
+    matches = list(re.finditer(r"Total: \d+ registered queries", src))
+    if not matches:
         print("no Total block found", file=sys.stderr)
         return 1
-    open(PATH, "w").write(src[: m.start()] + tail)
+    open(PATH, "w").write(src[: matches[-1].start()] + tail)
     print(f"COVERAGE.md total -> {n} queries, {with_oracle} oracles")
     return 0
 
