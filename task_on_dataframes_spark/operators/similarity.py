@@ -21,6 +21,77 @@ from .dedup import cosine, dot, norm
 from .hashing import hash32, perm_coeffs, MERSENNE_P
 
 
+def _ivf_centroids(c: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic hash-stratified centroid selection shared by every
+    IVF variant (plain / +SQ / incremental — their docstrings say the
+    machinery is identical; this helper makes that literal): each
+    vector hashes into one of ``n_centroids`` strata via the portable
+    ``'ivf:'``-salted md5 hash32 and the min-hash row per stratum wins
+    — uncorrelated with ingest order, replayed exactly by the DuckDB
+    oracles. One map-side-partial min(struct) shuffle of
+    n_partitions x n_centroids rows; the result (n_centroids rows) is
+    persisted because two broadcasts consume it (assignment + probe
+    ranking) and Catalyst will not reuse the aliased subplan."""
+    h = hash32(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
+    return (
+        c.withColumn("h", h)
+        .withColumn("stratum", F.col("h") % n_centroids)
+        .groupBy("stratum")
+        .agg(F.min(F.struct("h", "vec_id", "vc")).alias("m"))
+        .select(F.col("m.vec_id").alias("cid"), F.col("m.vc").alias("cv"))
+        .persist()
+    )
+
+
+def _ivf_member(
+    c: DataFrame, cents: DataFrame, extra_cols: tuple = ()
+) -> DataFrame:
+    """Inverted-list membership shared by the IVF variants: score every
+    vector against the broadcast centroids, collapse to the argmax with
+    a map-side partial ``max(struct(sim, -cid))`` (the x n_centroids
+    fan-out collapses back to corpus size INSIDE the scan stage).
+    ``extra_cols`` are carried through (e.g. the incremental variant's
+    ``is_new`` flag)."""
+    assigned = c.join(F.broadcast(cents)).select(
+        "vec_id",
+        "vc",
+        *extra_cols,
+        "cid",
+        F.round(cosine("vc", "cv"), 5).alias("sim"),
+    )
+    return (
+        assigned.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))
+            ).alias("m"),
+            F.first("vc").alias("vc"),
+            *[F.first(x).alias(x) for x in extra_cols],
+        )
+        .select("vec_id", "vc", *extra_cols, (-F.col("m.ncid")).alias("cid"))
+    )
+
+
+def _ivf_probes(q: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
+    """Probe ranking shared by the IVF variants: the ``n_probe``
+    nearest lists per query by centroid cosine, ties on cid — the
+    probed (query_id, vq, cid) pairs broadcast into the candidate
+    join, so the member table never shuffles for it."""
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cid"))
+    return (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "vq",
+            "cid",
+            F.round(cosine("vq", "cv"), 5).alias("qsim"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "vq", "cid")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -264,46 +335,13 @@ def ivf_ann_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vc"),
     )
-    h = hash32(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
-    cents = (
-        c.withColumn("h", h)
-        .withColumn("stratum", F.col("h") % n_centroids)
-        .groupBy("stratum")
-        .agg(F.min(F.struct("h", "vec_id", "vc")).alias("m"))
-        .select(F.col("m.vec_id").alias("cid"), F.col("m.vc").alias("cv"))
-        # consumed by TWO broadcasts (assignment + probe ranking) and
-        # Catalyst won't reuse the aliased subplan — persist so the
-        # corpus-wide stratified-min scan runs once (n_centroids rows)
-        .persist()
-    )
-    assigned = c.join(F.broadcast(cents)).select(
-        "vec_id",
-        "vc",
-        "cid",
-        F.round(cosine("vc", "cv"), 5).alias("sim"),
-    )
-    member = assigned.groupBy("vec_id").agg(
-        F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("m"),
-        F.first("vc").alias("vc"),
-    ).select("vec_id", "vc", (-F.col("m.ncid")).alias("cid"))
-
+    cents = _ivf_centroids(c, n_centroids)
+    member = _ivf_member(c, cents)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("vq"),
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cid"))
-    probes = (
-        q.join(F.broadcast(cents))
-        .select(
-            "query_id",
-            "vq",
-            "cid",
-            F.round(cosine("vq", "cv"), 5).alias("qsim"),
-        )
-        .withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= n_probe)
-        .select("query_id", "vq", "cid")
-    )
+    probes = _ivf_probes(q, cents, n_probe)
     scored = (
         member.withColumn("nc", norm("vc"))
         .join(F.broadcast(probes.withColumn("nq", norm("vq"))), on="cid")
@@ -361,53 +399,16 @@ def ivf_ann_incremental(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vc"),
     )
-    h = hash32(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
-    cents = (
-        b.withColumn("h", h)
-        .withColumn("stratum", F.col("h") % n_centroids)
-        .groupBy("stratum")
-        .agg(F.min(F.struct("h", "vec_id", "vc")).alias("m"))
-        .select(F.col("m.vec_id").alias("cid"), F.col("m.vc").alias("cv"))
-        .persist()
-    )
+    cents = _ivf_centroids(b, n_centroids)
     union = b.withColumn("is_new", F.lit(False)).unionAll(
         nb.withColumn("is_new", F.lit(True))
     )
-    assigned = union.join(F.broadcast(cents)).select(
-        "vec_id",
-        "vc",
-        "is_new",
-        "cid",
-        F.round(cosine("vc", "cv"), 5).alias("sim"),
-    )
-    member = (
-        assigned.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))
-            ).alias("m"),
-            F.first("vc").alias("vc"),
-            F.first("is_new").alias("is_new"),
-        )
-        .select("vec_id", "vc", "is_new", (-F.col("m.ncid")).alias("cid"))
-    )
+    member = _ivf_member(union, cents, extra_cols=("is_new",))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("vq"),
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cid"))
-    probes = (
-        q.join(F.broadcast(cents))
-        .select(
-            "query_id",
-            "vq",
-            "cid",
-            F.round(cosine("vq", "cv"), 5).alias("qsim"),
-        )
-        .withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= n_probe)
-        .select("query_id", "vq", "cid")
-    )
+    probes = _ivf_probes(q, cents, n_probe)
     scored = (
         member.withColumn("nc", norm("vc"))
         .join(F.broadcast(probes.withColumn("nq", norm("vq"))), on="cid")
@@ -619,30 +620,9 @@ def ivfsq_ann_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vc"),
     )
-    h = hash32(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
-    cents = (
-        c.withColumn("h", h)
-        .withColumn("stratum", F.col("h") % n_centroids)
-        .groupBy("stratum")
-        .agg(F.min(F.struct("h", "vec_id", "vc")).alias("m"))
-        .select(F.col("m.vec_id").alias("cid"), F.col("m.vc").alias("cv"))
-        .persist()
-    )
-    assigned = c.join(F.broadcast(cents)).select(
-        "vec_id",
-        "vc",
-        "cid",
-        F.round(cosine("vc", "cv"), 5).alias("sim"),
-    )
+    cents = _ivf_centroids(c, n_centroids)
     member = (
-        assigned.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))
-            ).alias("m"),
-            F.first("vc").alias("vc"),
-        )
-        .select("vec_id", "vc", (-F.col("m.ncid")).alias("cid"))
+        _ivf_member(c, cents)
         .select(
             "vec_id",
             "vc",
@@ -659,22 +639,12 @@ def ivfsq_ann_topk(
             F.col("sc.scale").alias("scale_c"),
         )
     )
-
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("vq"),
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cid"))
     probes = (
-        q.join(F.broadcast(cents))
-        .select(
-            "query_id",
-            "vq",
-            "cid",
-            F.round(cosine("vq", "cv"), 5).alias("qsim"),
-        )
-        .withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= n_probe)
+        _ivf_probes(q, cents, n_probe)
         .select(
             "query_id",
             "vq",
