@@ -244,55 +244,19 @@ def ivfpq_ann_topk(
     """
     from pyspark.sql import Window
 
-    from .dedup import cosine
-    from .hashing import hash32
+    from .similarity import _ivf_centroids, _ivf_member, _ivf_probes
 
     c = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vc"),
     )
-    h = hash32(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
-    cents = (
-        c.withColumn("h", h)
-        .withColumn("stratum", F.col("h") % n_centroids)
-        .groupBy("stratum")
-        .agg(F.min(F.struct("h", "vec_id", "vc")).alias("mn"))
-        .select(F.col("mn.vec_id").alias("cid"), F.col("mn.vc").alias("cv"))
-        .persist()
-    )
-    assigned = c.join(F.broadcast(cents)).select(
-        "vec_id",
-        "vc",
-        "cid",
-        F.round(cosine("vc", "cv"), 5).alias("sim"),
-    )
-    member = (
-        assigned.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))
-            ).alias("mn")
-        )
-        .select("vec_id", (-F.col("mn.ncid")).alias("cid"))
-    )
+    cents = _ivf_centroids(c, n_centroids)
+    member = _ivf_member(c, cents).select("vec_id", "cid")
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("vq"),
     )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc("qsim"), F.asc("cid")
-    )
-    probes = (
-        q.join(F.broadcast(cents))
-        .select(
-            "query_id",
-            "cid",
-            F.round(cosine("vq", "cv"), 5).alias("qsim"),
-        )
-        .withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= n_probe)
-        .select("query_id", "cid")
-    )
+    probes = _ivf_probes(q, cents, n_probe).select("query_id", "cid")
     codes, pq_cents = pq_train_encode(
         emb, m=m, k=k, iters=iters, dims=dims, id_col=id_col, vec_col=vec_col
     )
