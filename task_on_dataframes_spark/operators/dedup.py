@@ -1189,10 +1189,15 @@ def repeated_gram_rewrite(
     # exploded collect_set stays in codegen'd aggregate machinery;
     # 2.9x vs 2.1x at 10x data, so the explode form stays.)
     # integer division: enc exceeds 2^53 once doc_id passes ~9e7, where
-    # a double-rounded `/` would attribute drops to a neighboring doc
+    # a double-rounded `/` would attribute drops to a neighboring doc.
+    # floor-consistent decode (pmod + exact-multiple div) so a NEGATIVE
+    # numeric doc id round-trips too: `div` truncates toward zero, so
+    # bare `enc div 1e8` would decode did=-1,pos=5 as did=0
     removable_pos = removable.select(
-        F.expr("enc div 100000000").alias("did"),
-        (F.col("enc") % F.lit(100_000_000)).cast("int").alias("pos"),
+        F.expr(
+            "(enc - pmod(enc, 100000000)) div 100000000"
+        ).alias("did"),
+        F.pmod(F.col("enc"), F.lit(100_000_000)).cast("int").alias("pos"),
     )
     dropped = (
         removable_pos.select(

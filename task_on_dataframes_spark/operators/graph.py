@@ -106,13 +106,31 @@ def pagerank(
     """
     from pyspark.sql import Window
 
-    # size probe and collection in ONE action: if limit(cap+1) returns
-    # <= cap rows, it necessarily returned ALL of them. The NODE table
-    # is probed the same way — a small edge list over a huge mostly-
-    # isolated node set must still take the distributed path, since
-    # the local rank dict is node-count-sized driver state.
-    node_probe = nodes.select("node").limit(local_edge_cap + 1).collect()
-    probe = edges.select("src", "dst", "w").limit(local_edge_cap + 1).collect()
+    # the "integer-exact out-weights" parity argument only holds when
+    # w is integral: with double weights the driver's sequential
+    # accumulation order could diverge from the distributed window-sum
+    # order BEFORE the round-12 sync point, so double-weighted graphs
+    # always take the distributed path (whose arithmetic is the
+    # oracle-replayed reference)
+    integral_w = edges.schema["w"].dataType.simpleString() in (
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+    )
+    if not integral_w:
+        node_probe = probe = [None] * (local_edge_cap + 2)
+    else:
+        # size probe and collection in ONE action: if limit(cap+1)
+        # returns <= cap rows, it necessarily returned ALL of them. The
+        # NODE table is probed the same way — a small edge list over a
+        # huge mostly-isolated node set must still take the distributed
+        # path, since the local rank dict is node-count-sized driver
+        # state.
+        node_probe = nodes.select("node").limit(local_edge_cap + 1).collect()
+        probe = (
+            edges.select("src", "dst", "w").limit(local_edge_cap + 1).collect()
+        )
     if (
         len(probe) <= local_edge_cap
         and len(node_probe) <= local_edge_cap

