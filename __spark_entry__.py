@@ -225,6 +225,7 @@ from task_on_dataframes_spark.registry.text import (
     _text_bpe_train,
     _text_bpe_train64,
     _text_bpe_train256,
+    _text_bpe_bytes,
     _curriculum_quality_bins,
     _pipeline_c4_curation,
     _text_bm25,
@@ -529,18 +530,33 @@ def _semantic_dedup_oracle_sql(
     )
 
 
-def _bpe_ctes(merges: int = 6) -> list:
-    """BPE training CTE chain (shared by the train and apply oracles):
-    word table -> per-iteration pair counts (p{i}), argmax (b{i}), and
-    merged word table (w{i}) — identical greedy replace semantics and
+#: char-level w0: lowercased [a-z]+ words, one wrapped symbol per char
+_BPE_W0_CHAR = (
+    "WITH w0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') "
+    "AS repr, cnt FROM (SELECT w, count(*) AS cnt FROM "
+    "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w "
+    "FROM documents) WHERE regexp_matches(w, '^[a-z]+$') "
+    "GROUP BY w))"
+)
+#: byte-level w0: RAW whitespace pieces, symbols = UTF-8 bytes as
+#: 2-hex-digit tokens (uppercase hex — Spark hex(encode()) and DuckDB
+#: hex(encode()) agree byte-for-byte)
+_BPE_W0_BYTES = (
+    "WITH w0 AS MATERIALIZED (SELECT regexp_replace(hex(encode(w)), "
+    "'(..)', '(\\1)', 'g') AS repr, cnt FROM "
+    "(SELECT w, count(*) AS cnt FROM "
+    "(SELECT unnest(string_split_regex(text, '\\s+')) AS w "
+    "FROM documents) WHERE len(w) > 0 GROUP BY w))"
+)
+
+
+def _bpe_ctes(merges: int = 6, w0: str = _BPE_W0_CHAR) -> list:
+    """BPE training CTE chain (shared by the train and apply oracles,
+    char- and byte-level via the ``w0`` base table): word table ->
+    per-iteration pair counts (p{i}), argmax (b{i}), and merged word
+    table (w{i}) — identical greedy replace semantics and
     lexicographic tie-breaks to operators/bpe.py."""
-    parts = [
-        "WITH w0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') "
-        "AS repr, cnt FROM (SELECT w, count(*) AS cnt FROM "
-        "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w "
-        "FROM documents) WHERE regexp_matches(w, '^[a-z]+$') "
-        "GROUP BY w))"
-    ]
+    parts = [w0]
     for i in range(1, merges + 1):
         prev = f"w{i - 1}"
         parts.append(
@@ -564,8 +580,8 @@ def _bpe_ctes(merges: int = 6) -> list:
     return parts
 
 
-def _bpe_train_oracle_sql(merges: int = 6) -> str:
-    parts = _bpe_ctes(merges)
+def _bpe_train_oracle_sql(merges: int = 6, w0: str = _BPE_W0_CHAR) -> str:
+    parts = _bpe_ctes(merges, w0)
     union = " UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(1, merges + 1))
     return ", ".join(parts) + f" SELECT * FROM ({union}) ORDER BY step"
 
@@ -791,6 +807,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": _text_bpe_train,
         "text_bpe_train64": _text_bpe_train64,
         "text_bpe_train256": _text_bpe_train256,
+        "text_bpe_bytes": _text_bpe_bytes,
         "text_bpe_apply": _text_bpe_apply,
         "dedup_semantic": _dedup_semantic,
         "decontaminate_bloom": _decontaminate_bloom,
@@ -3846,6 +3863,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         "text_bpe_train": _bpe_train_oracle_sql(),
         "text_bpe_train64": _bpe_train_oracle_sql(64),
         "text_bpe_train256": _bpe_train_oracle_sql(256),
+        "text_bpe_bytes": _bpe_train_oracle_sql(64, _BPE_W0_BYTES),
         "text_bpe_apply": _bpe_apply_oracle_sql(),
         "emb_pca_top2": _pca2_oracle_sql(),
         "s16_zorder_stats": (

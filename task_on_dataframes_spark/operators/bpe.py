@@ -59,6 +59,42 @@ def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _byte_word_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """(repr, cnt) for BYTE-LEVEL BPE: whitespace pieces of the RAW
+    text (no lowercasing, no alphabet filter — the entire point of the
+    byte level is that every script trains), each piece's UTF-8 bytes
+    rendered as wrapped 2-hex-digit symbols ``(68)(C3)(A9)``. This is
+    the GPT-2/tiktoken-style base alphabet: 256 possible initial
+    symbols, so a multilingual corpus never trains an empty vocabulary
+    (the char-level ``^[a-z]+$`` table does — its docstring says so).
+
+    The hex rendering keeps the whole merge machinery shared with the
+    char level: symbols stay on the [0-9A-F] alphabet (parens cannot
+    collide), merged symbols are plain concatenations, both Spark
+    ``hex(encode(...))`` and DuckDB ``hex(encode(...))`` emit identical
+    uppercase hex, and ASCII lexicographic tie-breaks agree across
+    Python, Java, and DuckDB.
+
+    Piece length is whatever whitespace-splitting yields — a
+    non-whitespace-delimited script (CJK) makes each piece a whole
+    clause, which only affects the DRIVER-LOCAL merge loop's per-word
+    cost (linear in piece bytes), not any distributed shape."""
+    return (
+        docs.select(
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.regexp_replace(
+                F.hex(F.encode(F.col("w"), "UTF-8")), "(..)", "($1)"
+            ).alias("repr"),
+            "cnt",
+        )
+    )
+
+
 def _pair_counts(words: DataFrame) -> DataFrame:
     """(lhs, rhs, pc): frequency-weighted adjacent symbol pairs."""
     syms = F.expr(_SYMS)
@@ -294,6 +330,7 @@ def bpe_train_batched(
     merges: int = 512,
     top_m: int = 64,
     stats: dict | None = None,
+    level: str = "char",
 ) -> DataFrame:
     """:func:`bpe_train_delta` with MULTI-MERGE BATCHES — the shape
     that makes a real 32k-merge vocabulary tractable: instead of one
@@ -336,7 +373,8 @@ def bpe_train_batched(
     """
     spark = docs.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    words = _word_table(docs, text_col).localCheckpoint()
+    table = _byte_word_table if level == "bytes" else _word_table
+    words = table(docs, text_col).localCheckpoint()
     pc = _pair_counts(words).localCheckpoint()
     live: list[tuple[DataFrame, DataFrame]] = []
     out_rows = []
@@ -410,8 +448,9 @@ def _local_greedy_merges(
     """Driver-local exact greedy BPE over a collected (repr, cnt) word
     table — identical semantics to the distributed loop: pair counts
     weighted by word frequency, argmax with (pc DESC, lhs, rhs)
-    tie-break (Python str compare == SQL/Java lex compare on the
-    [a-z]+ alphabet), and left-to-right non-overlapping merge
+    tie-break (Python str compare == SQL/Java lex compare on both the
+    [a-z]+ char-level and [0-9A-F] byte-level symbol alphabets — pure
+    ASCII either way), and left-to-right non-overlapping merge
     application (``(a)(a)(a)`` -> ``(aa)(a)``, exactly Java
     ``String.replace``). Delta-maintained with a lazy heap: only the
     words containing the winning pair are touched per merge."""
@@ -477,6 +516,7 @@ def bpe_train_scalable(
     driver_vocab_cap: int = 2_000_000,
     top_m: int = 64,
     stats: dict | None = None,
+    level: str = "char",
 ) -> DataFrame:
     """The production BPE-training shape: ONE distributed word-count
     aggregation, then — when the distinct-word vocabulary fits the
@@ -496,9 +536,16 @@ def bpe_train_scalable(
     the chained-CTE DuckDB oracle (same weighting, same (pc DESC,
     lhs, rhs) tie-break, same left-to-right merge application).
     Pass ``stats={}`` to receive ``{"path": "local"|"batched",
-    "jobs": N}``."""
+    "jobs": N}``.
+
+    ``level="bytes"`` swaps the word table for
+    :func:`_byte_word_table` (UTF-8 byte symbols over raw text, no
+    alphabet filter — multilingual corpora train a real vocabulary);
+    every other moving part (merge loop, cap, batched fallback,
+    tie-breaks) is shared verbatim."""
     spark = docs.sparkSession
-    words = _word_table(docs, text_col)
+    table = _byte_word_table if level == "bytes" else _word_table
+    words = table(docs, text_col)
     # size probe and collection in ONE action: if limit(cap+1) returns
     # <= cap rows it necessarily returned the whole vocabulary, so the
     # corpus-scale word aggregation runs exactly once either way
@@ -506,7 +553,7 @@ def bpe_train_scalable(
     if len(probe) > driver_vocab_cap:
         if stats is not None:
             stats["path"] = "batched"
-        out = bpe_train_batched(docs, text_col, merges, top_m, stats)
+        out = bpe_train_batched(docs, text_col, merges, top_m, stats, level)
         if stats is not None:
             # one collect job per batch plus the probe above
             stats["jobs"] = stats.get("batches", 0) + 1

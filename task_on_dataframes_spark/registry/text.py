@@ -540,6 +540,26 @@ def _text_bpe_train256(spark, sf_dir):
     return bpe_train_scalable(_docs(spark, sf_dir), "text", merges=256)
 
 
+def _text_bpe_bytes(spark, sf_dir):
+    """64-merge BYTE-LEVEL BPE training (operators/bpe.py:
+    bpe_train_scalable with level="bytes"): whitespace pieces of the
+    RAW text — no lowercasing, no ``^[a-z]+$`` alphabet filter — with
+    each piece's UTF-8 bytes as the initial symbols (2-hex-digit
+    tokens, the GPT-2/tiktoken-style 256-symbol base alphabet). This
+    is the variant that trains a real vocabulary on multilingual
+    corpora where the char-level word table is empty. Same
+    one-Spark-job shape (distributed word count + driver-local merge
+    loop under the vocab cap, provably-sequential batched fallback
+    above it); the oracle replays every merge as a chained-CTE DuckDB
+    program over ``hex(encode(piece))`` with identical greedy-replace
+    and ASCII tie-break semantics."""
+    from task_on_dataframes_spark.operators.bpe import bpe_train_scalable
+
+    return bpe_train_scalable(
+        _docs(spark, sf_dir), "text", merges=64, level="bytes"
+    )
+
+
 def _text_bpe_apply(spark, sf_dir):
     """Apply the learned BPE merge table to the corpus: per-document
     token counts under the trained vocabulary. The 6-rule table is the

@@ -457,3 +457,69 @@ def test_accept_batch_fuzz_equals_sequential_greedy():
             assert best == ((lhs, rhs), pc), (
                 trial, i, batch, best, ((lhs, rhs), pc))
             cur = apply_merge(cur, lhs, rhs)
+
+
+def test_bpe_bytes_trains_on_multilingual_corpus(spark):
+    """Byte-level BPE trains a REAL vocabulary where the char-level
+    ^[a-z]+$ word table is empty (CJK / accents / emoji / RTL), and
+    its merged symbols round-trip to valid UTF-8 byte sequences of
+    actual corpus substrings."""
+    from task_on_dataframes_spark.operators.bpe import (
+        bpe_train_scalable,
+        _byte_word_table,
+        _word_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "你好世界 你好"),      # CJK, no spaces within words
+            (2, "café résumé café über"),
+            (3, "شكرا شكرا \U0001f600 \U0001f600\U0001f600"),
+            (4, "你好世界 café"),
+        ],
+        ["doc_id", "text"],
+    )
+    # char-level word table is EMPTY on this corpus (the documented gap)
+    assert _word_table(docs, "text").count() == 0
+    stats: dict = {}
+    rules = bpe_train_scalable(
+        docs, "text", merges=12, level="bytes", stats=stats
+    ).collect()
+    assert stats["path"] == "local" and stats["jobs"] == 1
+    assert len(rules) > 0
+    # steps are 1..n and pair counts are positive and non-increasing
+    # only weakly meaningful; check decode: every merged symbol is an
+    # even-length hex string decoding to a byte substring of some
+    # corpus piece's UTF-8 encoding
+    pieces = [
+        w.encode("utf-8")
+        for r in docs.collect()
+        for w in r["text"].split()
+    ]
+    for r in rules:
+        assert r["step"] >= 1 and r["pair_count"] > 0
+        assert len(r["merged"]) % 2 == 0
+        blob = bytes.fromhex(r["merged"])
+        assert any(blob in p for p in pieces), (r["merged"], blob)
+    # the most frequent first merge must come from a repeated piece
+    first = bytes.fromhex(rules[0]["merged"])
+    assert sum(p.count(first) for p in pieces) == rules[0]["pair_count"]
+
+
+def test_bpe_bytes_matches_char_level_on_ascii(spark):
+    """On a lowercase-ASCII corpus the byte level learns the SAME merge
+    structure as the char level (hex-coded): decode each byte-level
+    rule and compare against the char-level table."""
+    from task_on_dataframes_spark.operators.bpe import bpe_train_scalable
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana banana cabana"), (2, "cabana banana band")],
+        ["doc_id", "text"],
+    )
+    char = bpe_train_scalable(docs, "text", merges=10).collect()
+    byte = bpe_train_scalable(docs, "text", merges=10, level="bytes").collect()
+    assert len(char) == len(byte)
+    for c, b in zip(char, byte):
+        assert c["step"] == b["step"]
+        assert bytes.fromhex(b["merged"]).decode() == c["merged"]
+        assert c["pair_count"] == b["pair_count"]
