@@ -543,7 +543,224 @@ def embedding_cosine_pairs(
     )
 
 
+def _local_components(
+    edge_rows: list, node_vals: list
+) -> list:
+    """Driver-local union-find with min-representative labeling — the
+    exact semantics of the distributed star contraction (label = the
+    smallest id in the component; Python ``<`` on numeric/ASCII ids
+    matches Spark's ordering)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    mn: dict = {}
+    for n in node_vals:
+        r = find(n)
+        if r not in mn or n < mn[r]:
+            mn[r] = n
+    return [(n, mn[find(n)]) for n in node_vals]
+
+
 def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 30,
+    local_edge_cap: int = 200_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by LARGE-STAR/SMALL-STAR alternation
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond"): every node ends up labeled with the smallest node id in
+    its component. Returns ``(member, rep)`` — identical contract to
+    the hashmin variant below and to the recursive-CTE oracle.
+
+    Why this beats min-label propagation at scale: hashmin (even with
+    pointer doubling) shuffles the FULL edge set every round, so cost
+    is rounds x |E|. Star contraction REWRITES the edge set — each
+    round replaces edges with pointers toward smaller ids — so the
+    working set collapses toward one star per component within a few
+    rounds and converges in O(log n) alternations regardless of
+    component diameter (a 10k-node chain converges in ~13 rounds; see
+    the chain test). Per round:
+
+    * **large-star**: every node s computes ``m = min(neighbors ∪
+      {s})`` and its LARGER neighbors re-point to m — computed on the
+      (u > v)-oriented table directly (bigger neighbors are never the
+      min, so no symmetrization: half the shuffle volume), as a
+      map-side-combinable groupBy(min) plus one keyed join back;
+    * **small-star**: same min computation over the (u > v)-oriented
+      list; every SMALLER neighbor plus u itself re-points to m;
+    * the new edge set is distinct-ed, lazily localCheckpoint-ed
+      (lineage cut), and materialized by ONE action per round: the
+      STRUCTURAL convergence check.
+
+    Convergence is structural, not change-counting: the loop stops
+    the first round the edge set is a star forest (no node is both a
+    child and a root, no child has two roots — one groupBy over the
+    endpoint markers). A star forest is a fixpoint of both
+    operations, and since both operations preserve components and
+    only ever point edges toward SMALLER ids, each star's root is its
+    component's minimum. Checking structure directly is both exact
+    (no hash-signature collisions) and one round cheaper than
+    compare-to-previous, which must re-run an identical round to see
+    "no change". If ``max_iter`` exhausts first, raises (a
+    half-contracted forest would silently mislabel keep-one dedup).
+
+    Pass ``stats={}`` to receive ``{"path": "local"|"distributed"}``
+    plus, on the distributed path, ``{"rounds": N}`` (the chain test
+    asserts rounds << diameter). Below ``local_edge_cap`` deduped
+    edges the labeling runs as driver-local union-find (exact same
+    output — equivalence-tested): the pair graph is near-dup-sized,
+    not corpus-sized, so small corpora skip the iteration entirely
+    while anything bigger takes the star loop.
+    """
+    # ONE materialization of the upstream pair-generation tree (often
+    # an expensive LSH/simhash pipeline): both the edge set and the
+    # node universe derive from this checkpoint, not from the tree
+    base = edges.select(
+        F.col(src).alias("x"), F.col(dst).alias("y")
+    ).localCheckpoint()
+    e = (
+        base.filter(F.col("x") != F.col("y"))
+        .select(
+            F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # node universe up front: isolated nodes (self-loop-only rows) and
+    # star roots both label themselves at the end
+    all_nodes = (
+        base.select(F.explode(F.array("x", "y")).alias("node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    base.unpersist(blocking=False)  # both consumers are checkpointed
+    # DIMENSION-BOUNDED fast path (the pagerank/BPE locality rule:
+    # iterate where the state lives): the pair graph is near-dup-sized,
+    # not corpus-sized — when the deduped edge list AND node universe
+    # fit the cap, run union-find on the driver. The probes are
+    # limit(cap+1) collects against the two checkpoints (the expensive
+    # upstream pair generation already ran exactly once into ``base``),
+    # so a huge graph pays two cheap truncated reads and falls through
+    # to the distributed star contraction below.
+    e_probe = e.limit(local_edge_cap + 1).collect()
+    if len(e_probe) <= local_edge_cap:
+        n_probe = all_nodes.limit(2 * local_edge_cap + 2).collect()
+        if len(n_probe) <= 2 * local_edge_cap + 1:
+            out = _local_components(
+                [(r["u"], r["v"]) for r in e_probe],
+                [r["node"] for r in n_probe],
+            )
+            spark = edges.sparkSession
+            node_t = all_nodes.schema["node"].dataType.simpleString()
+            e.unpersist(blocking=False)
+            all_nodes.unpersist(blocking=False)
+            if stats is not None:
+                stats["path"] = "local"
+            return spark.createDataFrame(
+                out, f"member {node_t}, rep {node_t}"
+            )
+    if stats is not None:
+        stats["path"] = "distributed"
+    vtype = e.schema["v"].dataType
+    rounds = 0
+    converged = False
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: each bigger neighbor b of center s re-points to
+        # m(s) = min(N(s) ∪ {s}). No symmetrization needed: bigger
+        # neighbors can never BE the min, so m(s) = least(min of s's
+        # SMALLER neighbors, s) — and the oriented (u > v) table gives
+        # min-smaller-neighbor as a plain groupBy("u").min("v"). Each
+        # oriented edge (b, s) then joins s's min on the v side and
+        # emits (b, m(s)): half the rows of the symmetrized form, one
+        # map-side-combinable groupBy + one keyed join (deliberately
+        # NOT a window — a hub's whole neighborhood would buffer/sort
+        # in one task, while AQE splits the skewed join). No distinct
+        # here: duplicates flow into the next groupBy anyway and the
+        # final e_new distinct dedupes.
+        mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            e.join(mins.withColumnRenamed("u", "v"), "v", "left")
+            .select(
+                "u",
+                F.least(
+                    F.coalesce("mn", F.col("v")), F.col("v")
+                ).alias("v"),
+            )
+        )
+        # small-star: ls output is already (u > v)-oriented (it emits
+        # (bigger, min) pairs); smaller neighbors plus u re-point to m
+        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        so = ls.join(smins, "u")
+        e_new = (
+            so.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(so.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # structural convergence check — ONE groupBy + count that also
+        # materializes the lazy checkpoint: a star forest has no node
+        # that is both a child (u-side) and a root (v-side), and no
+        # child pointing at two distinct roots
+        marks = e_new.select(
+            F.col("u").alias("node"), F.col("v").alias("p")
+        ).unionAll(
+            e_new.select(
+                F.col("v").alias("node"),
+                F.lit(None).cast(vtype).alias("p"),
+            )
+        )
+        viol = (
+            marks.groupBy("node")
+            .agg(
+                F.countDistinct("p").alias("np"),  # ignores NULL roots
+                F.max(F.col("p").isNull().cast("int")).alias("isroot"),
+            )
+            .filter(
+                (F.col("np") > 1)
+                | ((F.col("np") > 0) & (F.col("isroot") == 1))
+            )
+            .count()
+        )
+        e.unpersist()
+        e = e_new
+        if viol == 0:
+            converged = True
+            break
+    if not converged:
+        e.unpersist()
+        all_nodes.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "star-contraction rounds — the edge set is not yet a star "
+            "forest and the labels would be WRONG for keep-one dedup; "
+            "raise max_iter (convergence is O(log n) rounds)"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    members = e.select(F.col("u").alias("member"), F.col("v").alias("rep"))
+    selfreps = all_nodes.join(
+        e.select(F.col("u").alias("node")), "node", "left_anti"
+    ).select(F.col("node").alias("member"), F.col("node").alias("rep"))
+    return members.unionAll(selfreps)
+
+
+def connected_components_hashmin(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
@@ -552,7 +769,10 @@ def connected_components(
     """Connected components over a near-duplicate pair graph by
     iterative min-label propagation: every node ends up labeled with
     the smallest node id in its component (the canonical
-    representative for keep-one dedup).
+    representative for keep-one dedup). Kept as the equivalence twin
+    for :func:`connected_components` (star contraction) — hashmin
+    shuffles the full edge set every round, so the star variant is the
+    production path.
 
     The loop is driver-coordinated (like GraphFrames): each iteration
     is one keyed join + aggregation, and every iterate is
@@ -646,7 +866,7 @@ def keep_canonical(
     dimension-sized relative to the corpus under any realistic dup rate
     — so it broadcasts into a ``left_anti`` join and the corpus never
     shuffles for the filter. Completes the reference-style pipeline:
-    pair generation (bucketed), clustering (pointer-doubling CC), and
+    pair generation (bucketed), clustering (star-contraction CC), and
     the keep-one cut, all lazy until the survivor frame is consumed.
     """
     cc = connected_components(pairs, src=src, dst=dst)

@@ -63,8 +63,11 @@ def _dedup_simhash(spark, sf_dir):
 
 def _dedup_components(spark, sf_dir):
     """Near-dup clusters: simhash pair graph -> connected components ->
-    (member, representative=min doc_id). The iterative min-label
-    propagation is the Spark side; the oracle is a recursive CTE."""
+    (member, representative=min doc_id). The Spark side is
+    large-star/small-star contraction (operators/dedup.py:
+    connected_components — O(log n) rounds over a geometrically
+    shrinking edge set, never rounds x |E| like min-propagation); the
+    oracle is a recursive CTE, implementation-agnostic."""
     from task_on_dataframes_spark.operators.dedup import (
         connected_components,
         simhash_fingerprints,

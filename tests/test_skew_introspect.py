@@ -185,19 +185,56 @@ def test_brute_force_guards_refuse_oversized_inputs(spark):
     assert out.count() == 100
 
 
-def test_connected_components_pointer_doubling_converges_long_chain(spark):
+def test_connected_components_star_rounds_much_less_than_diameter(spark):
     """A 300-node path graph has diameter 300: plain min-label
-    propagation needs 300 iterations, pointer doubling needs
-    ~log2(300)=9. max_iter=12 passes only with doubling."""
+    propagation needs 300 rounds. Large-star/small-star contraction
+    must finish in ~log2(300)+1 rounds — the stats dict proves the
+    round count, not just the answer."""
     from task_on_dataframes_spark.operators.dedup import connected_components
 
     edges = spark.range(0, 300).select(
         F.col("id").alias("a"), (F.col("id") + 1).alias("b")
     )
-    labels = connected_components(edges, max_iter=12)
+    stats: dict = {}
+    labels = connected_components(
+        edges, max_iter=14, local_edge_cap=0, stats=stats
+    )
     rows = labels.collect()
     assert len(rows) == 301
     assert all(r["rep"] == 0 for r in rows)
+    assert stats["rounds"] <= 12, stats
+
+
+def test_connected_components_star_matches_hashmin(spark):
+    """Star contraction and hashmin min-propagation must produce the
+    identical (member, rep) labeling on a random multi-component graph
+    with self-loops and duplicate edges."""
+    import random
+
+    from task_on_dataframes_spark.operators.dedup import (
+        connected_components,
+        connected_components_hashmin,
+    )
+
+    random.seed(42)
+    pairs = [
+        (random.randrange(400), random.randrange(400)) for _ in range(300)
+    ] + [(777, 777)]
+    edges = spark.createDataFrame(pairs, "a long, b long")
+    star = {
+        r["member"]: r["rep"]
+        for r in connected_components(edges, local_edge_cap=0).collect()
+    }
+    local = {
+        r["member"]: r["rep"] for r in connected_components(edges).collect()
+    }
+    hashmin = {
+        r["member"]: r["rep"]
+        for r in connected_components_hashmin(edges).collect()
+    }
+    assert star == hashmin
+    assert local == hashmin  # driver union-find fast path agrees too
+    assert star[777] == 777  # self-loop-only node labels itself
 
 
 def test_connected_components_raises_when_unconverged(spark):
@@ -209,4 +246,10 @@ def test_connected_components_raises_when_unconverged(spark):
         F.col("id").alias("a"), (F.col("id") + 1).alias("b")
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, local_edge_cap=0)
+    from task_on_dataframes_spark.operators.dedup import (
+        connected_components_hashmin,
+    )
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_hashmin(edges, max_iter=2)
