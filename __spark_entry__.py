@@ -104,6 +104,7 @@ from task_on_dataframes_spark.registry.embeddings import (
     _ann_cosine_topk,
     _emb_dim_stats,
     _ann_filtered_topk,
+    _ann_recall_clustered,
     _ann_recall_eval,
     _emb_pca_top2,
     _ann_ivf_topk,
@@ -816,6 +817,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_interleave": _sample_interleave,
         "snapshot_diff": _snapshot_diff,
         "ann_recall_eval": _ann_recall_eval,
+        "ann_recall_clustered": _ann_recall_clustered,
         # --- changed this round (gap semantics; re-validate)
         "ev_sessionize": _ev_sessionize,
         "stream_sessionize": _stream_sessionize,
@@ -1534,6 +1536,89 @@ def _ivf_oracle(where: str = "") -> str:
         "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
         "FROM r WHERE rank <= 10"
     )
+
+
+def _ivf_clustered_recall_oracle() -> str:
+    """Oracle for ann_recall_clustered: derive the deterministically
+    clustered table (12 hash-assigned clusters, hash-derived centers in
+    [-1,1], 0.15x original embedding as jitter), build the SAME IVF
+    index the Spark side builds (hash-stratified centroids, argmax
+    assignment), replay the probe sweep at n_probe ∈ {1,2,4} and the
+    exact top-10 baseline, and emit per-(n_probe, query) recall@10."""
+    h_clu = (
+        "CAST(('0x' || substr(md5(CAST('clu:' || CAST(vec_id AS VARCHAR) "
+        "AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    h_ctr = (
+        "CAST(('0x' || substr(md5(CAST('ctr:' || CAST(cl AS VARCHAR) || "
+        "':' || CAST(j - 1 AS VARCHAR) AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    parts = [
+        f"WITH clu AS (SELECT vec_id, {h_clu} % 12 AS cl, "
+        "embedding::DOUBLE[] AS v0 FROM embeddings)",
+        "cv AS MATERIALIZED (SELECT vec_id, "
+        f"list(({h_ctr} % 2001 - 1000) / 1000.0 + 0.15::DOUBLE * elem "
+        "ORDER BY j) AS v FROM (SELECT c.vec_id, c.cl, t.j, c.v0[t.j] "
+        "AS elem FROM clu c, LATERAL unnest(generate_series(1, "
+        "len(c.v0))) AS t(j)) GROUP BY vec_id)",
+        "ch AS (SELECT vec_id, v, "
+        "CAST(('0x' || substr(md5(CAST('ivf:' || CAST(vec_id AS VARCHAR) "
+        "AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM cv)",
+        "cent AS (SELECT vec_id AS cid, v AS cv FROM ("
+        "SELECT vec_id, v, row_number() OVER "
+        "(PARTITION BY h % 16 ORDER BY h, vec_id) AS rn FROM ch) "
+        "WHERE rn = 1)",
+        "assign AS MATERIALIZED (SELECT c.vec_id, c.v, cent.cid, "
+        "round(list_dot_product(c.v, cent.cv) / "
+        "(sqrt(list_dot_product(c.v, c.v)) * "
+        "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS sim "
+        "FROM cv c, cent)",
+        "member AS MATERIALIZED (SELECT vec_id, v, cid FROM ("
+        "SELECT vec_id, v, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn "
+        "FROM assign) WHERE rn = 1)",
+        "qa AS (SELECT vec_id AS query_id, v, cid, sim FROM assign "
+        "WHERE vec_id < 8)",
+        # exact top-10 baseline over the clustered table
+        "ex AS MATERIALIZED (SELECT query_id, vec_id FROM ("
+        "SELECT q.query_id, m.vec_id, row_number() OVER "
+        "(PARTITION BY q.query_id ORDER BY "
+        "round(list_dot_product(q.v, m.v) / "
+        "(sqrt(list_dot_product(q.v, q.v)) * "
+        "sqrt(list_dot_product(m.v, m.v))), 5) DESC, m.vec_id ASC) "
+        "AS rank FROM (SELECT DISTINCT query_id, v FROM qa) q "
+        "JOIN cv m ON m.vec_id != q.query_id) WHERE rank <= 10)",
+    ]
+    sels = []
+    for p in (1, 2, 4):
+        parts.append(
+            f"probes{p} AS (SELECT query_id, v, cid FROM ("
+            "SELECT query_id, v, cid, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, cid ASC) AS pr "
+            f"FROM qa) WHERE pr <= {p})"
+        )
+        parts.append(
+            f"top{p} AS (SELECT query_id, vec_id FROM ("
+            "SELECT p.query_id, m.vec_id, row_number() OVER "
+            "(PARTITION BY p.query_id ORDER BY "
+            "round(list_dot_product(p.v, m.v) / "
+            "(sqrt(list_dot_product(p.v, p.v)) * "
+            "sqrt(list_dot_product(m.v, m.v))), 5) DESC, m.vec_id ASC) "
+            f"AS rank FROM member m JOIN probes{p} p ON m.cid = p.cid "
+            "WHERE p.query_id != m.vec_id) WHERE rank <= 10)",
+        )
+        parts.append(
+            f"hits{p} AS (SELECT e.query_id, count(*) AS h FROM ex e "
+            f"JOIN top{p} a ON e.query_id = a.query_id "
+            "AND e.vec_id = a.vec_id GROUP BY 1)"
+        )
+        sels.append(
+            f"SELECT CAST({p} AS INTEGER) AS n_probe, q.query_id, "
+            "round(CAST(coalesce(h.h, 0) AS DOUBLE) / 10, 3) AS "
+            "recall_at_10 FROM (SELECT DISTINCT query_id FROM qa) q "
+            f"LEFT JOIN hits{p} h ON q.query_id = h.query_id"
+        )
+    return ", ".join(parts) + " " + " UNION ALL ".join(sels)
 
 
 def _ivf_incr_oracle() -> str:
@@ -3905,6 +3990,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
     # ANN recall eval composes the two search oracles verbatim (DuckDB
     # allows a WITH inside a derived table), guaranteeing the eval's
     # ground truth is the same statement the driver already validates
+    sql["ann_recall_clustered"] = _ivf_clustered_recall_oracle()
     sql["ann_recall_eval"] = (
         "WITH exact AS (SELECT query_id, vec_id FROM ("
         + sql["ann_cosine_topk"]

@@ -297,6 +297,99 @@ def _ann_ivf_incremental(spark, sf_dir):
     )
 
 
+def clustered_embeddings(
+    emb: DataFrame, n_clusters: int = 12, jitter: float = 0.15
+) -> DataFrame:
+    """Deterministically CLUSTERED (vec_id, embedding) table derived
+    from an embeddings frame: each vector hash-assigns to one of
+    ``n_clusters`` clusters whose center components are hash-derived
+    in [-1, 1]; ``jitter`` x the original embedding is added on top.
+    Pure md5-hash arithmetic over existing columns — replayed
+    bit-for-bit by the DuckDB oracle. The fixture every IVF recall
+    eval uses: real embedding corpora are clustered, and uniform
+    vectors are IVF-pessimal."""
+    from task_on_dataframes_spark.operators.hashing import hash32
+
+    cl = (
+        hash32(F.concat(F.lit("clu:"), F.col("vec_id").cast("string")))
+        % n_clusters
+    ).alias("cl")
+    base = emb.select(
+        "vec_id", cl, F.col("embedding").cast("array<double>").alias("v0")
+    )
+    cvec = F.transform(
+        F.col("v0"),
+        lambda x, i: (
+            hash32(
+                F.concat(
+                    F.lit("ctr:"),
+                    F.col("cl").cast("string"),
+                    F.lit(":"),
+                    i.cast("string"),
+                )
+            )
+            % 2001
+            - 1000
+        )
+        / F.lit(1000.0)
+        + F.lit(jitter) * x,
+    )
+    return base.select("vec_id", cvec.alias("embedding"))
+
+
+def _ann_recall_clustered(spark, sf_dir):
+    """IVF recall sweep on CLUSTERED vectors — uniform-random
+    embeddings are IVF-pessimal (recall ~= list coverage, SCALE.md
+    §17b), so this derives a deterministically CLUSTERED table from
+    the embeddings parquet and measures recall@10 over n_probe ∈
+    {1, 2, 4}: each vector lands in one of 12 hash-assigned clusters
+    whose center components are hash-derived in [-1, 1], plus
+    0.15 x its original embedding as jitter. Cluster separation >>
+    jitter, so inverted lists align with the true structure and recall
+    climbs 0.7 -> 0.9 -> 1.0 across probes — the regime a real
+    embedding corpus (which is always clustered) lives in. Everything
+    is md5-hash arithmetic over existing columns, so the DuckDB
+    oracle replays the derivation, the IVF index, all three probe
+    sweeps, and the exact baseline bit-for-bit.
+
+    Output: (n_probe, query_id, recall_at_10)."""
+    from task_on_dataframes_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    clustered = clustered_embeddings(_embs(spark, sf_dir))
+    qs = clustered.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(clustered, qs, k=10).select("query_id", "vec_id")
+    outs = []
+    for p in (1, 2, 4):
+        approx = ivf_ann_topk(
+            clustered, qs, k=10, n_centroids=16, n_probe=p
+        ).select("query_id", "vec_id")
+        hits = (
+            exact.join(approx, on=["query_id", "vec_id"], how="left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("h"))
+        )
+        outs.append(
+            qs.select("query_id")
+            .join(hits, on="query_id", how="left")
+            .select(
+                F.lit(p).alias("n_probe"),
+                "query_id",
+                F.round(
+                    F.coalesce(F.col("h"), F.lit(0)) / 10.0, 3
+                ).alias("recall_at_10"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
 def _ann_recall_eval(spark, sf_dir):
     """ANN quality evaluation: recall@10 of the multi-table LSH index
     against the exact cosine top-10, per query — the measurement loop

@@ -232,3 +232,57 @@ def test_ivf_incremental_surfaces_new_batch_hits(spark, emb):
     # and every new hit really is a batch member
     assert (got[got.is_new].vec_id % 10 == 0).all()
     assert (got[got.is_new].vec_id >= 10).all()
+
+
+def test_ivf_variants_recall_on_clustered_vectors(spark, sf_dir):
+    """Uniform-random embeddings are IVF-pessimal (recall ~= probed
+    list fraction); on a CLUSTERED table — the regime real embedding
+    corpora live in — all three IVF variants must reach recall >= 0.9
+    at n_probe 4 and the plain IVF >= 0.85 already at n_probe 2."""
+    from pyspark.sql import functions as F
+
+    from task_on_dataframes_spark.operators.pq import ivfpq_ann_topk
+    from task_on_dataframes_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        ivfsq_ann_topk,
+    )
+    from task_on_dataframes_spark.registry.embeddings import (
+        clustered_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clustered = clustered_embeddings(emb).localCheckpoint()
+    qs = clustered.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = (
+        cosine_topk(clustered, qs, k=10)
+        .select("query_id", "vec_id")
+        .localCheckpoint()
+    )
+    n_q = qs.count()
+
+    def recall(approx):
+        hits = exact.join(
+            approx.select("query_id", "vec_id"),
+            on=["query_id", "vec_id"],
+            how="left_semi",
+        ).count()
+        return hits / (10.0 * n_q)
+
+    r_ivf2 = recall(ivf_ann_topk(clustered, qs, k=10, n_probe=2))
+    r_ivf4 = recall(ivf_ann_topk(clustered, qs, k=10, n_probe=4))
+    r_sq4 = recall(ivfsq_ann_topk(clustered, qs, k=10, n_probe=4))
+    # IVFPQ emits an ADC ranking with NO exact rerank stage (the SQ
+    # variant has one, hence its strict bar): within a tight cluster
+    # the coarse codes can't order near-identical vectors, so the
+    # operational metric is SHORTLIST recall — the exact top-10 must
+    # sit inside the ADC top-50 a downstream reranker would rescore
+    r_pq4 = recall(
+        ivfpq_ann_topk(clustered, qs, k_top=50, n_probe=4, dims=64)
+    )
+    assert r_ivf2 >= 0.85, r_ivf2
+    assert r_ivf4 >= 0.9, r_ivf4
+    assert r_sq4 >= 0.9, r_sq4
+    assert r_pq4 >= 0.9, r_pq4
