@@ -2465,25 +2465,30 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "CASE WHEN coalesce(n2, 0) > 0 "
             "THEN (n2 - nd) / CAST(n2 AS DOUBLE) ELSE 0.0 END AS dup2 "
             "FROM base b LEFT JOIN g2 USING (doc_id) "
-            "JOIN topc USING (doc_id)) "
+            "LEFT JOIN topc USING (doc_id)) "
             "SELECT doc_id, CAST(n AS INT) AS n_words, "
-            "round(nc / CAST(n AS DOUBLE), 6) AS mean_word_len, "
-            "round(na / CAST(n AS DOUBLE), 6) AS alpha_word_frac, "
+            "CASE WHEN n > 0 THEN round(nc / CAST(n AS DOUBLE), 6) END "
+            "AS mean_word_len, "
+            "CASE WHEN n > 0 THEN round(na / CAST(n AS DOUBLE), 6) END "
+            "AS alpha_word_frac, "
             "CAST(stop_hits AS INT) AS stop_hits, "
-            "round(mc / CAST(n AS DOUBLE), 6) AS top_token_frac, "
+            "CASE WHEN n > 0 THEN round(mc / CAST(n AS DOUBLE), 6) END "
+            "AS top_token_frac, "
             "round(dup2, 6) AS dup_2gram_frac, "
             "n >= 50 AND n <= 100000 AS flag_words, "
-            "nc / CAST(n AS DOUBLE) >= 3.0 AND "
-            "nc / CAST(n AS DOUBLE) <= 10.0 AS flag_word_len, "
-            "na / CAST(n AS DOUBLE) >= 0.80 AS flag_alpha, "
+            "coalesce(nc / CAST(n AS DOUBLE) >= 3.0 AND "
+            "nc / CAST(n AS DOUBLE) <= 10.0, false) AS flag_word_len, "
+            "coalesce(na / CAST(n AS DOUBLE) >= 0.80, false) AS flag_alpha, "
             "stop_hits >= 2 AS flag_stopwords, "
-            "mc / CAST(n AS DOUBLE) <= 0.10 AS flag_top_token, "
+            "coalesce(mc / CAST(n AS DOUBLE) <= 0.10, false) "
+            "AS flag_top_token, "
             "dup2 <= 0.05 AS flag_dup_2gram, "
             "(n >= 50 AND n <= 100000) AND "
-            "(nc / CAST(n AS DOUBLE) >= 3.0 AND "
-            "nc / CAST(n AS DOUBLE) <= 10.0) AND "
-            "na / CAST(n AS DOUBLE) >= 0.80 AND stop_hits >= 2 AND "
-            "mc / CAST(n AS DOUBLE) <= 0.10 AND "
+            "coalesce(nc / CAST(n AS DOUBLE) >= 3.0 AND "
+            "nc / CAST(n AS DOUBLE) <= 10.0, false) AND "
+            "coalesce(na / CAST(n AS DOUBLE) >= 0.80, false) "
+            "AND stop_hits >= 2 AND "
+            "coalesce(mc / CAST(n AS DOUBLE) <= 0.10, false) AND "
             "dup2 <= 0.05 AS gopher_pass FROM j"
         ),
         "sql_pipe_syntax": (
@@ -2745,8 +2750,9 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "SELECT doc_id, len(ts) AS n_tokens, "
             f"round(len(list_filter(ts, t -> list_contains({_stop_arr('en')}, t))) "
             "/ len(ts), 6) AS stopword_ratio, "
+            "CASE WHEN length(text) > 0 THEN "
             "round(length(regexp_replace(text, '[\\w\\s]', '', 'g')) / length(text), 6) "
-            "AS punct_ratio, "
+            "END AS punct_ratio, "
             "round(least(len(ts) / 100.0, 1.0), 6) AS length_score FROM b"
         ),
         "text_langid": (
@@ -2793,9 +2799,12 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "len(list_filter(regexp_extract_all(text, "
             "'''[a-z]{1,2}| ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9\\s]+|\\s+'), "
             "p -> regexp_matches(p, '\\S'))) AS n_bpe_pieces, "
+            "CASE WHEN len(list_filter(regexp_extract_all(text, "
+            "'''[a-z]{1,2}| ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9\\s]+|\\s+'), "
+            "p -> regexp_matches(p, '\\S'))) > 0 THEN "
             "round(length(text) / len(list_filter(regexp_extract_all(text, "
             "'''[a-z]{1,2}| ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9\\s]+|\\s+'), "
-            "p -> regexp_matches(p, '\\S'))), 4) AS chars_per_piece "
+            "p -> regexp_matches(p, '\\S'))), 4) END AS chars_per_piece "
             "FROM documents"
         ),
         "text_fingerprint": (

@@ -57,7 +57,11 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
-        F.round(n_punct / F.length(text), 6).alias("punct_ratio"),
+        # NULL, not a crash, for the empty document (ANSI division by
+        # zero) — pinned by the unicode robustness suite
+        F.when(
+            F.length(text) > 0, F.round(n_punct / F.length(text), 6)
+        ).alias("punct_ratio"),
         F.round(
             F.least(n_tokens / F.lit(100.0), F.lit(1.0)), 6
         ).alias("length_score"),
@@ -115,7 +119,11 @@ def token_count_estimate(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         F.col(id_col),
         F.size(F.split(text, r"\s+")).alias("n_ws_tokens"),
         n_pieces.alias("n_bpe_pieces"),
-        F.round(F.length(text) / n_pieces, 4).alias("chars_per_piece"),
+        # NULL for piece-free documents (empty/whitespace-only) — ANSI
+        # mode otherwise raises on the zero divisor
+        F.when(
+            n_pieces > 0, F.round(F.length(text) / n_pieces, 4)
+        ).alias("chars_per_piece"),
     )
 
 
@@ -406,9 +414,14 @@ def gopher_quality_gate(
         _grams(F.col("toks"), 2).alias("g2"),
     )
     n = F.size("toks")
-    mwl = F.col("nc") / n
-    alpha_frac = (
-        F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]"))) / n
+    # word-free documents (empty / whitespace-only) divide by zero
+    # under ANSI mode: emit NULL measures and let the flags coalesce
+    # to False below, so the gate REJECTS rather than crashes — the
+    # unicode robustness suite pins this
+    mwl = F.when(n > 0, F.col("nc") / n)
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]"))) / n,
     )
     stop_hits = F.size(
         F.array_intersect(
@@ -416,7 +429,7 @@ def gopher_quality_gate(
             F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
         )
     )
-    top_frac = _top_count(F.col("toks")) / n
+    top_frac = F.when(n > 0, _top_count(F.col("toks")) / n)
     dup2 = F.when(
         F.size("g2") > 0,
         (F.size("g2") - F.size(F.array_distinct("g2"))) / F.size("g2"),
@@ -432,12 +445,17 @@ def gopher_quality_gate(
         # raw (unrounded) comparisons — integer/integer IEEE division is
         # bit-identical on every engine, so the flags replay exactly
         ((n >= min_words) & (n <= max_words)).alias("flag_words"),
-        (
-            (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+        F.coalesce(
+            (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len),
+            F.lit(False),
         ).alias("flag_word_len"),
-        (alpha_frac >= min_alpha_frac).alias("flag_alpha"),
+        F.coalesce(alpha_frac >= min_alpha_frac, F.lit(False)).alias(
+            "flag_alpha"
+        ),
         (stop_hits >= min_stop_hits).alias("flag_stopwords"),
-        (top_frac <= max_top_token_frac).alias("flag_top_token"),
+        F.coalesce(top_frac <= max_top_token_frac, F.lit(False)).alias(
+            "flag_top_token"
+        ),
         (dup2 <= max_dup_2gram_frac).alias("flag_dup_2gram"),
     )
     return measured.withColumn(

@@ -1,0 +1,252 @@
+"""Unicode / multilingual robustness for the text stack.
+
+The tokenizer is whitespace-based and the langid/quality lexicons are
+Latin-stopword-based; these tests pin what that MEANS for CJK (no
+whitespace), RTL scripts, emoji, combining marks, and degenerate
+documents (empty / whitespace-only), and assert metamorphic invariants
+(exact-dedup idempotence, gate rejection rather than crash, identical
+docs always caught by digest- and fingerprint-based dedup regardless
+of script).
+
+Documented behaviors for non-whitespace-delimited scripts:
+
+* a CJK sentence is ONE whitespace token — shingle-based minhash-LSH
+  (word bigrams) cannot see single-token documents, so identical CJK
+  docs produce NO minhash pair; ``exact_dedup`` and simhash (token
+  hashes) still catch them, and byte-level BPE trains on them
+  (test_curation_wave2.test_bpe_bytes_trains_on_multilingual_corpus);
+* ``lang_id`` scores 0 lexicon hits on non-Latin text and falls back
+  to its deterministic tie-break (first lexicon in declaration
+  order) — callers needing real coverage must extend STOPWORDS;
+* empty / whitespace-only documents yield NULL ratio measures (never
+  an ANSI divide-by-zero) and a False gopher gate.
+
+Every assertion collect()s real rows: `.count()` alone prunes the
+projections where ANSI division-by-zero hides (that is exactly how the
+quality_score crash slipped through earlier rounds).
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+#: adversarial corpus: (doc_id, text)
+UNICODE_DOCS = [
+    (1, "你好世界这是一个没有空格的长句子"),          # CJK, no whitespace
+    (2, "مرحبا بالعالم هذا نص عربي طويل"),            # Arabic, RTL
+    (3, "\U0001f600\U0001f601\U0001f602 emoji run"),  # emoji + latin
+    (4, ""),                                          # empty
+    (5, "   \t  \n "),                                # whitespace-only
+    (6, "café résumé naïve coöperate"),               # combining accents
+    (7, "x" * 5000),                                  # one giant token
+    (8, "a​zero​width​space"),         # U+200B is NOT \s
+    (9, "Ελληνικά κείμενο εδώ"),                      # Greek
+    (10, "ß İ ı DOTLESS"),                            # case-folding traps
+    (11, "हिन्दी पाठ यहाँ है"),                        # Devanagari
+    (12, "mixed 你好 text مرحبا ok"),                 # mixed scripts
+]
+
+
+def _docs(spark, rows=None):
+    return spark.createDataFrame(rows or UNICODE_DOCS, ["doc_id", "text"])
+
+
+def test_stats_operators_defined_on_adversarial_corpus(spark):
+    """token_stats / quality_score / token_count_estimate /
+    repetition_stats / gopher gate must COLLECT (not just count) over
+    every adversarial row, with NULL — not a crash — for the ratios a
+    word-free document cannot define."""
+    from task_on_dataframes_spark.operators.textstats import (
+        gopher_quality_gate,
+        quality_score,
+        repetition_stats,
+        token_count_estimate,
+        token_stats,
+    )
+
+    docs = _docs(spark)
+    n = len(UNICODE_DOCS)
+
+    ts = {r["doc_id"]: r for r in token_stats(docs, "doc_id", "text").collect()}
+    assert len(ts) == n
+    assert ts[1]["n_tokens"] == 1          # CJK sentence = one token
+    assert ts[7]["n_chars"] == 5000
+
+    qs = {r["doc_id"]: r for r in quality_score(docs, "doc_id", "text").collect()}
+    assert len(qs) == n
+    assert qs[4]["punct_ratio"] is None    # empty doc: NULL, no crash
+    assert qs[1]["stopword_ratio"] == 0.0  # no Latin stopwords in CJK
+
+    tc = {
+        r["doc_id"]: r
+        for r in token_count_estimate(docs, "doc_id", "text").collect()
+    }
+    assert len(tc) == n
+    assert tc[4]["chars_per_piece"] is None
+    assert tc[5]["chars_per_piece"] is None   # whitespace-only: 0 pieces
+    assert tc[1]["n_bpe_pieces"] == 1         # CJK run = one non-alnum piece
+
+    rep = repetition_stats(docs, "doc_id", "text").collect()
+    assert len(rep) == n
+
+    gg = {
+        r["doc_id"]: r
+        for r in gopher_quality_gate(docs, "doc_id", "text").collect()
+    }
+    assert len(gg) == n
+    for did in (4, 5):  # word-free docs: NULL measures, REJECTED gate
+        assert gg[did]["n_words"] == 0
+        assert gg[did]["mean_word_len"] is None
+        assert gg[did]["gopher_pass"] is False
+
+
+def test_langid_deterministic_fallback_on_non_latin(spark):
+    """Non-Latin docs score zero lexicon hits everywhere; the argmax
+    tie-break (first declared lexicon) must be deterministic, and
+    genuinely-English text must still win."""
+    from task_on_dataframes_spark.operators.textstats import (
+        STOPWORDS,
+        lang_id,
+    )
+
+    docs = _docs(
+        spark,
+        UNICODE_DOCS + [(99, "the cat is in the hat and it is good")],
+    )
+    out = {r["doc_id"]: r for r in lang_id(docs, "doc_id", "text").collect()}
+    first_lang = next(iter(STOPWORDS))
+    for did in (1, 2, 9, 11):  # CJK / Arabic / Greek / Devanagari
+        assert all(out[did][f"score_{lg}"] == 0 for lg in STOPWORDS)
+        assert out[did]["pred_lang"] == first_lang
+    assert out[99]["pred_lang"] == "en"
+    assert out[99]["score_en"] > 0
+
+
+def test_exact_dedup_catches_identical_docs_any_script_and_is_idempotent(
+    spark,
+):
+    """Digest dedup is script-agnostic: byte-identical CJK/emoji/RTL
+    texts group regardless of tokenizability — and deduping the
+    surviving representatives again is a fixpoint."""
+    from task_on_dataframes_spark.operators.dedup import exact_dedup
+
+    dups = [(100 + i, t) for i, (_, t) in enumerate(UNICODE_DOCS)]
+    docs = _docs(spark, UNICODE_DOCS + dups)
+    out = exact_dedup(docs, "doc_id", "text").collect()
+    by_digest = {r["text_digest"]: r for r in out}
+    # every non-whitespace-normalizing text appears exactly once with
+    # n_dups == 2 and the min id as representative
+    # 12 texts duplicated once: 10 groups of 2, and the empty +
+    # whitespace-only docs normalize to the same "" digest (group of 4)
+    assert sum(1 for r in out if r["n_dups"] == 2) == 10
+    assert sum(1 for r in out if r["n_dups"] == 4) == 1
+    reps = [r["rep_id"] for r in out]
+    survivors = docs.join(
+        spark.createDataFrame([(i,) for i in reps], ["doc_id"]), "doc_id"
+    )
+    again = exact_dedup(survivors, "doc_id", "text").collect()
+    assert sorted(r["rep_id"] for r in again) == sorted(reps)
+    assert all(r["n_dups"] == 1 for r in again)
+
+
+def test_identical_single_token_docs_minhash_blind_simhash_catches(spark):
+    """Pin the documented shingle gap: identical CJK docs are invisible
+    to bigram-shingle minhash-LSH (a 1-token doc has no bigrams) but
+    ARE caught by simhash (token-hash fingerprints, Hamming 0)."""
+    from task_on_dataframes_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    rows = [
+        (1, "你好世界这是一个没有空格的长句子"),
+        (2, "你好世界这是一个没有空格的长句子"),
+        (3, "一个完全不同的中文句子在这里"),
+    ]
+    docs = _docs(spark, rows)
+    mh = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    assert mh == []  # documented limitation, not silent wrongness
+    sh = simhash_pairs(
+        simhash_fingerprints(docs, "doc_id", "text"), max_hamming=3
+    ).collect()
+    assert {(r["a"], r["b"]) for r in sh} == {(1, 2)}
+
+
+def test_fingerprints_and_winnowing_deterministic_on_unicode(spark):
+    """Same text -> same fingerprint, regardless of script; winnowing
+    emits no fingerprints for sub-gram docs instead of crashing."""
+    from task_on_dataframes_spark.operators.textstats import (
+        doc_fingerprint,
+        winnow_fingerprints,
+    )
+
+    docs = _docs(spark)
+    twice = _docs(spark, [(d + 100, t) for d, t in UNICODE_DOCS])
+    a = {
+        r["doc_id"]: (r["digest"], r["min_shingle_hash"])
+        for r in doc_fingerprint(docs, "doc_id", "text").collect()
+    }
+    b = {
+        r["doc_id"] - 100: (r["digest"], r["min_shingle_hash"])
+        for r in doc_fingerprint(twice, "doc_id", "text").collect()
+    }
+    assert a == b
+    w = winnow_fingerprints(docs, "doc_id", "text").collect()
+    assert all(r["fingerprint"] is not None for r in w)
+
+
+def test_chunking_non_whitespace_scripts(spark):
+    """A CJK sentence is one whitespace token, so the token chunker
+    yields exactly one chunk carrying the whole sentence — pinned
+    (byte-level chunking is the BPE path's job)."""
+    from task_on_dataframes_spark.operators.text import chunk_text
+
+    docs = _docs(spark, [(1, "你好世界这是一个没有空格的长句子"), (2, "a b c d e")])
+    out = chunk_text(docs, "doc_id", "text", chunk_tokens=2).collect()
+    cjk = [r for r in out if r["doc_id"] == 1]
+    assert len(cjk) == 1 and cjk[0]["chunk"] == "你好世界这是一个没有空格的长句子"
+    assert len([r for r in out if r["doc_id"] == 2]) == 3
+
+
+def test_fuzz_text_stack_on_random_unicode(spark):
+    """Seeded random fuzz over a mixed-script alphabet soup: the whole
+    per-document stack stays collectable and the dedup invariant
+    (identical text => same digest; distinct normalized text => no
+    group) holds on arbitrary junk."""
+    from task_on_dataframes_spark.operators.dedup import exact_dedup
+    from task_on_dataframes_spark.operators.textstats import (
+        gopher_quality_gate,
+        quality_score,
+        token_count_estimate,
+        token_stats,
+    )
+
+    rng = random.Random(20260815)
+    pool = (
+        "abc XYZ 012 .,!?/\\|()[]{} \t\n"
+        "你好世界漢字 ＡＢ　"  # incl. fullwidth + ideographic space
+        "مرحبا שלום Ελλην हिन्दी"
+        "​‍⁠﻿"  # zero-width chars
+        "\U0001f600\U0001f4a9\U0001f1e6\U0001f1f6"  # emoji + flags
+        "éä"  # combining marks
+    )
+    rows = [
+        (i, "".join(rng.choice(pool) for _ in range(rng.randrange(0, 80))))
+        for i in range(200)
+    ]
+    docs = _docs(spark, rows).localCheckpoint()
+    for op in (token_stats, quality_score, token_count_estimate,
+               gopher_quality_gate):
+        got = op(docs, "doc_id", "text").collect()
+        assert len(got) == len(rows)
+    out = exact_dedup(docs, "doc_id", "text").collect()
+    assert sum(r["n_dups"] for r in out) == len(rows)
+    # doubling the corpus exactly doubles every group size
+    doubled = _docs(spark, rows + [(i + 1000, t) for i, t in rows])
+    out2 = {
+        r["text_digest"]: r["n_dups"]
+        for r in exact_dedup(doubled, "doc_id", "text").collect()
+    }
+    for r in out:
+        assert out2[r["text_digest"]] == 2 * r["n_dups"]
