@@ -90,6 +90,7 @@ from task_on_dataframes_spark.registry.dedup import (
     _dedup_exact,
     _dedup_keep_canonical,
     _dedup_levenshtein,
+    _dedup_minhash_char,
     _dedup_minhash_lsh,
     _dedup_ngram_jaccard,
     _dedup_simhash,
@@ -224,7 +225,7 @@ from task_on_dataframes_spark.registry.text import (
     _text_langid_confusion,
     _text_bpe_apply,
     _text_bpe_train,
-    _text_bpe_train64,
+    _text_bpe_train16,
     _text_bpe_train256,
     _text_bpe_bytes,
     _curriculum_quality_bins,
@@ -723,7 +724,7 @@ _R6_WINDOW = [
     "emb_pca_top",
     "emb_pca_project",
     "emb_pca_top2",
-    "text_bpe_train64",
+    "text_bpe_train16",
     "text_bpe_train",
     "text_bpe_apply",
     "ann_pq_topk",
@@ -806,7 +807,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s17_incremental_read": _s17_incremental_read,
         "emb_pca_top2": _emb_pca_top2,
         "text_bpe_train": _text_bpe_train,
-        "text_bpe_train64": _text_bpe_train64,
+        "text_bpe_train16": _text_bpe_train16,
         "text_bpe_train256": _text_bpe_train256,
         "text_bpe_bytes": _text_bpe_bytes,
         "text_bpe_apply": _text_bpe_apply,
@@ -990,6 +991,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_string_funcs": _f_string_funcs,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_minhash_char": _dedup_minhash_char,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
     }
 
@@ -1017,10 +1019,29 @@ WITH toks AS (
 """
 
 
-def _lsh_cand_ctes(num_perm: int = 16, bands: int = 4) -> str:
+#: word-bigram shingle CTEs (t, g) — the default LSH front end
+_LSH_G_WORD = """t AS (SELECT doc_id AS did, string_split_regex(lower(text), '\\s+') AS ts
+           FROM documents),
+g AS (SELECT DISTINCT did, ts[i.i] || ' ' || ts[i.i + 1] AS tok
+      FROM t, LATERAL unnest(generate_series(1, len(ts) - 1)) AS i(i)
+      WHERE len(ts) >= 2)"""
+#: character-5-gram shingle CTEs — mirrors operators/dedup._char_ngrams
+#: (substr is character-indexed on both engines)
+_LSH_G_CHAR = """t AS (SELECT doc_id AS did,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+           FROM documents),
+g AS (SELECT DISTINCT did, substr(nm, i.i, 5) AS tok
+      FROM t, LATERAL unnest(generate_series(1, len(nm) - 4)) AS i(i)
+      WHERE len(nm) >= 5)"""
+
+
+def _lsh_cand_ctes(
+    num_perm: int = 16, bands: int = 4, g_ctes: str = _LSH_G_WORD
+) -> str:
     """Shared WITH-body through the `cand` CTE: shingle, hash, minhash
     signature, band keys, candidate pairs — mirrors
-    operators/dedup.py:lsh_candidates."""
+    operators/dedup.py:lsh_candidates. ``g_ctes`` swaps the shingle
+    basis (word bigrams vs character 5-grams)."""
     from task_on_dataframes_spark.operators.hashing import (
         hash32_sql,
         perm_hash_sql,
@@ -1040,11 +1061,7 @@ def _lsh_cand_ctes(num_perm: int = 16, bands: int = 4) -> str:
         for b in range(bands)
     )
     return f"""
-WITH t AS (SELECT doc_id AS did, string_split_regex(lower(text), '\\s+') AS ts
-           FROM documents),
-g AS (SELECT DISTINCT did, ts[i.i] || ' ' || ts[i.i + 1] AS tok
-      FROM t, LATERAL unnest(generate_series(1, len(ts) - 1)) AS i(i)
-      WHERE len(ts) >= 2),
+WITH {g_ctes},
 h AS (SELECT did, tok, {hash32_sql('tok')} AS h FROM g),
 sig AS (SELECT did, {sig_cols} FROM h GROUP BY did),
 bands AS ({band_selects}),
@@ -1053,8 +1070,13 @@ cand AS (SELECT DISTINCT x.did AS a, y.did AS b
          WHERE x.did < y.did)"""
 
 
-def _minhash_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
-    return f"""{_lsh_cand_ctes(num_perm, bands)},
+def _minhash_oracle(
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    g_ctes: str = _LSH_G_WORD,
+) -> str:
+    return f"""{_lsh_cand_ctes(num_perm, bands, g_ctes)},
 sz AS (SELECT did, count(*) AS sz FROM g GROUP BY did),
 inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
           JOIN g ga ON ga.did = c.a
@@ -2533,6 +2555,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "FROM documents GROUP BY 1"
         ),
         "dedup_minhash_lsh": _minhash_oracle(16, 4, 0.5),
+        "dedup_minhash_char": _minhash_oracle(16, 4, 0.5, _LSH_G_CHAR),
         "dedup_incremental_lsh": _incr_lsh_oracle(16, 4, 0.5),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(3, 0.5, 50),
         "dedup_simhash": _simhash_oracle(32, 3),
@@ -3955,7 +3978,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         ),
         "decontaminate_bloom": _bloom_decontaminate_oracle_sql(),
         "text_bpe_train": _bpe_train_oracle_sql(),
-        "text_bpe_train64": _bpe_train_oracle_sql(64),
+        "text_bpe_train16": _bpe_train_oracle_sql(16),
         "text_bpe_train256": _bpe_train_oracle_sql(256),
         "text_bpe_bytes": _bpe_train_oracle_sql(64, _BPE_W0_BYTES),
         "text_bpe_apply": _bpe_apply_oracle_sql(),

@@ -169,15 +169,44 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_n: int = 2,
+    kind: str = "word",
 ) -> DataFrame:
     """Near-duplicate pairs (a < b, exact Jaccard >= threshold) with
     LSH candidate generation: only documents agreeing on at least one
     band slice are compared. Shingles default to word bigrams — unigram
-    sets saturate on small vocabularies and stop discriminating."""
+    sets saturate on small vocabularies and stop discriminating;
+    ``kind="char"`` switches to character n-grams for
+    non-whitespace-delimited scripts."""
     candidates, toks = lsh_candidates(
-        df, id_col, text_col, num_perm, bands, shingle_n
+        df, id_col, text_col, num_perm, bands, shingle_n, kind
     )
     return jaccard_verify(candidates, toks, threshold)
+
+
+def _char_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Distinct (id, character-n-gram) pairs over whitespace-normalized
+    lowercase text — the shingle basis that works for scripts word
+    shingles cannot see (a CJK sentence is ONE whitespace token, so a
+    word-bigram set is empty; its character 5-gram set is rich). Both
+    Spark ``substr`` and DuckDB ``substr`` index CHARACTERS, not
+    bytes, so the oracle replays unicode shingles exactly."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.select(F.col(id_col).alias("did"), norm.alias("nm"))
+    grams = base.select(
+        "did",
+        F.explode(
+            F.when(
+                F.length("nm") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("nm") - n + 1),
+                    lambda i: F.col("nm").substr(i, F.lit(n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tok"),
+    )
+    return grams.distinct()
 
 
 def lsh_candidates(
@@ -187,11 +216,17 @@ def lsh_candidates(
     num_perm: int = 16,
     bands: int = 4,
     shingle_n: int = 2,
+    kind: str = "word",
 ) -> tuple:
     """Minhash-LSH candidate pairs (a < b) plus the persisted shingle
     table they were derived from — the shared front end of every
-    verified near-dup strategy (Jaccard, edit distance, ...)."""
-    if shingle_n > 1:
+    verified near-dup strategy (Jaccard, edit distance, ...).
+    ``kind="char"`` shingles on character n-grams instead of word
+    n-grams — the variant that sees non-whitespace-delimited scripts
+    (the unicode suite pins word-shingle blindness on CJK)."""
+    if kind == "char":
+        toks = _char_ngrams(df, id_col, text_col, shingle_n)
+    elif shingle_n > 1:
         toks = _word_ngrams(df, id_col, text_col, shingle_n)
     else:
         toks = _tokens(df, id_col, text_col)

@@ -43,6 +43,29 @@ def _dedup_minhash_lsh(spark, sf_dir):
         docs, "doc_id", "text", num_perm=16, bands=4, threshold=0.5, shingle_n=2
     )
 
+def _dedup_minhash_char(spark, sf_dir):
+    """Minhash-LSH near-dup pairs over CHARACTER 5-gram shingles —
+    the variant that sees non-whitespace-delimited scripts (a CJK
+    sentence is one whitespace token, so the word-bigram front end is
+    blind to it; the unicode robustness suite pins that gap and this
+    operator closes it). Same banded candidate generation and exact
+    Jaccard verification as dedup_minhash_lsh; only the shingle basis
+    changes (operators/dedup.py:_char_ngrams — character-indexed
+    substr on both engines, so unicode shingles replay exactly)."""
+    from task_on_dataframes_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    return minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_perm=16,
+        bands=4,
+        threshold=0.5,
+        shingle_n=5,
+        kind="char",
+    )
+
 def _dedup_ngram_jaccard(spark, sf_dir):
     from task_on_dataframes_spark.operators.dedup import ngram_jaccard_pairs
 

@@ -13,7 +13,9 @@ Documented behaviors for non-whitespace-delimited scripts:
 * a CJK sentence is ONE whitespace token — shingle-based minhash-LSH
   (word bigrams) cannot see single-token documents, so identical CJK
   docs produce NO minhash pair; ``exact_dedup`` and simhash (token
-  hashes) still catch them, and byte-level BPE trains on them
+  hashes) still catch them, ``minhash_lsh_pairs(kind="char")``
+  (character 5-gram shingles, registered as dedup_minhash_char)
+  closes the gap outright, and byte-level BPE trains on them
   (test_curation_wave2.test_bpe_bytes_trains_on_multilingual_corpus);
 * ``lang_id`` scores 0 lexicon hits on non-Latin text and falls back
   to its deterministic tie-break (first lexicon in declaration
@@ -171,6 +173,12 @@ def test_identical_single_token_docs_minhash_blind_simhash_catches(spark):
         simhash_fingerprints(docs, "doc_id", "text"), max_hamming=3
     ).collect()
     assert {(r["a"], r["b"]) for r in sh} == {(1, 2)}
+    # the char-shingle variant CLOSES the gap: identical CJK docs pair
+    # at jaccard 1.0 while the unrelated sentence stays out
+    ch = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=5, kind="char"
+    ).collect()
+    assert {(r["a"], r["b"], r["jaccard"]) for r in ch} == {(1, 2, 1.0)}
 
 
 def test_fingerprints_and_winnowing_deterministic_on_unicode(spark):
