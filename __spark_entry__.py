@@ -223,6 +223,7 @@ from task_on_dataframes_spark.registry.text import (
     _text_bigram_lm,
     _text_chunk_overlap,
     _text_langid_confusion,
+    _text_langid_script,
     _text_bpe_apply,
     _text_bpe_train,
     _text_bpe_train16,
@@ -889,6 +890,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _text_token_stats,
         "text_quality": _text_quality,
         "text_langid": _text_langid,
+        "text_langid_script": _text_langid_script,
         "text_token_count": _text_token_count,
         "text_fingerprint": _text_fingerprint,
         "planner_top90_tokens": _planner_top90,
@@ -2778,6 +2780,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "END AS punct_ratio, "
             "round(least(len(ts) / 100.0, 1.0), 6) AS length_score FROM b"
         ),
+        "text_langid_script": "WITH s AS (SELECT doc_id, length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_latin, length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk, length(regexp_replace(text, '[^\\x{0600}-\\x{06ff}]', '', 'g')) AS n_arabic, length(regexp_replace(text, '[^\\x{0400}-\\x{04ff}]', '', 'g')) AS n_cyrillic, length(regexp_replace(text, '[^\\x{0370}-\\x{03ff}]', '', 'g')) AS n_greek, length(regexp_replace(text, '[^\\x{0900}-\\x{097f}]', '', 'g')) AS n_devanagari, length(regexp_replace(text, '[^\\x{ac00}-\\x{d7af}]', '', 'g')) AS n_hangul, length(regexp_replace(text, '[^\\x{3040}-\\x{30ff}]', '', 'g')) AS n_kana FROM documents) SELECT doc_id, n_latin, n_cjk, n_arabic, n_cyrillic, n_greek, n_devanagari, n_hangul, n_kana, CASE WHEN greatest(n_latin, n_cjk, n_arabic, n_cyrillic, n_greek, n_devanagari, n_hangul, n_kana) > 0 THEN CASE WHEN n_latin >= n_cjk AND n_latin >= n_arabic AND n_latin >= n_cyrillic AND n_latin >= n_greek AND n_latin >= n_devanagari AND n_latin >= n_hangul AND n_latin >= n_kana THEN 'latin' WHEN n_cjk >= n_arabic AND n_cjk >= n_cyrillic AND n_cjk >= n_greek AND n_cjk >= n_devanagari AND n_cjk >= n_hangul AND n_cjk >= n_kana THEN 'cjk' WHEN n_arabic >= n_cyrillic AND n_arabic >= n_greek AND n_arabic >= n_devanagari AND n_arabic >= n_hangul AND n_arabic >= n_kana THEN 'arabic' WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_devanagari AND n_cyrillic >= n_hangul AND n_cyrillic >= n_kana THEN 'cyrillic' WHEN n_greek >= n_devanagari AND n_greek >= n_hangul AND n_greek >= n_kana THEN 'greek' WHEN n_devanagari >= n_hangul AND n_devanagari >= n_kana THEN 'devanagari' WHEN n_hangul >= n_kana THEN 'hangul' WHEN true THEN 'kana' END ELSE 'none' END AS script FROM s",
         "text_langid": (
             "WITH b AS (SELECT doc_id, "
             "string_split_regex(lower(text), '\\s+') AS ts FROM documents), "

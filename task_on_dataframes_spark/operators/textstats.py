@@ -100,6 +100,51 @@ def lang_id(
     return scored.withColumn("pred_lang", pred)
 
 
+#: Unicode-script character classes (BMP ranges — one UTF-16 unit per
+#: char, so Spark's length() and DuckDB's length() agree), in argmax
+#: tie-break declaration order. Java regex and RE2 both accept the
+#: \x{...} range syntax, so the oracle replays these byte-for-byte.
+SCRIPT_RANGES = [
+    ("latin", "A-Za-z"),
+    ("cjk", r"\x{4e00}-\x{9fff}"),
+    ("arabic", r"\x{0600}-\x{06ff}"),
+    ("cyrillic", r"\x{0400}-\x{04ff}"),
+    ("greek", r"\x{0370}-\x{03ff}"),
+    ("devanagari", r"\x{0900}-\x{097f}"),
+    ("hangul", r"\x{ac00}-\x{d7af}"),
+    ("kana", r"\x{3040}-\x{30ff}"),
+]
+
+
+def script_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SCRIPT-based language detection — the companion
+    :func:`lang_id` needs for non-Latin corpora (its stopword lexicons
+    are Latin-only, so CJK/RTL text scores zero everywhere; the
+    unicode robustness suite pins that fallback). Counts characters
+    per Unicode script block with scan-stage ``regexp_replace`` (one
+    pass per script, fused into the document scan, zero shuffle/UDF)
+    and predicts the argmax (ties and all-zero fall to declaration
+    order / 'none'). At 100 TB this is pure per-row string arithmetic.
+
+    Output: (id, n_<script>... , script)."""
+    text = F.col(text_col)
+    counts = [
+        F.length(F.regexp_replace(text, f"[^{rng}]", "")).alias(f"n_{name}")
+        for name, rng in SCRIPT_RANGES
+    ]
+    scored = df.select(F.col(id_col), *counts)
+    names = [n for n, _ in SCRIPT_RANGES]
+    pred: Column = F.lit(names[-1])
+    best: Column = F.col(f"n_{names[-1]}")
+    for name in reversed(names[:-1]):
+        cond = F.col(f"n_{name}") >= best
+        best = F.when(cond, F.col(f"n_{name}")).otherwise(best)
+        pred = F.when(cond, F.lit(name)).otherwise(pred)
+    return scored.withColumn(
+        "script", F.when(best > 0, pred).otherwise(F.lit("none"))
+    )
+
+
 #: GPT-2-flavored pre-tokenizer, restricted to syntax that Java regex
 #: (Spark) and RE2 (DuckDB) match identically: contractions, letter
 #: runs, short digit runs, punctuation runs, whitespace — each with an

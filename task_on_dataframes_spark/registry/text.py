@@ -44,6 +44,16 @@ def _text_langid(spark, sf_dir):
 
     return lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
+def _text_langid_script(spark, sf_dir):
+    """Script-block language detection (operators/textstats.py:
+    script_id): per-script character counts via scan-stage regex
+    classes + argmax — the non-Latin companion to the stopword langid,
+    whose lexicons score zero on CJK/RTL text (pinned by the unicode
+    robustness suite)."""
+    from task_on_dataframes_spark.operators.textstats import script_id
+
+    return script_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
 def _text_token_count(spark, sf_dir):
     from task_on_dataframes_spark.operators.textstats import token_count_estimate
 

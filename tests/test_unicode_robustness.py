@@ -19,7 +19,9 @@ Documented behaviors for non-whitespace-delimited scripts:
   (test_curation_wave2.test_bpe_bytes_trains_on_multilingual_corpus);
 * ``lang_id`` scores 0 lexicon hits on non-Latin text and falls back
   to its deterministic tie-break (first lexicon in declaration
-  order) — callers needing real coverage must extend STOPWORDS;
+  order); ``script_id`` (registered as text_langid_script) is the
+  non-Latin companion — Unicode-block character counts resolve
+  CJK/Arabic/Greek/Cyrillic/Devanagari/Hangul/Kana directly;
 * empty / whitespace-only documents yield NULL ratio measures (never
   an ANSI divide-by-zero) and a False gopher gate.
 
@@ -258,3 +260,31 @@ def test_fuzz_text_stack_on_random_unicode(spark):
     }
     for r in out:
         assert out2[r["text_digest"]] == 2 * r["n_dups"]
+
+
+def test_script_id_detects_non_latin_scripts(spark):
+    """script_id closes the langid gap the stopword lexicons leave:
+    every adversarial script resolves to its Unicode block, word-free
+    docs to 'none', and mixed text to the dominant script."""
+    from task_on_dataframes_spark.operators.textstats import script_id
+
+    docs = _docs(
+        spark,
+        UNICODE_DOCS
+        + [
+            (20, "한국어 텍스트"),
+            (21, "ひらがなとカタカナ"),
+            (22, "русский текст"),
+        ],
+    )
+    out = {r["doc_id"]: r["script"] for r in script_id(docs, "doc_id", "text").collect()}
+    assert out[1] == "cjk"
+    assert out[2] == "arabic"
+    assert out[4] == "none" and out[5] == "none"
+    assert out[9] == "greek"
+    assert out[11] == "devanagari"
+    assert out[20] == "hangul"
+    assert out[21] == "kana"
+    assert out[22] == "cyrillic"
+    assert out[7] == "latin"          # the x*5000 doc
+    assert out[12] == "latin"         # mixed: latin chars dominate
