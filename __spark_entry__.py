@@ -702,72 +702,77 @@ def _bloom_decontaminate_oracle_sql(k: int = 3, m: int = 1 << 16) -> str:
 #: CORRECTNESS_r06 window: the 9 queries never driver-checked in any
 #: round (closing VERDICT r5 item 6), the round-6 additions, every
 #: query whose code changed this round, then the least-recently-checked
-#: tail (r1/r2-era) — so driver coverage keeps rotating.
-_R6_WINDOW = [
-    "set_ops",
-    "f_posexplode",
-    "w3_ranking",
-    "w6_ntile_bins",
-    "j8_upsert",
-    "a9_quantiles",
-    "text_winnow",
-    "emb_quantize",
-    "sample_split",
-    "text_bpe_train256",
-    "ann_ivfsq_topk",
-    "ann_ivf_incremental",
-    "dedup_substring",
-    "dedup_substring_rewrite",
-    "mm_wav_decode",
-    "mm_png_decode",
-    "quality_gopher_gate",
-    "emb_gram",
-    "emb_pca_top",
-    "emb_pca_project",
-    "emb_pca_top2",
+##: round-7 driver window (the driver checks the FIRST ~50 queries()
+#: entries): never-driver-checked queries first (the five added or
+#: renamed this round), then every query whose code changed this
+#: round (star-contraction components, empty-doc quality guards,
+#: pagerank gate, IVF centroid cache, enc decode, LSH front end),
+#: then the least-recently-checked tail (the r2-era TPC-H/relational
+#: core, untouched by a driver row since CORRECTNESS_r02).
+_R7_WINDOW = [
     "text_bpe_train16",
-    "text_bpe_train",
-    "text_bpe_apply",
-    "ann_pq_topk",
-    "ann_sq_rerank",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
+    "text_bpe_bytes",
+    "ann_recall_clustered",
+    "text_langid_script",
+    "dedup_minhash_char",
     "dedup_components",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_simhash",
-    "text_fingerprint",
-    "text_langid",
+    "dedup_keep_canonical",
+    "quality_gopher_gate",
     "text_quality",
     "text_token_count",
-    "text_token_stats",
-    "a1_value_counts",
-    "a2_scalar_sum",
-    "dedup_exact",
+    "graph_pagerank",
+    "ann_ivf_topk",
+    "ann_ivfsq_topk",
+    "ann_ivfpq_topk",
+    "ann_ivf_incremental",
+    "dedup_substring_rewrite",
+    "pipeline_c4_curation",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "f1_explode_carry",
-    "f2_word_boundary_split",
-    "f_array_funcs",
-    "f_date_funcs",
-    "f_string_funcs",
-    "j3_left_join",
-    "j4_semi_join",
-    "j5_anti_join",
+    "dedup_incremental_lsh",
+    "curriculum_quality_bins",
     "o2_pagination",
+    "planner_top90_tokens",
+    "w1_running_sum",
+    "w2_top90_tokens",
+    "o3_topk_counts",
+    "p1_projection_reindex",
+    "p3_filter_startswith",
+    "p5_null_safe_flag_filter",
+    "p6_distinct_subset",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "s1_glob_source",
+    "s2_whole_file_read",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q14_promo_share",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_profit",
+    "q11_value_concentration",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_filter",
+    "q21_waiting_supplier",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    head = {k: q[k] for k in _R6_WINDOW if k in q}
+    head = {k: q[k] for k in _R7_WINDOW if k in q}
     return head | {k: v for k, v in q.items() if k not in head}
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r4 ordering below; the driver window is imposed by
-        # _R6_WINDOW in queries() ---
+        # _R7_WINDOW in queries() ---
         "j10_interval_overlap_join": _j10_interval_overlap_join,
         "quality_ks_drift": _quality_ks_drift,
         "quality_psi_drift": _quality_psi_drift,
