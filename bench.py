@@ -101,6 +101,10 @@ def main() -> None:
         "dedup_substring_rewrite",
         "ann_ivfsq_topk",
         "text_bpe_train256",
+        # round-7 flagships
+        "dedup_components",
+        "text_bpe_bytes",
+        "dedup_minhash_char",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}
