@@ -1037,13 +1037,18 @@ g AS (SELECT DISTINCT did, ts[i.i] || ' ' || ts[i.i + 1] AS tok
 _LSH_G_CHAR = """t AS (SELECT doc_id AS did,
            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
            FROM documents),
-g AS (SELECT DISTINCT did, substr(nm, i.i, 5) AS tok
+g AS (SELECT DISTINCT did, tok FROM (
+      SELECT did, substr(nm, i.i, 5) AS tok
       FROM t, LATERAL unnest(generate_series(1, len(nm) - 4)) AS i(i)
-      WHERE len(nm) >= 5)"""
+      WHERE len(nm) >= 5)
+      WHERE CAST(('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 0)"""
 
 
 def _lsh_cand_ctes(
-    num_perm: int = 16, bands: int = 4, g_ctes: str = _LSH_G_WORD
+    num_perm: int = 16,
+    bands: int = 4,
+    g_ctes: str = _LSH_G_WORD,
+    star: bool = False,
 ) -> str:
     """Shared WITH-body through the `cand` CTE: shingle, hash, minhash
     signature, band keys, candidate pairs — mirrors
@@ -1058,6 +1063,18 @@ def _lsh_cand_ctes(
     sig_cols = ", ".join(
         f"min({perm_hash_sql('h', i)}) AS mh{i}" for i in range(num_perm)
     )
+    if star:
+        cand_body = (
+            "SELECT DISTINCT m.a, x.did AS b FROM bands x JOIN "
+            "(SELECT band, key, min(did) AS a FROM bands GROUP BY 1, 2) m "
+            "ON x.band = m.band AND x.key = m.key WHERE x.did <> m.a"
+        )
+    else:
+        cand_body = (
+            "SELECT DISTINCT x.did AS a, y.did AS b "
+            "FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key "
+            "WHERE x.did < y.did"
+        )
     band_selects = " UNION ALL ".join(
         "SELECT did, {b} AS band, md5(concat_ws('_', {cols})) AS key FROM sig".format(
             b=b,
@@ -1072,9 +1089,7 @@ WITH {g_ctes},
 h AS (SELECT did, tok, {hash32_sql('tok')} AS h FROM g),
 sig AS (SELECT did, {sig_cols} FROM h GROUP BY did),
 bands AS ({band_selects}),
-cand AS (SELECT DISTINCT x.did AS a, y.did AS b
-         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
-         WHERE x.did < y.did)"""
+cand AS ({cand_body})"""
 
 
 def _minhash_oracle(
@@ -1082,8 +1097,9 @@ def _minhash_oracle(
     bands: int = 4,
     threshold: float = 0.5,
     g_ctes: str = _LSH_G_WORD,
+    star: bool = False,
 ) -> str:
-    return f"""{_lsh_cand_ctes(num_perm, bands, g_ctes)},
+    return f"""{_lsh_cand_ctes(num_perm, bands, g_ctes, star)},
 sz AS (SELECT did, count(*) AS sz FROM g GROUP BY did),
 inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
           JOIN g ga ON ga.did = c.a
@@ -2562,7 +2578,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "FROM documents GROUP BY 1"
         ),
         "dedup_minhash_lsh": _minhash_oracle(16, 4, 0.5),
-        "dedup_minhash_char": _minhash_oracle(16, 4, 0.5, _LSH_G_CHAR),
+        "dedup_minhash_char": _minhash_oracle(16, 4, 0.5, _LSH_G_CHAR, star=True),
         "dedup_incremental_lsh": _incr_lsh_oracle(16, 4, 0.5),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(3, 0.5, 50),
         "dedup_simhash": _simhash_oracle(32, 3),
@@ -2785,7 +2801,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "END AS punct_ratio, "
             "round(least(len(ts) / 100.0, 1.0), 6) AS length_score FROM b"
         ),
-        "text_langid_script": "WITH s AS (SELECT doc_id, length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_latin, length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk, length(regexp_replace(text, '[^\\x{0600}-\\x{06ff}]', '', 'g')) AS n_arabic, length(regexp_replace(text, '[^\\x{0400}-\\x{04ff}]', '', 'g')) AS n_cyrillic, length(regexp_replace(text, '[^\\x{0370}-\\x{03ff}]', '', 'g')) AS n_greek, length(regexp_replace(text, '[^\\x{0900}-\\x{097f}]', '', 'g')) AS n_devanagari, length(regexp_replace(text, '[^\\x{ac00}-\\x{d7af}]', '', 'g')) AS n_hangul, length(regexp_replace(text, '[^\\x{3040}-\\x{30ff}]', '', 'g')) AS n_kana FROM documents) SELECT doc_id, n_latin, n_cjk, n_arabic, n_cyrillic, n_greek, n_devanagari, n_hangul, n_kana, CASE WHEN greatest(n_latin, n_cjk, n_arabic, n_cyrillic, n_greek, n_devanagari, n_hangul, n_kana) > 0 THEN CASE WHEN n_latin >= n_cjk AND n_latin >= n_arabic AND n_latin >= n_cyrillic AND n_latin >= n_greek AND n_latin >= n_devanagari AND n_latin >= n_hangul AND n_latin >= n_kana THEN 'latin' WHEN n_cjk >= n_arabic AND n_cjk >= n_cyrillic AND n_cjk >= n_greek AND n_cjk >= n_devanagari AND n_cjk >= n_hangul AND n_cjk >= n_kana THEN 'cjk' WHEN n_arabic >= n_cyrillic AND n_arabic >= n_greek AND n_arabic >= n_devanagari AND n_arabic >= n_hangul AND n_arabic >= n_kana THEN 'arabic' WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_devanagari AND n_cyrillic >= n_hangul AND n_cyrillic >= n_kana THEN 'cyrillic' WHEN n_greek >= n_devanagari AND n_greek >= n_hangul AND n_greek >= n_kana THEN 'greek' WHEN n_devanagari >= n_hangul AND n_devanagari >= n_kana THEN 'devanagari' WHEN n_hangul >= n_kana THEN 'hangul' WHEN true THEN 'kana' END ELSE 'none' END AS script FROM s",
+        "text_langid_script": "WITH s AS (SELECT doc_id, length(regexp_replace(substr(text, 1, 512), '[^A-Za-z]', '', 'g')) AS n_latin, length(regexp_replace(substr(text, 1, 512), '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk, length(regexp_replace(substr(text, 1, 512), '[^\\x{0600}-\\x{06ff}]', '', 'g')) AS n_arabic, length(regexp_replace(substr(text, 1, 512), '[^\\x{0400}-\\x{04ff}]', '', 'g')) AS n_cyrillic, length(regexp_replace(substr(text, 1, 512), '[^\\x{0370}-\\x{03ff}]', '', 'g')) AS n_greek, length(regexp_replace(substr(text, 1, 512), '[^\\x{0900}-\\x{097f}]', '', 'g')) AS n_devanagari, length(regexp_replace(substr(text, 1, 512), '[^\\x{ac00}-\\x{d7af}]', '', 'g')) AS n_hangul, length(regexp_replace(substr(text, 1, 512), '[^\\x{3040}-\\x{30ff}]', '', 'g')) AS n_kana FROM documents) SELECT doc_id, n_latin, n_cjk, n_arabic, n_cyrillic, n_greek, n_devanagari, n_hangul, n_kana, CASE WHEN greatest(n_latin, n_cjk, n_arabic, n_cyrillic, n_greek, n_devanagari, n_hangul, n_kana) > 0 THEN CASE WHEN n_latin >= n_cjk AND n_latin >= n_arabic AND n_latin >= n_cyrillic AND n_latin >= n_greek AND n_latin >= n_devanagari AND n_latin >= n_hangul AND n_latin >= n_kana THEN 'latin' WHEN n_cjk >= n_arabic AND n_cjk >= n_cyrillic AND n_cjk >= n_greek AND n_cjk >= n_devanagari AND n_cjk >= n_hangul AND n_cjk >= n_kana THEN 'cjk' WHEN n_arabic >= n_cyrillic AND n_arabic >= n_greek AND n_arabic >= n_devanagari AND n_arabic >= n_hangul AND n_arabic >= n_kana THEN 'arabic' WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_devanagari AND n_cyrillic >= n_hangul AND n_cyrillic >= n_kana THEN 'cyrillic' WHEN n_greek >= n_devanagari AND n_greek >= n_hangul AND n_greek >= n_kana THEN 'greek' WHEN n_devanagari >= n_hangul AND n_devanagari >= n_kana THEN 'devanagari' WHEN n_hangul >= n_kana THEN 'hangul' WHEN true THEN 'kana' END ELSE 'none' END AS script FROM s",
         "text_langid": (
             "WITH b AS (SELECT doc_id, "
             "string_split_regex(lower(text), '\\s+') AS ts FROM documents), "

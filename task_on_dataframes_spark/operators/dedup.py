@@ -170,28 +170,47 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     shingle_n: int = 2,
     kind: str = "word",
+    star: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b, exact Jaccard >= threshold) with
     LSH candidate generation: only documents agreeing on at least one
     band slice are compared. Shingles default to word bigrams — unigram
     sets saturate on small vocabularies and stop discriminating;
     ``kind="char"`` switches to character n-grams for
-    non-whitespace-delimited scripts."""
+    non-whitespace-delimited scripts, and ``star=True`` to
+    bucket-representative candidates (see :func:`lsh_candidates` —
+    linear in bucket size, same downstream clusters)."""
     candidates, toks = lsh_candidates(
-        df, id_col, text_col, num_perm, bands, shingle_n, kind
+        df, id_col, text_col, num_perm, bands, shingle_n, kind, star
     )
     return jaccard_verify(candidates, toks, threshold)
 
 
 def _char_ngrams(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    sample_mod: int = 4,
 ) -> DataFrame:
     """Distinct (id, character-n-gram) pairs over whitespace-normalized
     lowercase text — the shingle basis that works for scripts word
     shingles cannot see (a CJK sentence is ONE whitespace token, so a
     word-bigram set is empty; its character 5-gram set is rich). Both
     Spark ``substr`` and DuckDB ``substr`` index CHARACTERS, not
-    bytes, so the oracle replays unicode shingles exactly."""
+    bytes, so the oracle replays unicode shingles exactly.
+
+    ``sample_mod`` applies MODULO SAMPLING of the shingle UNIVERSE
+    (keep gram iff ``hash32(gram) % sample_mod == 0`` — the standard
+    bottom-sketch trick): every position of a document yields a char
+    gram, so the raw table is ~|text| rows — ~1.5B at sf1, which
+    GC-killed an 8 GiB local JVM in the round-7 sweep's first attempt.
+    Sampling by GRAM VALUE (not per row) keeps the estimator exact on
+    the sampled universe — identical docs still share every sampled
+    gram (Jaccard 1.0), and the expected Jaccard over a 1/m uniform
+    subuniverse is the true Jaccard — while cutting shingle volume,
+    shuffle, and persist footprint by ~m. The filter runs scan-stage,
+    BEFORE the distinct. ``sample_mod=1`` disables sampling."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     base = df.select(F.col(id_col).alias("did"), norm.alias("nm"))
     grams = base.select(
@@ -206,6 +225,10 @@ def _char_ngrams(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("tok"),
     )
+    if sample_mod > 1:
+        grams = grams.filter(
+            F.pmod(hash32(F.col("tok")), F.lit(sample_mod)) == 0
+        )
     return grams.distinct()
 
 
@@ -217,13 +240,26 @@ def lsh_candidates(
     bands: int = 4,
     shingle_n: int = 2,
     kind: str = "word",
+    star: bool = False,
 ) -> tuple:
     """Minhash-LSH candidate pairs (a < b) plus the persisted shingle
     table they were derived from — the shared front end of every
     verified near-dup strategy (Jaccard, edit distance, ...).
     ``kind="char"`` shingles on character n-grams instead of word
     n-grams — the variant that sees non-whitespace-delimited scripts
-    (the unicode suite pins word-shingle blindness on CJK)."""
+    (the unicode suite pins word-shingle blindness on CJK).
+
+    ``star=True`` emits STAR candidates: each bucket member pairs with
+    the bucket's MINIMUM id instead of with every other member. The
+    all-pairs bucket self-join is quadratic in bucket size, and
+    template-heavy corpora collapse signatures into mega-buckets —
+    measured 29M candidate pairs at sf1 for char shingles, 158 s of
+    verification. Star candidates are linear in bucket size (~2M at
+    the same sf1, the standard boilerplate-bucket mitigation), and for
+    the downstream keep-one flow (pairs -> connected components ->
+    canonical representative) they carry exactly the same clusters:
+    every member still links to its bucket representative, and
+    components contract stars and cliques identically."""
     if kind == "char":
         toks = _char_ngrams(df, id_col, text_col, shingle_n)
     elif shingle_n > 1:
@@ -243,14 +279,23 @@ def lsh_candidates(
     # aggregation runs twice. The frame is docs x bands rows (id, band,
     # md5 key): document-scale, bounded, far smaller than the shingles.
     keys = lsh_band_keys(sigs, num_perm, bands).persist()
-    ka = keys.select(F.col("did").alias("a"), "band", "key")
-    kb = keys.select(F.col("did").alias("b"), "band", "key")
-    candidates = (
-        ka.join(kb, on=["band", "key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    if star:
+        mins = keys.groupBy("band", "key").agg(F.min("did").alias("a"))
+        candidates = (
+            keys.join(mins, on=["band", "key"])
+            .filter(F.col("did") != F.col("a"))
+            .select("a", F.col("did").alias("b"))
+            .distinct()
+        )
+    else:
+        ka = keys.select(F.col("did").alias("a"), "band", "key")
+        kb = keys.select(F.col("did").alias("b"), "band", "key")
+        candidates = (
+            ka.join(kb, on=["band", "key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
     return candidates, toks
 
 

@@ -116,7 +116,9 @@ SCRIPT_RANGES = [
 ]
 
 
-def script_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def script_id(
+    df: DataFrame, id_col: str, text_col: str, prefix: int = 512
+) -> DataFrame:
     """SCRIPT-based language detection — the companion
     :func:`lang_id` needs for non-Latin corpora (its stopword lexicons
     are Latin-only, so CJK/RTL text scores zero everywhere; the
@@ -126,22 +128,59 @@ def script_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     and predicts the argmax (ties and all-zero fall to declaration
     order / 'none'). At 100 TB this is pure per-row string arithmetic.
 
-    Output: (id, n_<script>... , script)."""
+    Classification reads a ``prefix``-character sample (CLD-style —
+    language ID needs a sample, not the whole document): the eight
+    class passes over full multi-KB texts were the dominant cost at
+    10x data (~8 s at sf1) and a 512-char prefix decides the same
+    script for any monolingual document at ~1/6 the work. Pass
+    ``prefix=0`` to scan everything.
+
+    Execution shape (measured, not guessed): the counts EXPLODE into
+    (script_idx, n) rows and the argmax is one map-side-combinable
+    groupBy — NOT a chained when() fold over count columns. Catalyst
+    collapses projections and inlines every count expression into
+    each comparison that references it, so the fold form re-ran each
+    regex ~2x (8.4 s vs 4.2 s at sf1); the Generate stage evaluates
+    the count array exactly once per row (the same
+    exploded-aggregation-beats-scan-stage-fold lesson as SCALE.md
+    §17d's BM25 rewrite).
+
+    Output: (id, n_<script>... , script) — counts are PREFIX counts."""
     text = F.col(text_col)
-    counts = [
-        F.length(F.regexp_replace(text, f"[^{rng}]", "")).alias(f"n_{name}")
-        for name, rng in SCRIPT_RANGES
+    if prefix > 0:
+        text = F.substring(text, 1, prefix)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.length(F.regexp_replace(text, f"[^{rng}]", "")).alias(
+                    "n"
+                ),
+            )
+            for i, (_name, rng) in enumerate(SCRIPT_RANGES)
+        ]
+    )
+    ex = df.select(F.col(id_col), F.explode(entries).alias("e"))
+    count_aggs = [
+        F.max(F.when(F.col("e.i") == i, F.col("e.n"))).alias(f"n_{name}")
+        for i, (name, _rng) in enumerate(SCRIPT_RANGES)
     ]
-    scored = df.select(F.col(id_col), *counts)
-    names = [n for n, _ in SCRIPT_RANGES]
-    pred: Column = F.lit(names[-1])
-    best: Column = F.col(f"n_{names[-1]}")
-    for name in reversed(names[:-1]):
-        cond = F.col(f"n_{name}") >= best
-        best = F.when(cond, F.col(f"n_{name}")).otherwise(best)
-        pred = F.when(cond, F.lit(name)).otherwise(pred)
-    return scored.withColumn(
-        "script", F.when(best > 0, pred).otherwise(F.lit("none"))
+    # argmax with first-declared-wins ties: max of (n, -i)
+    m = F.max(
+        F.struct(F.col("e.n").alias("n"), (-F.col("e.i")).alias("ni"))
+    ).alias("m")
+    agg = ex.groupBy(id_col).agg(*count_aggs, m)
+    case: Column = F.lit(SCRIPT_RANGES[-1][0])
+    for i in range(len(SCRIPT_RANGES) - 2, -1, -1):
+        case = F.when(
+            -F.col("m.ni") == i, F.lit(SCRIPT_RANGES[i][0])
+        ).otherwise(case)
+    return agg.select(
+        F.col(id_col),
+        *[f"n_{name}" for name, _rng in SCRIPT_RANGES],
+        F.when(F.col("m.n") > 0, case).otherwise(F.lit("none")).alias(
+            "script"
+        ),
     )
 
 

@@ -64,6 +64,7 @@ def _dedup_minhash_char(spark, sf_dir):
         threshold=0.5,
         shingle_n=5,
         kind="char",
+        star=True,
     )
 
 def _dedup_ngram_jaccard(spark, sf_dir):

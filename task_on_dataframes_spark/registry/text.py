@@ -49,7 +49,18 @@ def _text_langid_script(spark, sf_dir):
     script_id): per-script character counts via scan-stage regex
     classes + argmax — the non-Latin companion to the stopword langid,
     whose lexicons score zero on CJK/RTL text (pinned by the unicode
-    robustness suite)."""
+    robustness suite).
+
+    Scale shape, measured at sf1 (500k docs): 512-char prefix sample
+    (CLD-style) + the exploded-argmax form of script_id = ~4 s, vs
+    ~8-11 s for full-text / fold-inlined variants tried first (the
+    r7 sweep's first attempt measured 7.7 s). A parallelism-floor
+    repartition was measured NOT to help here: Catalyst keeps the
+    count projection above the exchange but 32-way regex execution
+    gains only ~1.4x over the 2-task scan (memory-bandwidth-bound
+    char classes), so the shuffle costs more than it buys. On a real
+    corpus's thousands of row groups the scan parallelizes natively
+    and the prefix cut is the entire cost model."""
     from task_on_dataframes_spark.operators.textstats import script_id
 
     return script_id(_t(spark, sf_dir, "documents"), "doc_id", "text")

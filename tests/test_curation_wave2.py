@@ -523,3 +523,42 @@ def test_bpe_bytes_matches_char_level_on_ascii(spark):
         assert c["step"] == b["step"]
         assert bytes.fromhex(b["merged"]).decode() == c["merged"]
         assert c["pair_count"] == b["pair_count"]
+
+
+def test_bpe_bytes_batched_fallback_matches_local(spark):
+    """The byte-level scalable trainer's above-cap fallback (batched
+    provably-sequential merges) must replay the driver-local loop
+    bit-identically on a mixed-script corpus."""
+    from task_on_dataframes_spark.operators.bpe import bpe_train_scalable
+
+    docs = spark.createDataFrame(
+        [
+            (1, "你好 你好世界 héllo héllo hello"),
+            (2, "hello world 你好 world héllo"),
+            (3, "\U0001f600 \U0001f600\U0001f600 world hello"),
+        ],
+        ["doc_id", "text"],
+    )
+    stats_local: dict = {}
+    local = [
+        tuple(r)
+        for r in bpe_train_scalable(
+            docs, "text", merges=24, level="bytes", stats=stats_local
+        ).collect()
+    ]
+    stats_b: dict = {}
+    batched = [
+        tuple(r)
+        for r in bpe_train_scalable(
+            docs,
+            "text",
+            merges=24,
+            level="bytes",
+            driver_vocab_cap=2,
+            stats=stats_b,
+        ).collect()
+    ]
+    assert stats_local["path"] == "local"
+    assert stats_b["path"] == "batched"
+    assert local == batched
+    assert len(local) == 24

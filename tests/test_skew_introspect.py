@@ -253,3 +253,37 @@ def test_connected_components_raises_when_unconverged(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components_hashmin(edges, max_iter=2)
+
+
+def test_connected_components_string_ids_and_adversarial_shapes(spark):
+    """Star contraction on STRING node ids (lexicographic min — Python
+    `<`, Spark least(), and the union-find fast path must agree) and on
+    adversarial topologies: lollipop (clique + tail), two disjoint
+    chains, duplicate + reversed edges."""
+    from task_on_dataframes_spark.operators.dedup import (
+        connected_components,
+        connected_components_hashmin,
+    )
+
+    # lollipop: clique {a,b,c,d} + tail d-e-f-g; separate chain x-y-z
+    pairs = (
+        [(p, q) for p in "abcd" for q in "abcd" if p < q]
+        + [("d", "e"), ("e", "f"), ("f", "g")]
+        + [("x", "y"), ("y", "z"), ("y", "x"), ("x", "y")]  # dups+reverse
+    )
+    edges = spark.createDataFrame(pairs, "a string, b string")
+    local = {
+        r["member"]: r["rep"] for r in connected_components(edges).collect()
+    }
+    star = {
+        r["member"]: r["rep"]
+        for r in connected_components(edges, local_edge_cap=0).collect()
+    }
+    hashmin = {
+        r["member"]: r["rep"]
+        for r in connected_components_hashmin(edges).collect()
+    }
+    want = {c: "a" for c in "abcdefg"} | {c: "x" for c in "xyz"}
+    assert local == want
+    assert star == want
+    assert hashmin == want
