@@ -1034,14 +1034,21 @@ g AS (SELECT DISTINCT did, ts[i.i] || ' ' || ts[i.i + 1] AS tok
       WHERE len(ts) >= 2)"""
 #: character-5-gram shingle CTEs — mirrors operators/dedup._char_ngrams
 #: (substr is character-indexed on both engines)
-_LSH_G_CHAR = """t AS (SELECT doc_id AS did,
+def _lsh_g_char() -> str:
+    """Character-5-gram shingle CTEs with the 1-in-4 modulo sampling —
+    the hash rendering comes from hashing.hash32_sql so the Spark
+    filter (pmod(hash32(tok), 4) == 0) and this oracle can never
+    drift apart."""
+    from task_on_dataframes_spark.operators.hashing import hash32_sql
+
+    return f"""t AS (SELECT doc_id AS did,
            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
            FROM documents),
 g AS (SELECT DISTINCT did, tok FROM (
       SELECT did, substr(nm, i.i, 5) AS tok
       FROM t, LATERAL unnest(generate_series(1, len(nm) - 4)) AS i(i)
       WHERE len(nm) >= 5)
-      WHERE CAST(('0x' || substr(md5(CAST(tok AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 0)"""
+      WHERE {hash32_sql('tok')} % 4 = 0)"""
 
 
 def _lsh_cand_ctes(
@@ -1064,10 +1071,20 @@ def _lsh_cand_ctes(
         f"min({perm_hash_sql('h', i)}) AS mh{i}" for i in range(num_perm)
     )
     if star:
+        # exact all-pairs for buckets <= 16 members, bucket-min stars
+        # above — mirrors lsh_candidates(star=True, star_bucket_cap=16)
         cand_body = (
-            "SELECT DISTINCT m.a, x.did AS b FROM bands x JOIN "
-            "(SELECT band, key, min(did) AS a FROM bands GROUP BY 1, 2) m "
-            "ON x.band = m.band AND x.key = m.key WHERE x.did <> m.a"
+            "SELECT DISTINCT a, b FROM ("
+            "WITH bs AS (SELECT band, key, min(did) AS mn, "
+            "count(*) AS bsz FROM bands GROUP BY 1, 2) "
+            "SELECT x.did AS a, y.did AS b "
+            "FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key "
+            "JOIN bs ON bs.band = x.band AND bs.key = x.key "
+            "WHERE bs.bsz <= 16 AND x.did < y.did "
+            "UNION ALL "
+            "SELECT bs.mn AS a, x.did AS b "
+            "FROM bands x JOIN bs ON bs.band = x.band AND bs.key = x.key "
+            "WHERE bs.bsz > 16 AND x.did <> bs.mn)"
         )
     else:
         cand_body = (
@@ -2578,7 +2595,9 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "FROM documents GROUP BY 1"
         ),
         "dedup_minhash_lsh": _minhash_oracle(16, 4, 0.5),
-        "dedup_minhash_char": _minhash_oracle(16, 4, 0.5, _LSH_G_CHAR, star=True),
+        "dedup_minhash_char": _minhash_oracle(
+            16, 4, 0.5, _lsh_g_char(), star=True
+        ),
         "dedup_incremental_lsh": _incr_lsh_oracle(16, 4, 0.5),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(3, 0.5, 50),
         "dedup_simhash": _simhash_oracle(32, 3),

@@ -200,9 +200,13 @@ def bpe_train_delta(
       partition count DOUBLES per merge (measured: 512 tasks by step
       10 at 8 shuffle partitions); both tables are ``coalesce``-d
       back to the session's shuffle width before each checkpoint.
-    * **bounded unpersist ledger** — generations older than 2 are
-      dropped; newer frames only ever read the immediately previous
-      generation, which the ledger keeps materialized.
+    * **bounded generation ledger** — references to generations older
+      than 2 are dropped; newer frames only ever read the immediately
+      previous generation, which the ledger keeps referenced. (The
+      blocks themselves are localCheckpoint storage, freed by the
+      ContextCleaner once the dropped reference is GC'd —
+      Dataset.unpersist() is a no-op for checkpoint blocks, so the
+      reference drop IS the cleanup mechanism.)
 
     Shuffles per merge: ~3 (two vocabulary-subset pair aggregations
     and the pair-table merge groupBy) versus ~40 for the recount loop

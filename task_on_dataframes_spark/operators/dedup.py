@@ -171,17 +171,20 @@ def minhash_lsh_pairs(
     shingle_n: int = 2,
     kind: str = "word",
     star: bool = False,
+    star_bucket_cap: int = 16,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b, exact Jaccard >= threshold) with
     LSH candidate generation: only documents agreeing on at least one
     band slice are compared. Shingles default to word bigrams — unigram
     sets saturate on small vocabularies and stop discriminating;
     ``kind="char"`` switches to character n-grams for
-    non-whitespace-delimited scripts, and ``star=True`` to
-    bucket-representative candidates (see :func:`lsh_candidates` —
-    linear in bucket size, same downstream clusters)."""
+    non-whitespace-delimited scripts, and ``star=True`` caps
+    mega-bucket candidate generation (exact all-pairs up to
+    ``star_bucket_cap`` members, bucket-min stars above — see
+    :func:`lsh_candidates` for the recall reasoning)."""
     candidates, toks = lsh_candidates(
-        df, id_col, text_col, num_perm, bands, shingle_n, kind, star
+        df, id_col, text_col, num_perm, bands, shingle_n, kind, star,
+        star_bucket_cap,
     )
     return jaccard_verify(candidates, toks, threshold)
 
@@ -241,6 +244,7 @@ def lsh_candidates(
     shingle_n: int = 2,
     kind: str = "word",
     star: bool = False,
+    star_bucket_cap: int = 16,
 ) -> tuple:
     """Minhash-LSH candidate pairs (a < b) plus the persisted shingle
     table they were derived from — the shared front end of every
@@ -249,17 +253,20 @@ def lsh_candidates(
     n-grams — the variant that sees non-whitespace-delimited scripts
     (the unicode suite pins word-shingle blindness on CJK).
 
-    ``star=True`` emits STAR candidates: each bucket member pairs with
-    the bucket's MINIMUM id instead of with every other member. The
-    all-pairs bucket self-join is quadratic in bucket size, and
-    template-heavy corpora collapse signatures into mega-buckets —
-    measured 29M candidate pairs at sf1 for char shingles, 158 s of
-    verification. Star candidates are linear in bucket size (~2M at
-    the same sf1, the standard boilerplate-bucket mitigation), and for
-    the downstream keep-one flow (pairs -> connected components ->
-    canonical representative) they carry exactly the same clusters:
-    every member still links to its bucket representative, and
-    components contract stars and cliques identically."""
+    ``star=True`` caps the quadratic bucket self-join: buckets up to
+    ``star_bucket_cap`` members keep exact ALL-PAIRS candidates;
+    bigger buckets (boilerplate/template collisions — measured 29M
+    candidate pairs and 158 s of verification at sf1 for char
+    shingles) fall back to STAR candidates, each member pairing with
+    the bucket's minimum id (linear in bucket size, the standard
+    mega-bucket mitigation). The cap matters for RECALL, not just
+    cost: a star candidate (bucket-min, member) can FAIL Jaccard
+    verification even when two non-min members are true near-dups
+    (the min may be in the bucket only by signature collision), so
+    pure-star generation can drop verified pairs — below the cap the
+    semantics stay exactly all-pairs, and above it the lost pairs are
+    confined to docs that co-occur ONLY inside mega-buckets, where
+    all-pairs was never going to run anyway."""
     if kind == "char":
         toks = _char_ngrams(df, id_col, text_col, shingle_n)
     elif shingle_n > 1:
@@ -280,13 +287,24 @@ def lsh_candidates(
     # md5 key): document-scale, bounded, far smaller than the shingles.
     keys = lsh_band_keys(sigs, num_perm, bands).persist()
     if star:
-        mins = keys.groupBy("band", "key").agg(F.min("did").alias("a"))
-        candidates = (
-            keys.join(mins, on=["band", "key"])
-            .filter(F.col("did") != F.col("a"))
-            .select("a", F.col("did").alias("b"))
-            .distinct()
+        stats_b = keys.groupBy("band", "key").agg(
+            F.min("did").alias("mn"), F.count(F.lit(1)).alias("bsz")
         )
+        kk = keys.join(stats_b, on=["band", "key"])
+        small = kk.filter(F.col("bsz") <= star_bucket_cap)
+        sa = small.select(F.col("did").alias("a"), "band", "key")
+        sb = small.select(F.col("did").alias("b"), "band", "key")
+        small_pairs = (
+            sa.join(sb, on=["band", "key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        big_stars = (
+            kk.filter(F.col("bsz") > star_bucket_cap)
+            .filter(F.col("did") != F.col("mn"))
+            .select(F.col("mn").alias("a"), F.col("did").alias("b"))
+        )
+        candidates = small_pairs.unionAll(big_stars).distinct()
     else:
         ka = keys.select(F.col("did").alias("a"), "band", "key")
         kb = keys.select(F.col("did").alias("b"), "band", "key")
@@ -727,7 +745,13 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    base.unpersist(blocking=False)  # both consumers are checkpointed
+    # NOTE on cleanup: Dataset.unpersist() only uncaches persist()-ed
+    # plans — localCheckpoint blocks live outside the cache manager and
+    # are freed by the ContextCleaner when the checkpointed RDD loses
+    # its last reference. Rebinding ``e`` each round (and letting
+    # ``base`` go out of scope here) is therefore the actual cleanup
+    # mechanism; explicit unpersist calls on these frames would be
+    # silent no-ops, so none are made.
     # DIMENSION-BOUNDED fast path (the pagerank/BPE locality rule:
     # iterate where the state lives): the pair graph is near-dup-sized,
     # not corpus-sized — when the deduped edge list AND node universe
@@ -746,8 +770,6 @@ def connected_components(
             )
             spark = edges.sparkSession
             node_t = all_nodes.schema["node"].dataType.simpleString()
-            e.unpersist(blocking=False)
-            all_nodes.unpersist(blocking=False)
             if stats is not None:
                 stats["path"] = "local"
             return spark.createDataFrame(
@@ -817,14 +839,11 @@ def connected_components(
             )
             .count()
         )
-        e.unpersist()
-        e = e_new
+        e = e_new  # previous round's checkpoint blocks free via GC
         if viol == 0:
             converged = True
             break
     if not converged:
-        e.unpersist()
-        all_nodes.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "star-contraction rounds — the edge set is not yet a star "

@@ -118,9 +118,8 @@ def pagerank(
         "int",
         "bigint",
     )
-    if not integral_w:
-        node_probe = probe = [None] * (local_edge_cap + 2)
-    else:
+    take_local = False
+    if integral_w:
         # size probe and collection in ONE action: if limit(cap+1)
         # returns <= cap rows, it necessarily returned ALL of them. The
         # NODE table is probed the same way — a small edge list over a
@@ -131,10 +130,11 @@ def pagerank(
         probe = (
             edges.select("src", "dst", "w").limit(local_edge_cap + 1).collect()
         )
-    if (
-        len(probe) <= local_edge_cap
-        and len(node_probe) <= local_edge_cap
-    ):
+        take_local = (
+            len(probe) <= local_edge_cap
+            and len(node_probe) <= local_edge_cap
+        )
+    if take_local:
         node_vals = [r["node"] for r in node_probe]
         edge_rows = [(r["src"], r["dst"], r["w"]) for r in probe]
         out = _pagerank_local(edge_rows, node_vals, iters, damping)

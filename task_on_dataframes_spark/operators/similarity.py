@@ -49,10 +49,19 @@ def _ivf_centroids(c: DataFrame, n_centroids: int) -> DataFrame:
         .agg(F.min(F.struct("h", "vec_id", "vc")).alias("m"))
         .select(F.col("m.vec_id").alias("cid"), F.col("m.vc").alias("cv"))
     )
-    if _last_centroids is not None and cents.sameSemantics(_last_centroids):
-        return _last_centroids
-    if _last_centroids is not None:
-        _last_centroids.unpersist(blocking=False)
+    # the cached frame may belong to a STOPPED SparkSession (the cache
+    # is module-global; test harnesses and long-lived drivers restart
+    # sessions) — any JVM call on it raises, so treat a dead cache
+    # entry as a miss instead of poisoning every IVF query
+    try:
+        if _last_centroids is not None and cents.sameSemantics(
+            _last_centroids
+        ):
+            return _last_centroids
+        if _last_centroids is not None:
+            _last_centroids.unpersist(blocking=False)
+    except Exception:
+        pass
     _last_centroids = cents.persist()
     return _last_centroids
 

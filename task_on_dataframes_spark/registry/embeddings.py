@@ -358,7 +358,13 @@ def _ann_recall_clustered(spark, sf_dir):
         ivf_ann_topk,
     )
 
-    clustered = clustered_embeddings(_embs(spark, sf_dir))
+    # lazy lineage cut: the clustered derivation has SEVEN consumers
+    # across the union branches (exact baseline + 3 probe sweeps, each
+    # reading corpus and queries) and Catalyst does not dedupe aliased
+    # subplans — without this the hash-transform recomputes per branch
+    clustered = clustered_embeddings(_embs(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     qs = clustered.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
