@@ -1034,21 +1034,31 @@ g AS (SELECT DISTINCT did, ts[i.i] || ' ' || ts[i.i + 1] AS tok
       WHERE len(ts) >= 2)"""
 #: character-5-gram shingle CTEs — mirrors operators/dedup._char_ngrams
 #: (substr is character-indexed on both engines)
-def _lsh_g_char() -> str:
-    """Character-5-gram shingle CTEs with the 1-in-4 modulo sampling —
-    the hash rendering comes from hashing.hash32_sql so the Spark
-    filter (pmod(hash32(tok), 4) == 0) and this oracle can never
-    drift apart."""
+def _lsh_g_char(
+    shingle_n: int | None = None,
+    sample_mod: int | None = None,
+    source: str = "documents",
+) -> str:
+    """Character-n-gram shingle CTEs with the 1-in-``sample_mod``
+    modulo sampling — the hash rendering comes from hashing.hash32_sql
+    and the defaults come from the SAME module constants the Spark
+    operator uses (operators/dedup.CHAR_SAMPLE_MOD / shingle_n=5 at
+    the registry call site), so the Spark filter and this oracle can
+    never drift apart. ``source`` swaps the relation the shingles read
+    (pipeline oracles shingle a gated CTE, not the raw table)."""
+    from task_on_dataframes_spark.operators.dedup import CHAR_SAMPLE_MOD
     from task_on_dataframes_spark.operators.hashing import hash32_sql
 
+    n = 5 if shingle_n is None else shingle_n
+    mod = CHAR_SAMPLE_MOD if sample_mod is None else sample_mod
     return f"""t AS (SELECT doc_id AS did,
            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
-           FROM documents),
+           FROM {source}),
 g AS (SELECT DISTINCT did, tok FROM (
-      SELECT did, substr(nm, i.i, 5) AS tok
-      FROM t, LATERAL unnest(generate_series(1, len(nm) - 4)) AS i(i)
-      WHERE len(nm) >= 5)
-      WHERE {hash32_sql('tok')} % 4 = 0)"""
+      SELECT did, substr(nm, i.i, {n}) AS tok
+      FROM t, LATERAL unnest(generate_series(1, len(nm) - {n - 1})) AS i(i)
+      WHERE len(nm) >= {n})
+      WHERE {hash32_sql('tok')} % {mod} = 0)"""
 
 
 def _lsh_cand_ctes(
@@ -1056,23 +1066,29 @@ def _lsh_cand_ctes(
     bands: int = 4,
     g_ctes: str = _LSH_G_WORD,
     star: bool = False,
+    star_bucket_cap: int | None = None,
 ) -> str:
     """Shared WITH-body through the `cand` CTE: shingle, hash, minhash
     signature, band keys, candidate pairs — mirrors
     operators/dedup.py:lsh_candidates. ``g_ctes`` swaps the shingle
-    basis (word bigrams vs character 5-grams)."""
+    basis (word bigrams vs character 5-grams); ``star_bucket_cap``
+    defaults to the SAME operator constant the Spark side uses."""
+    from task_on_dataframes_spark.operators.dedup import (
+        DEFAULT_STAR_BUCKET_CAP,
+    )
     from task_on_dataframes_spark.operators.hashing import (
         hash32_sql,
         perm_hash_sql,
     )
 
+    cap = DEFAULT_STAR_BUCKET_CAP if star_bucket_cap is None else star_bucket_cap
     rows = num_perm // bands
     sig_cols = ", ".join(
         f"min({perm_hash_sql('h', i)}) AS mh{i}" for i in range(num_perm)
     )
     if star:
-        # exact all-pairs for buckets <= 16 members, bucket-min stars
-        # above — mirrors lsh_candidates(star=True, star_bucket_cap=16)
+        # exact all-pairs for buckets <= cap members, bucket-min stars
+        # above — mirrors lsh_candidates(star=True, star_bucket_cap=cap)
         cand_body = (
             "SELECT DISTINCT a, b FROM ("
             "WITH bs AS (SELECT band, key, min(did) AS mn, "
@@ -1080,11 +1096,11 @@ def _lsh_cand_ctes(
             "SELECT x.did AS a, y.did AS b "
             "FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key "
             "JOIN bs ON bs.band = x.band AND bs.key = x.key "
-            "WHERE bs.bsz <= 16 AND x.did < y.did "
+            f"WHERE bs.bsz <= {cap} AND x.did < y.did "
             "UNION ALL "
             "SELECT bs.mn AS a, x.did AS b "
             "FROM bands x JOIN bs ON bs.band = x.band AND bs.key = x.key "
-            "WHERE bs.bsz > 16 AND x.did <> bs.mn)"
+            f"WHERE bs.bsz > {cap} AND x.did <> bs.mn)"
         )
     else:
         cand_body = (
@@ -1115,8 +1131,9 @@ def _minhash_oracle(
     threshold: float = 0.5,
     g_ctes: str = _LSH_G_WORD,
     star: bool = False,
+    star_bucket_cap: int | None = None,
 ) -> str:
-    return f"""{_lsh_cand_ctes(num_perm, bands, g_ctes, star)},
+    return f"""{_lsh_cand_ctes(num_perm, bands, g_ctes, star, star_bucket_cap)},
 sz AS (SELECT did, count(*) AS sz FROM g GROUP BY did),
 inter AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
           JOIN g ga ON ga.did = c.a
@@ -2537,20 +2554,28 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "CASE WHEN n > 0 THEN round(mc / CAST(n AS DOUBLE), 6) END "
             "AS top_token_frac, "
             "round(dup2, 6) AS dup_2gram_frac, "
+            # word-free docs: Spark emits NULL measures -> coalesce
+            # false. 0/0.0 is NULL on DuckDB 1.0 but NaN (> everything)
+            # under >= 1.1's ieee_floating_point_ops default, so the
+            # flag divisions are gated on n > 0 explicitly instead of
+            # relying on NULL propagation through the division
             "n >= 50 AND n <= 100000 AS flag_words, "
-            "coalesce(nc / CAST(n AS DOUBLE) >= 3.0 AND "
-            "nc / CAST(n AS DOUBLE) <= 10.0, false) AS flag_word_len, "
-            "coalesce(na / CAST(n AS DOUBLE) >= 0.80, false) AS flag_alpha, "
+            "CASE WHEN n > 0 THEN nc / CAST(n AS DOUBLE) >= 3.0 AND "
+            "nc / CAST(n AS DOUBLE) <= 10.0 ELSE false END AS flag_word_len, "
+            "CASE WHEN n > 0 THEN na / CAST(n AS DOUBLE) >= 0.80 "
+            "ELSE false END AS flag_alpha, "
             "stop_hits >= 2 AS flag_stopwords, "
-            "coalesce(mc / CAST(n AS DOUBLE) <= 0.10, false) "
-            "AS flag_top_token, "
+            "CASE WHEN n > 0 THEN mc / CAST(n AS DOUBLE) <= 0.10 "
+            "ELSE false END AS flag_top_token, "
             "dup2 <= 0.05 AS flag_dup_2gram, "
             "(n >= 50 AND n <= 100000) AND "
-            "coalesce(nc / CAST(n AS DOUBLE) >= 3.0 AND "
-            "nc / CAST(n AS DOUBLE) <= 10.0, false) AND "
-            "coalesce(na / CAST(n AS DOUBLE) >= 0.80, false) "
+            "CASE WHEN n > 0 THEN nc / CAST(n AS DOUBLE) >= 3.0 AND "
+            "nc / CAST(n AS DOUBLE) <= 10.0 ELSE false END AND "
+            "CASE WHEN n > 0 THEN na / CAST(n AS DOUBLE) >= 0.80 "
+            "ELSE false END "
             "AND stop_hits >= 2 AND "
-            "coalesce(mc / CAST(n AS DOUBLE) <= 0.10, false) AND "
+            "CASE WHEN n > 0 THEN mc / CAST(n AS DOUBLE) <= 0.10 "
+            "ELSE false END AND "
             "dup2 <= 0.05 AS gopher_pass FROM j"
         ),
         "sql_pipe_syntax": (

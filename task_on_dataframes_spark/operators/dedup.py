@@ -32,6 +32,14 @@ from pyspark.sql import functions as F
 
 from .hashing import hash32, perm_hash
 
+#: default 1-in-m modulo sampling of the character-shingle universe
+#: (see :func:`_char_ngrams`) — shared with the DuckDB oracle renderers
+#: in ``__spark_entry__`` so operator and oracle cannot drift
+CHAR_SAMPLE_MOD = 4
+#: default mega-bucket cap for star candidate generation (see
+#: :func:`lsh_candidates`) — likewise the single source for the oracles
+DEFAULT_STAR_BUCKET_CAP = 16
+
 
 def normalized_text(col: Column) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace,
@@ -171,7 +179,8 @@ def minhash_lsh_pairs(
     shingle_n: int = 2,
     kind: str = "word",
     star: bool = False,
-    star_bucket_cap: int = 16,
+    star_bucket_cap: int = DEFAULT_STAR_BUCKET_CAP,
+    sample_mod: int = CHAR_SAMPLE_MOD,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b, exact Jaccard >= threshold) with
     LSH candidate generation: only documents agreeing on at least one
@@ -181,10 +190,18 @@ def minhash_lsh_pairs(
     non-whitespace-delimited scripts, and ``star=True`` caps
     mega-bucket candidate generation (exact all-pairs up to
     ``star_bucket_cap`` members, bucket-min stars above — see
-    :func:`lsh_candidates` for the recall reasoning)."""
+    :func:`lsh_candidates` for the recall reasoning).
+
+    Jaccard basis: word mode verifies over the FULL shingle universe;
+    char mode verifies over the 1-in-``sample_mod`` MODULO-SAMPLED
+    shingle universe (see :func:`_char_ngrams`) — an unbiased but
+    noisy estimator for short documents with few grams, so char-mode
+    threshold decisions are approximate near the cut. Pass
+    ``sample_mod=1`` for exact char-universe Jaccard at ~``sample_mod``x
+    the shingle volume."""
     candidates, toks = lsh_candidates(
         df, id_col, text_col, num_perm, bands, shingle_n, kind, star,
-        star_bucket_cap,
+        star_bucket_cap, sample_mod,
     )
     return jaccard_verify(candidates, toks, threshold)
 
@@ -194,7 +211,7 @@ def _char_ngrams(
     id_col: str,
     text_col: str,
     n: int,
-    sample_mod: int = 4,
+    sample_mod: int = CHAR_SAMPLE_MOD,
 ) -> DataFrame:
     """Distinct (id, character-n-gram) pairs over whitespace-normalized
     lowercase text — the shingle basis that works for scripts word
@@ -244,7 +261,8 @@ def lsh_candidates(
     shingle_n: int = 2,
     kind: str = "word",
     star: bool = False,
-    star_bucket_cap: int = 16,
+    star_bucket_cap: int = DEFAULT_STAR_BUCKET_CAP,
+    sample_mod: int = CHAR_SAMPLE_MOD,
 ) -> tuple:
     """Minhash-LSH candidate pairs (a < b) plus the persisted shingle
     table they were derived from — the shared front end of every
@@ -268,7 +286,7 @@ def lsh_candidates(
     confined to docs that co-occur ONLY inside mega-buckets, where
     all-pairs was never going to run anyway."""
     if kind == "char":
-        toks = _char_ngrams(df, id_col, text_col, shingle_n)
+        toks = _char_ngrams(df, id_col, text_col, shingle_n, sample_mod)
     elif shingle_n > 1:
         toks = _word_ngrams(df, id_col, text_col, shingle_n)
     else:

@@ -39,7 +39,18 @@ def _ivf_centroids(c: DataFrame, n_centroids: int) -> DataFrame:
     oracles. One map-side-partial min(struct) shuffle of
     n_partitions x n_centroids rows; the result (n_centroids rows) is
     persisted because two broadcasts consume it (assignment + probe
-    ranking) and Catalyst will not reuse the aliased subplan."""
+    ranking) and Catalyst will not reuse the aliased subplan.
+
+    Cache staleness contract: ``_last_centroids`` is a module-global
+    keyed by PLAN equality (``sameSemantics``), not by data version —
+    if the parquet under the same path is REWRITTEN within one session,
+    a later call with the same plan returns the previously persisted
+    centroids (standard Spark cache semantics; ``spark.catalog.
+    clearCache()`` or :func:`invalidate_centroid_cache` resets it).
+    The cache is also not guarded against concurrent mutation — the
+    query registry drives it from a single planning thread; callers
+    embedding this in a multi-threaded driver should invalidate or
+    serialize IVF planning."""
     global _last_centroids
     h = hash32(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
     cents = (
@@ -64,6 +75,19 @@ def _ivf_centroids(c: DataFrame, n_centroids: int) -> DataFrame:
         pass
     _last_centroids = cents.persist()
     return _last_centroids
+
+
+def invalidate_centroid_cache() -> None:
+    """Drop the module-global centroid cache — call after rewriting
+    the parquet a cached IVF plan reads (see the staleness contract in
+    :func:`_ivf_centroids`)."""
+    global _last_centroids
+    try:
+        if _last_centroids is not None:
+            _last_centroids.unpersist(blocking=False)
+    except Exception:
+        pass
+    _last_centroids = None
 
 
 def _ivf_member(

@@ -41,8 +41,16 @@ CHUNK_TIMEOUT = {SMALL: 900, BIG: 1800}
 
 def _child(sf_dir: str, names: list[str]) -> None:
     import __spark_entry__ as entrymod
+    from bench import _calibrate
     from task_on_dataframes_spark.session import get_spark
     from task_on_dataframes_spark.sources.readers import read_events
+
+    # machine-speed probe (same fixed single-thread hash workload the
+    # BENCH artifacts record) measured BEFORE the JVM starts, so
+    # cross-round sf1 drift on untouched queries can be adjudicated by
+    # the SCALE.md §9c2 rule (r7 verdict: q7 1.5->6.2s between sweeps
+    # with unchanged plans was uninstrumentable without this)
+    print(json.dumps({"calib_sec": _calibrate()}), flush=True)
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     biggest = max(
@@ -112,11 +120,17 @@ def _sweep(sf_dir: str, names: list[str]) -> dict[str, dict]:
                     timed_out = True
                 f.flush()
                 done = set()
+                chunk_calib = None
                 for line in open(f.name):
                     try:
                         rec = json.loads(line)
                     except json.JSONDecodeError:
                         continue
+                    if "calib_sec" in rec:
+                        chunk_calib = rec["calib_sec"]
+                        continue
+                    if chunk_calib is not None:
+                        rec["calib"] = chunk_calib
                     results[rec["q"]] = rec
                     done.add(rec["q"])
             part = [n for n in part if n not in done]
@@ -157,6 +171,12 @@ def main() -> int:
             rec["small_sec"] = s["sec"]
         if "sec" in b:
             rec["big_sec"] = b["sec"]
+        # per-chunk machine-speed probes: divide a cross-round time
+        # ratio by (calib_now / calib_then) before calling it drift
+        if "calib" in s:
+            rec["calib_small"] = s["calib"]
+        if "calib" in b:
+            rec["calib_big"] = b["calib"]
         if "err" in s or "err" in b:
             rec["err"] = s.get("err") or b.get("err")
             flagged.append(n)
@@ -170,7 +190,11 @@ def main() -> int:
         "round": rnd,
         "small": SMALL,
         "big": BIG,
-        "method": "noop write; 1 warm + min of 2 timed; fresh session per 16 queries",
+        "method": (
+            "noop write; 1 warm + min of 2 timed; fresh session per 16 "
+            "queries; calib_small/calib_big = bench._calibrate() run in "
+            "each chunk child before its JVM starts"
+        ),
         "total_queries": len(names),
         "flagged": flagged,
         "queries": queries,
