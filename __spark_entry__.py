@@ -95,6 +95,7 @@ from task_on_dataframes_spark.registry.dedup import (
     _dedup_ngram_jaccard,
     _dedup_simhash,
     _dedup_recall_eval,
+    _dedup_star_recall_eval,
     _dedup_spans,
     _dedup_substring,
     _dedup_substring_rewrite,
@@ -797,6 +798,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_cdc_apply": _ev_cdc_apply,
         "dedup_substring_rewrite": _dedup_substring_rewrite,
         "dedup_recall_eval": _dedup_recall_eval,
+        "dedup_star_recall_eval": _dedup_star_recall_eval,
         "ann_filtered_topk": _ann_filtered_topk,
         "planner_pack": _planner_pack,
         "sql_recursive_reach": _sql_recursive_reach,
@@ -1144,6 +1146,121 @@ SELECT i.a AS a, i.b AS b,
 FROM inter i JOIN sz sa ON i.a = sa.did JOIN sz sb ON i.b = sb.did
 WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
 """
+
+
+def _star_recall_oracle() -> str:
+    """Oracle for ``dedup_star_recall_eval``: replays both strata
+    (template-saturated and natural) of the constant eval slice, the
+    exact sampled-universe Jaccard ground truth, the uncapped banded
+    LSH ceiling, and the star-capped pair sets for every cap — all
+    parameterized from the SAME constants the Spark query uses
+    (registry.dedup.STAR_RECALL_* / operators.dedup.CHAR_SAMPLE_MOD),
+    so fixture and oracle cannot drift."""
+    from task_on_dataframes_spark.operators.dedup import CHAR_SAMPLE_MOD
+    from task_on_dataframes_spark.operators.hashing import (
+        hash32_sql,
+        perm_hash_sql,
+    )
+    from task_on_dataframes_spark.registry.dedup import (
+        STAR_RECALL_BOILER,
+        STAR_RECALL_CAPS,
+        STAR_RECALL_SLICE,
+        STAR_RECALL_TAIL,
+    )
+
+    num_perm, bands, n = 16, 4, 5
+    rows = num_perm // bands
+    tb, ts = STAR_RECALL_TAIL
+    sig_cols = ", ".join(
+        f"min({perm_hash_sql('h', i)}) AS mh{i}" for i in range(num_perm)
+    )
+
+    def verify(cand: str, g: str, sz: str) -> str:
+        return (
+            f"SELECT i.a, i.b FROM (SELECT c.a, c.b, count(*) AS inter "
+            f"FROM {cand} c JOIN {g} ga ON ga.did = c.a "
+            f"JOIN {g} gb ON gb.did = c.b AND gb.tok = ga.tok "
+            f"GROUP BY 1, 2) i "
+            f"JOIN {sz} sa ON i.a = sa.did JOIN {sz} sb ON i.b = sb.did "
+            "WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5"
+        )
+
+    parts = []
+    selects = []
+    for p, stratum, text_expr in (
+        (
+            "t",
+            "template",
+            f"'{STAR_RECALL_BOILER}' || ' ' || "
+            f"substring(text, 1, {tb} + (doc_id % 5) * {ts})",
+        ),
+        ("n", "natural", "text"),
+    ):
+        band_selects = " UNION ALL ".join(
+            "SELECT did, {b} AS band, md5(concat_ws('_', {cols})) AS key "
+            "FROM {p}sig".format(
+                b=b,
+                p=p,
+                cols=", ".join(
+                    f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+                ),
+            )
+            for b in range(bands)
+        )
+        parts.append(
+            f"{p}src AS (SELECT doc_id AS did, {text_expr} AS text "
+            f"FROM documents WHERE doc_id % 3 = 0 "
+            f"AND doc_id < {STAR_RECALL_SLICE}), "
+            f"{p}t AS (SELECT did, trim(regexp_replace(lower(text), "
+            f"'\\s+', ' ', 'g')) AS nm FROM {p}src), "
+            f"{p}g AS MATERIALIZED (SELECT DISTINCT did, tok FROM ("
+            f"SELECT did, substr(nm, i.i, {n}) AS tok FROM {p}t, "
+            f"LATERAL unnest(generate_series(1, len(nm) - {n - 1})) AS i(i) "
+            f"WHERE len(nm) >= {n}) "
+            f"WHERE {hash32_sql('tok')} % {CHAR_SAMPLE_MOD} = 0), "
+            f"{p}h AS (SELECT did, tok, {hash32_sql('tok')} AS h FROM {p}g), "
+            f"{p}sig AS (SELECT did, {sig_cols} FROM {p}h GROUP BY did), "
+            f"{p}bands AS MATERIALIZED ({band_selects}), "
+            f"{p}bs AS MATERIALIZED (SELECT band, key, min(did) AS mn, "
+            f"count(*) AS bsz FROM {p}bands GROUP BY 1, 2), "
+            f"{p}sz AS (SELECT did, count(*) AS sz FROM {p}g GROUP BY did), "
+            f"{p}ecand AS (SELECT DISTINCT x.did AS a, y.did AS b "
+            f"FROM {p}g x JOIN {p}g y ON x.tok = y.tok WHERE x.did < y.did), "
+            f"{p}ex AS MATERIALIZED ({verify(p + 'ecand', p + 'g', p + 'sz')}), "
+            f"{p}ucand AS (SELECT DISTINCT x.did AS a, y.did AS b "
+            f"FROM {p}bands x JOIN {p}bands y "
+            f"ON x.band = y.band AND x.key = y.key WHERE x.did < y.did), "
+            f"{p}uv AS MATERIALIZED ({verify(p + 'ucand', p + 'g', p + 'sz')}), "
+            f"{p}cnt AS (SELECT (SELECT count(*) FROM {p}ex) AS ne, "
+            f"(SELECT count(*) FROM {p}uv) AS nl)"
+        )
+        for cap in STAR_RECALL_CAPS:
+            parts.append(
+                f"{p}cand{cap} AS (SELECT DISTINCT a, b FROM ("
+                f"SELECT x.did AS a, y.did AS b FROM {p}bands x "
+                f"JOIN {p}bands y ON x.band = y.band AND x.key = y.key "
+                f"JOIN {p}bs bs ON bs.band = x.band AND bs.key = x.key "
+                f"WHERE bs.bsz <= {cap} AND x.did < y.did "
+                f"UNION ALL "
+                f"SELECT bs.mn AS a, x.did AS b FROM {p}bands x "
+                f"JOIN {p}bs bs ON bs.band = x.band AND bs.key = x.key "
+                f"WHERE bs.bsz > {cap} AND x.did <> bs.mn)), "
+                f"{p}vc{cap} AS (SELECT count(*) AS ns FROM "
+                f"({verify(p + 'cand' + str(cap), p + 'g', p + 'sz')}))"
+            )
+            selects.append(
+                f"SELECT '{stratum}' AS stratum, "
+                f"CAST({cap} AS INT) AS star_bucket_cap, "
+                "ne AS n_exact, nl AS n_lsh, ns AS n_star, "
+                "CASE WHEN ne > 0 THEN round(ns / CAST(ne AS DOUBLE), 6) "
+                "END AS recall_vs_exact, "
+                "CASE WHEN nl > 0 THEN round(ns / CAST(nl AS DOUBLE), 6) "
+                "END AS recall_vs_lsh "
+                f"FROM {p}cnt, {p}vc{cap}"
+            )
+    return (
+        "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)
+    )
 
 
 def _incr_lsh_oracle(
@@ -1883,6 +2000,7 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(r.text_clean, '') AS text_clean "
             "FROM aff a JOIN nt USING (did) LEFT JOIN reb r USING (did)"
         ),
+        "dedup_star_recall_eval": _star_recall_oracle(),
         "dedup_recall_eval": (
             _lsh_cand_ctes()
             + """,

@@ -284,7 +284,22 @@ def lsh_candidates(
     pure-star generation can drop verified pairs — below the cap the
     semantics stay exactly all-pairs, and above it the lost pairs are
     confined to docs that co-occur ONLY inside mega-buckets, where
-    all-pairs was never going to run anyway."""
+    all-pairs was never going to run anyway.
+
+    That loss is MEASURED, not argued (r8): the
+    ``dedup_star_recall_eval`` query (registry/dedup.py) sweeps the
+    cap over {8, 16, 64} on a template-saturated worst-case stratum
+    and a natural stratum. Natural corpora at eval scale: recall 1.0
+    (no bucket exceeds the cap). Template-saturated mega-buckets whose
+    members are MUTUALLY near-dup: star pairs recover only ~9-45 % of
+    the uncapped-LSH verified pairs as the cap grows 8 -> 64 — so for
+    pair-level consumers, size ``star_bucket_cap`` to the largest
+    mutually-near-dup cluster worth keeping intact. Cluster-level
+    consumers (connected components -> keep-canonical, the dominant
+    dedup use) are far less exposed: every member of a mega-bucket
+    still pairs with the bucket min, so members whose star pair
+    VERIFIES stay in one component; only members near-dup to each
+    other but not to the bucket-min doc can split."""
     if kind == "char":
         toks = _char_ngrams(df, id_col, text_col, shingle_n, sample_mod)
     elif shingle_n > 1:
@@ -305,24 +320,7 @@ def lsh_candidates(
     # md5 key): document-scale, bounded, far smaller than the shingles.
     keys = lsh_band_keys(sigs, num_perm, bands).persist()
     if star:
-        stats_b = keys.groupBy("band", "key").agg(
-            F.min("did").alias("mn"), F.count(F.lit(1)).alias("bsz")
-        )
-        kk = keys.join(stats_b, on=["band", "key"])
-        small = kk.filter(F.col("bsz") <= star_bucket_cap)
-        sa = small.select(F.col("did").alias("a"), "band", "key")
-        sb = small.select(F.col("did").alias("b"), "band", "key")
-        small_pairs = (
-            sa.join(sb, on=["band", "key"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
-        )
-        big_stars = (
-            kk.filter(F.col("bsz") > star_bucket_cap)
-            .filter(F.col("did") != F.col("mn"))
-            .select(F.col("mn").alias("a"), F.col("did").alias("b"))
-        )
-        candidates = small_pairs.unionAll(big_stars).distinct()
+        candidates = star_candidates(keys, star_bucket_cap)
     else:
         ka = keys.select(F.col("did").alias("a"), "band", "key")
         kb = keys.select(F.col("did").alias("b"), "band", "key")
@@ -333,6 +331,36 @@ def lsh_candidates(
             .distinct()
         )
     return candidates, toks
+
+
+def star_candidates(
+    keys: DataFrame, star_bucket_cap: int = DEFAULT_STAR_BUCKET_CAP
+) -> DataFrame:
+    """Hybrid star candidate pairs (a < b) from a ``(did, band, key)``
+    band-key table: buckets up to ``star_bucket_cap`` members produce
+    exact all-pairs candidates; larger buckets produce bucket-min
+    STARS (each member paired with the bucket minimum — linear in
+    bucket size). Shared by :func:`lsh_candidates` (``star=True``) and
+    the ``dedup_star_recall_eval`` query, which measures the recall
+    this cap trades away as a function of the cap."""
+    stats_b = keys.groupBy("band", "key").agg(
+        F.min("did").alias("mn"), F.count(F.lit(1)).alias("bsz")
+    )
+    kk = keys.join(stats_b, on=["band", "key"])
+    small = kk.filter(F.col("bsz") <= star_bucket_cap)
+    sa = small.select(F.col("did").alias("a"), "band", "key")
+    sb = small.select(F.col("did").alias("b"), "band", "key")
+    small_pairs = (
+        sa.join(sb, on=["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    big_stars = (
+        kk.filter(F.col("bsz") > star_bucket_cap)
+        .filter(F.col("did") != F.col("mn"))
+        .select(F.col("mn").alias("a"), F.col("did").alias("b"))
+    )
+    return small_pairs.unionAll(big_stars).distinct()
 
 
 def incremental_lsh_matches(

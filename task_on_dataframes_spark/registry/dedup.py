@@ -387,6 +387,146 @@ def _dedup_substring_rewrite(spark, sf_dir):
     return repeated_gram_rewrite(docs, "doc_id", "text", k=5, detect_hot=big)
 
 
+#: star-recall eval fixture — shared verbatim with the DuckDB oracle
+#: renderer in ``__spark_entry__`` (ADVICE r7: parameterize oracle SQL
+#: from the same constants the operator receives, so they cannot drift)
+STAR_RECALL_CAPS = (8, 16, 64)
+STAR_RECALL_BOILER = (
+    "this document is provided under the standard terms of service "
+    "please review the acceptable use policy before continuing "
+    "all rights reserved by the publisher of record unauthorized "
+    "redistribution of this material in any form is prohibited the "
+    "information contained herein is supplied without warranty of any "
+    "kind and is subject to change without notice contact the "
+    "publisher for licensing inquiries"
+)
+#: tail length = TAIL_BASE + (doc_id % 5) * TAIL_STEP characters of the
+#: real document text appended after the boilerplate
+STAR_RECALL_TAIL = (60, 120)
+#: deterministic constant eval slice (doc_id % 3 == 0 below this id):
+#: the quadratic exact ground truth stays <= ~170 docs at every SF,
+#: the dedup_embedding_cosine precedent
+STAR_RECALL_SLICE = 600
+
+
+def _dedup_star_recall_eval(spark, sf_dir):
+    """Measured recall contract of the star-capped char-shingle LSH
+    front end (the one recall-trading scale guard that had no eval —
+    r7 verdict item 2): star-capped verified pairs vs (a) the exact
+    sampled-universe Jaccard >= 0.5 pair set and (b) the UNCAPPED
+    banded-LSH verified pair set, per ``star_bucket_cap`` in
+    {8, 16, 64}, on two strata of a deterministic constant slice:
+
+    * ``template`` — every doc is boilerplate + a doc_id-varying tail
+      of its real text: the template-saturated worst case where one
+      mega-bucket holds mutually-near-dup docs, so the bucket-min star
+      fallback provably drops verified pairs. recall_vs_lsh isolates
+      exactly that loss (recall_vs_exact also folds in the banding
+      S-curve).
+    * ``natural`` — the same docs untemplated: real small-SF buckets
+      stay under the cap, pinning that the star path only diverges
+      from all-pairs where mega-buckets actually form.
+
+    Both ground truths are slice-confined (<= ~170 docs — constant at
+    every SF), so the all-pairs gram join can never go corpus-quadratic;
+    the system under test reuses the exact production operators
+    (:func:`_char_ngrams` -> :func:`minhash_signatures` ->
+    :func:`lsh_band_keys` -> :func:`star_candidates` ->
+    :func:`jaccard_verify`). Output: (stratum, star_bucket_cap,
+    n_exact, n_lsh, n_star, recall_vs_exact, recall_vs_lsh)."""
+    from task_on_dataframes_spark.operators.dedup import (
+        _char_ngrams,
+        jaccard_verify,
+        lsh_band_keys,
+        minhash_signatures,
+        star_candidates,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < STAR_RECALL_SLICE)
+    )
+    tb, ts = STAR_RECALL_TAIL
+    tail = F.expr(f"substring(text, 1, {tb} + (doc_id % 5) * {ts})")
+    strata = [
+        (
+            "template",
+            base.select(
+                "doc_id",
+                F.concat(
+                    F.lit(STAR_RECALL_BOILER), F.lit(" "), tail
+                ).alias("text"),
+            ),
+        ),
+        ("natural", base.select("doc_id", "text")),
+    ]
+    outs = []
+    for stratum, sdocs in strata:
+        toks = _char_ngrams(sdocs, "doc_id", "text", 5).persist()
+        keys = lsh_band_keys(
+            minhash_signatures(toks, 16), 16, 4
+        ).persist()
+        # exact ground truth: every slice pair sharing >= 1 sampled
+        # gram (J >= 0.5 implies a shared gram), verified exactly
+        pa = toks.select(F.col("did").alias("a"), "tok")
+        pb = toks.select(F.col("did").alias("b"), "tok")
+        shared = (
+            pa.join(pb, "tok")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        exact = (
+            jaccard_verify(shared, toks, 0.5)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        # uncapped banded-LSH verified pairs: the star path's ceiling
+        ka = keys.select(F.col("did").alias("a"), "band", "key")
+        kb = keys.select(F.col("did").alias("b"), "band", "key")
+        ucand = (
+            ka.join(kb, on=["band", "key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        ulsh = (
+            jaccard_verify(ucand, toks, 0.5)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        n_ex = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        n_lsh = ulsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+        for cap in STAR_RECALL_CAPS:
+            starred = jaccard_verify(
+                star_candidates(keys, cap), toks, 0.5
+            ).select("a", "b")
+            n_star = starred.agg(F.count(F.lit(1)).alias("n_star"))
+            outs.append(
+                n_ex.join(n_lsh)
+                .join(n_star)
+                .select(
+                    F.lit(stratum).alias("stratum"),
+                    F.lit(cap).alias("star_bucket_cap"),
+                    "n_exact",
+                    "n_lsh",
+                    "n_star",
+                    F.when(
+                        F.col("n_exact") > 0,
+                        F.round(F.col("n_star") / F.col("n_exact"), 6),
+                    ).alias("recall_vs_exact"),
+                    F.when(
+                        F.col("n_lsh") > 0,
+                        F.round(F.col("n_star") / F.col("n_lsh"), 6),
+                    ).alias("recall_vs_lsh"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
 def _dedup_recall_eval(spark, sf_dir):
     """Candidate recall of the minhash-LSH front end vs the exact
     Jaccard>=0.5 pair set, measured on a DETERMINISTIC 1-in-3 eval slice

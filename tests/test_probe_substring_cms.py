@@ -315,6 +315,29 @@ def test_lsh_recall_eval_shape(spark, sf_dir, queries):
     assert r["recall"] >= 0.8
 
 
+def test_star_recall_eval_measures_the_cap_tradeoff(spark, sf_dir, queries):
+    rows = queries["dedup_star_recall_eval"](spark, sf_dir).collect()
+    assert len(rows) == 6  # 2 strata x 3 caps
+    by = {(r["stratum"], r["star_bucket_cap"]): r for r in rows}
+    for (stratum, _cap), r in by.items():
+        # star pairs are a subset of the uncapped-LSH pairs, which are
+        # a subset of the exact ground truth
+        assert r["n_star"] <= r["n_lsh"] <= r["n_exact"]
+        for col in ("recall_vs_exact", "recall_vs_lsh"):
+            if r[col] is not None:
+                assert 0.0 <= r[col] <= 1.0
+    # raising the cap can only widen the all-pairs tier: verified star
+    # pairs are monotone non-decreasing in the cap on both strata
+    for stratum in ("template", "natural"):
+        ns = [by[(stratum, c)]["n_star"] for c in (8, 16, 64)]
+        assert ns == sorted(ns)
+    # the template stratum is built to saturate: boilerplate dominates
+    # every doc, so the exact near-dup pair set must be non-trivial and
+    # the capped star path must actually lose pairs at the lowest cap
+    assert by[("template", 8)]["n_exact"] > 0
+    assert by[("template", 8)]["n_star"] < by[("template", 8)]["n_lsh"]
+
+
 def test_planner_pack_is_a_five_task_chain(spark, sf_dir):
     # the BFS must find the full get_docs -> score -> filter -> chunk
     # -> pack chain from the two-column goal, and packing must respect
