@@ -232,6 +232,7 @@ from task_on_dataframes_spark.registry.text import (
     _text_bpe_bytes,
     _curriculum_quality_bins,
     _pipeline_c4_curation,
+    _pipeline_multilingual_curation,
     _text_bm25,
     _text_chunk,
     _text_fim_transform,
@@ -855,6 +856,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_orc_roundtrip": _s9_orc_roundtrip,
         "s10_jsonl_roundtrip": _s10_jsonl_roundtrip,
         "pipeline_c4_curation": _pipeline_c4_curation,
+        "pipeline_multilingual_curation": _pipeline_multilingual_curation,
         "j9_full_outer": _j9_full_outer,
         "w8_first_last": _w8_first_last,
         "profile_table": _profile_table,
@@ -1534,6 +1536,141 @@ def _curation_oracle_sql(
         "FROM sig) "
         "SELECT doc_id, pred_lang, n_tokens, reason, "
         "reason = 'kept' AS kept FROM r"
+    )
+
+
+def _multilingual_curation_oracle(
+    min_tokens: int = 20,
+    min_chars: int = 40,
+    min_stop: float = 0.015,
+    top2_thr: float = 0.20,
+    dup3_thr: float = 0.18,
+    char_dup3_thr: float = 0.30,
+    prefix: int = 512,
+) -> str:
+    """DuckDB twin of pipeline_multilingual_curation: the seed corpus
+    renders from the SAME registry.text.MULTILINGUAL_SEED_DOCS tuples,
+    the script classes/lexicons from the same operator tables, and the
+    char-LSH near-dup stage reuses the shared candidate-CTE renderer
+    over the survivor set — one source of truth end to end."""
+    from task_on_dataframes_spark.operators.textstats import (
+        SCRIPT_RANGES,
+        STOPWORDS,
+    )
+    from task_on_dataframes_spark.registry.text import (
+        MULTILINGUAL_SEED_DOCS,
+    )
+
+    values = ", ".join(
+        f"(CAST({did} AS BIGINT), '{txt}')"
+        for did, txt in MULTILINGUAL_SEED_DOCS
+    )
+    n_cols = ", ".join(
+        f"length(regexp_replace(p, '[^{rng}]', '', 'g')) AS n_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    names = [name for name, _ in SCRIPT_RANGES]
+    greatest_all = "greatest(" + ", ".join(f"n_{x}" for x in names) + ")"
+    cases = []
+    for i, name in enumerate(names[:-1]):
+        conds = " AND ".join(
+            f"n_{name} >= n_{other}" for other in names[i + 1 :]
+        )
+        cases.append(f"WHEN {conds} THEN '{name}'")
+    cases.append(f"WHEN true THEN '{names[-1]}'")
+    script_expr = (
+        f"CASE WHEN {greatest_all} > 0 THEN CASE "
+        + " ".join(cases)
+        + " END ELSE 'none' END"
+    )
+    scores = ", ".join(
+        "len(list_filter(ts, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"], t))) AS score_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    best_stop = (
+        "greatest(" + ", ".join(f"score_{l}" for l in STOPWORDS) + ")"
+    )
+    # char-LSH CTE chain over the survivor set (same renderer as the
+    # dedup_minhash_char oracle, re-pointed at surv); strip its WITH
+    lsh = _lsh_cand_ctes(
+        16, 4, _lsh_g_char(source="surv"), star=True
+    ).strip()
+    assert lsh.startswith("WITH ")
+    lsh = lsh[len("WITH ") :]
+    return (
+        "WITH corp AS MATERIALIZED (SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT * FROM (VALUES {values}) v(doc_id, text)), "
+        "b0 AS (SELECT doc_id, text, "
+        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), "
+        "x -> x <> '') AS ts, "
+        "len(regexp_replace(text, '\\s', '', 'g')) AS n_chars, "
+        f"substr(text, 1, {prefix}) AS p FROM corp), "
+        "sc AS (SELECT doc_id, md5(nm) AS digest, ts, n_chars, "
+        f"len(ts) AS n_tokens, {n_cols}, {scores}, "
+        "CASE WHEN len(ts) >= 2 THEN list_transform(range(1, len(ts)), "
+        "i -> ts[i] || ' ' || ts[i+1]) ELSE CAST([] AS VARCHAR[]) END AS g2, "
+        "CASE WHEN len(ts) >= 3 THEN list_transform(range(1, len(ts) - 1), "
+        "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) "
+        "ELSE CAST([] AS VARCHAR[]) END AS g3, "
+        f"CASE WHEN len(substr(nm, 1, {prefix})) >= 3 THEN "
+        f"list_transform(generate_series(1, len(substr(nm, 1, {prefix})) - 2), "
+        f"i -> substr(substr(nm, 1, {prefix}), i, 3)) "
+        "ELSE CAST([] AS VARCHAR[]) END AS c3 FROM b0), "
+        "tp AS (SELECT doc_id, max(c) AS topc FROM "
+        "(SELECT doc_id, gram, count(*) AS c FROM "
+        "(SELECT doc_id, unnest(g2) AS gram FROM sc) GROUP BY 1, 2) "
+        "GROUP BY 1), "
+        "sg AS (SELECT sc.doc_id, digest, n_tokens, n_chars, "
+        f"{script_expr} AS script, "
+        "CASE WHEN n_tokens > 0 THEN "
+        f"round({best_stop} / CAST(n_tokens AS DOUBLE), 6) "
+        "ELSE 0.0 END AS stop_ratio, "
+        "CASE WHEN len(g2) > 0 THEN "
+        "round(coalesce(topc, 0) / CAST(len(g2) AS DOUBLE), 6) "
+        "ELSE 0.0 END AS top2, "
+        "CASE WHEN len(g3) > 0 THEN "
+        "round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 6) "
+        "ELSE 0.0 END AS dup3, "
+        "CASE WHEN len(c3) > 0 THEN "
+        "round((len(c3) - len(list_distinct(c3))) / CAST(len(c3) AS DOUBLE), 6) "
+        "ELSE 0.0 END AS dup3c, "
+        "min(sc.doc_id) OVER (PARTITION BY digest) AS rep_id "
+        "FROM sc LEFT JOIN tp ON sc.doc_id = tp.doc_id), "
+        "r AS MATERIALIZED (SELECT doc_id, script, n_tokens, n_chars, "
+        "CASE WHEN script = 'none' THEN 'no_script' "
+        f"WHEN script = 'latin' AND n_tokens < {min_tokens} "
+        "THEN 'too_short' "
+        f"WHEN script <> 'latin' AND n_chars < {min_chars} "
+        "THEN 'too_short' "
+        f"WHEN script = 'latin' AND (top2 > {top2_thr} "
+        f"OR dup3 > {dup3_thr}) THEN 'repetitive' "
+        f"WHEN script <> 'latin' AND dup3c > {char_dup3_thr} "
+        "THEN 'repetitive' "
+        f"WHEN script = 'latin' AND stop_ratio < {min_stop} "
+        "THEN 'low_stopword' "
+        "WHEN rep_id <> doc_id THEN 'duplicate' "
+        "ELSE 'kept_pre' END AS reason FROM sg), "
+        "surv AS MATERIALIZED (SELECT c.doc_id, c.text FROM corp c "
+        "JOIN r ON r.doc_id = c.doc_id WHERE r.reason = 'kept_pre'), "
+        f"{lsh}, "
+        "vsz AS (SELECT did, count(*) AS sz FROM g GROUP BY did), "
+        "vin AS (SELECT c.a, c.b, count(*) AS inter FROM cand c "
+        "JOIN g ga ON ga.did = c.a "
+        "JOIN g gb ON gb.did = c.b AND gb.tok = ga.tok GROUP BY 1, 2), "
+        "vv AS (SELECT i.a, i.b FROM vin i "
+        "JOIN vsz sa ON i.a = sa.did JOIN vsz sb ON i.b = sb.did "
+        "WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5), "
+        "dupb AS (SELECT DISTINCT b FROM vv) "
+        "SELECT doc_id, script, CAST(n_tokens AS INT) AS n_tokens, "
+        "CAST(n_chars AS INT) AS n_chars, reason, "
+        "reason = 'kept' AS kept FROM ("
+        "SELECT r.doc_id, script, n_tokens, n_chars, "
+        "CASE WHEN r.reason <> 'kept_pre' THEN r.reason "
+        "WHEN r.doc_id IN (SELECT b FROM dupb) THEN 'near_duplicate' "
+        "ELSE 'kept' END AS reason FROM r)"
     )
 
 
@@ -3632,6 +3769,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "AS n_tokens FROM g"
         ),
         "pipeline_c4_curation": _curation_oracle_sql(),
+        "pipeline_multilingual_curation": _multilingual_curation_oracle(),
         "graph_pagerank": _pagerank_oracle_sql(iters=5, damping=0.85),
         "s11_partition_prune": (
             "SELECT event_type, count(*) AS n FROM events "

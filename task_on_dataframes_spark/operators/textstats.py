@@ -184,6 +184,209 @@ def script_id(
     )
 
 
+def multilingual_curation_verdicts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 20,
+    min_chars: int = 40,
+    min_stopword_ratio: float = 0.015,
+    top2_threshold: float = 0.20,
+    dup3_threshold: float = 0.18,
+    char_dup3_threshold: float = 0.30,
+    prefix: int = 512,
+) -> DataFrame:
+    """Script-ROUTED curation verdicts — the multilingual form of
+    :func:`curation_verdicts`, whose Latin-stopword + whitespace-token
+    gates reject every CJK/RTL document no matter its quality (the
+    unicode suite pins that). Routing and gates:
+
+    * script identification first (:func:`script_id`'s prefix-sampled
+      per-script character counts, same declaration-order argmax);
+      no recognized script -> ``no_script``;
+    * Latin documents take WORD gates: whitespace-token count >=
+      ``min_tokens``, Gopher-style top-2-gram / duplicate-3-gram
+      repetition cuts, and a MULTILINGUAL stopword gate — the best
+      score across all stopword lexicons (en/de/fr/es), so a German
+      document is not rejected for failing the English lexicon;
+    * non-whitespace/non-Latin scripts take CHARACTER gates:
+      non-whitespace char count >= ``min_chars`` and a duplicate
+      char-3-gram fraction cut over the ``prefix``-char sample (word
+      gates are undefined when a sentence is one whitespace token);
+    * exact duplicates (normalized digest, keep min id) last.
+
+    Returns (id, script, n_tokens, n_chars, reason, kept_pre) where
+    ``reason`` is the first failing gate or ``kept_pre`` — the
+    NEAR-dup stage (char-shingle LSH over survivors) composes on top
+    in the registry's ``pipeline_multilingual_curation``, which
+    documents the full priority order.
+
+    Plan shape: ONE corpus scan computes every per-row signal and the
+    per-script count entries; the script argmax rides the SAME
+    explode-with-carry aggregation :func:`script_id` uses (chained
+    when-folds over the count columns re-ran every class regex ~2x —
+    measured in round 7, see script_id's docstring), with the other
+    signals carried through ``first()`` aggregates; the only other
+    shuffle is the digest window. Zero UDFs, zero joins of the corpus
+    to itself."""
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    nm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    digest = F.md5(nm)
+    sample = F.substring(text, 1, prefix)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.length(
+                    F.regexp_replace(sample, f"[^{rng}]", "")
+                ).alias("n"),
+            )
+            for i, (_name, rng) in enumerate(SCRIPT_RANGES)
+        ]
+    )
+    score_cols = [
+        F.size(
+            F.filter(
+                F.col("toks"),
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(w) for w in words]), t
+                ),
+            )
+        ).alias(f"score_{lang}")
+        for lang, words in STOPWORDS.items()
+    ]
+    # char 3-grams over the prefix of the NORMALIZED text — the
+    # repetition signal for scripts where a clause is one token
+    p2 = F.expr(
+        f"substring(trim(regexp_replace(lower({text_col}), "
+        f"'\\\\s+', ' ')), 1, {prefix})"
+    )
+    c3 = F.when(
+        F.length(p2) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(p2) - 2),
+            lambda i: p2.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    # scalarize every signal BEFORE the script explode: the Generate
+    # duplicates carried columns into 8 rows per doc, so token/gram
+    # arrays must never ride through it — only these small scalars do
+    staged = (
+        df.select(
+            F.col(id_col),
+            digest.alias("digest"),
+            toks.alias("toks"),
+            F.length(F.regexp_replace(text, r"\s", "")).alias("n_chars"),
+            c3.alias("c3"),
+            entries.alias("entries"),
+        )
+        .select(
+            F.col(id_col),
+            "digest",
+            F.size("toks").alias("n_tokens"),
+            "n_chars",
+            *score_cols,
+            _grams(F.col("toks"), 2).alias("g2"),
+            _grams(F.col("toks"), 3).alias("g3"),
+            _dup_frac(F.col("c3")).alias("dup3c"),
+            "entries",
+        )
+        .select(
+            F.col(id_col),
+            "digest",
+            "n_tokens",
+            "n_chars",
+            F.greatest(
+                *[F.col(f"score_{lang}") for lang in STOPWORDS]
+            ).alias("best_stop"),
+            F.when(
+                F.size("g2") > 0,
+                F.round(_top_count(F.col("g2")) / F.size("g2"), 6),
+            ).otherwise(F.lit(0.0)).alias("top2"),
+            _dup_frac(F.col("g3")).alias("dup3"),
+            "dup3c",
+            F.explode("entries").alias("e"),
+        )
+    )
+    m = F.max(
+        F.struct(F.col("e.n").alias("n"), (-F.col("e.i")).alias("ni"))
+    ).alias("m")
+    carried = [
+        "digest",
+        "n_tokens",
+        "n_chars",
+        "best_stop",
+        "top2",
+        "dup3",
+        "dup3c",
+    ]
+    agg = staged.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in carried], m
+    )
+    case: Column = F.lit(SCRIPT_RANGES[-1][0])
+    for i in range(len(SCRIPT_RANGES) - 2, -1, -1):
+        case = F.when(
+            -F.col("m.ni") == i, F.lit(SCRIPT_RANGES[i][0])
+        ).otherwise(case)
+    sig = agg.select(
+        F.col(id_col),
+        "digest",
+        "n_tokens",
+        "n_chars",
+        F.when(F.col("m.n") > 0, case).otherwise(F.lit("none")).alias(
+            "script"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("best_stop") / F.col("n_tokens"), 6),
+        ).otherwise(F.lit(0.0)).alias("stop_ratio"),
+        "top2",
+        "dup3",
+        "dup3c",
+    ).withColumn(
+        "rep_id", F.min(id_col).over(Window.partitionBy("digest"))
+    )
+    is_latin = F.col("script") == "latin"
+    reason = (
+        F.when(F.col("script") == "none", F.lit("no_script"))
+        .when(
+            is_latin & (F.col("n_tokens") < min_tokens), F.lit("too_short")
+        )
+        .when(
+            ~is_latin & (F.col("n_chars") < min_chars), F.lit("too_short")
+        )
+        .when(
+            is_latin
+            & (
+                (F.col("top2") > top2_threshold)
+                | (F.col("dup3") > dup3_threshold)
+            ),
+            F.lit("repetitive"),
+        )
+        .when(
+            ~is_latin & (F.col("dup3c") > char_dup3_threshold),
+            F.lit("repetitive"),
+        )
+        .when(
+            is_latin & (F.col("stop_ratio") < min_stopword_ratio),
+            F.lit("low_stopword"),
+        )
+        .when(F.col("rep_id") != F.col(id_col), F.lit("duplicate"))
+        .otherwise(F.lit("kept_pre"))
+    )
+    return sig.select(
+        id_col,
+        "script",
+        "n_tokens",
+        "n_chars",
+        reason.alias("reason"),
+    )
+
+
 #: GPT-2-flavored pre-tokenizer, restricted to syntax that Java regex
 #: (Spark) and RE2 (DuckDB) match identically: contractions, letter
 #: runs, short digit runs, punctuation runs, whitespace — each with an

@@ -288,3 +288,40 @@ def test_script_id_detects_non_latin_scripts(spark):
     assert out[22] == "cyrillic"
     assert out[7] == "latin"          # the x*5000 doc
     assert out[12] == "latin"         # mixed: latin chars dominate
+
+
+def test_multilingual_curation_pipeline_routes_every_script(spark):
+    """End-to-end flagship for the r7 multilingual operators: a CJK
+    document must be able to SURVIVE the curation pipeline (the C4
+    flagship kills every one at its Latin gates), and each seed doc
+    must hit exactly the gate it was built for — including the CJK
+    near-dup pair that only the char-shingle LSH stage can see."""
+    import __spark_entry__ as entrymod
+
+    out = {
+        r["doc_id"]: r
+        for r in entrymod.queries()["pipeline_multilingual_curation"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    expected = {
+        -1: ("cjk", "near_duplicate"),
+        -2: ("cjk", "kept"),
+        -3: ("cjk", "duplicate"),
+        -4: ("cjk", "kept"),
+        -5: ("cjk", "too_short"),
+        -6: ("cjk", "repetitive"),
+        -7: ("arabic", "kept"),
+        -8: ("cyrillic", "kept"),
+        -9: ("greek", "kept"),
+        -10: ("hangul", "kept"),
+        -11: ("none", "no_script"),
+        -12: ("latin", "too_short"),
+    }
+    for did, (script, reason) in expected.items():
+        assert out[did]["script"] == script, (did, out[did])
+        assert out[did]["reason"] == reason, (did, out[did])
+        assert out[did]["kept"] == (reason == "kept")
+    # the real (English) corpus still flows through the Latin gates
+    corpus = [r for did, r in out.items() if did >= 0]
+    assert corpus and all(r["script"] == "latin" for r in corpus)
