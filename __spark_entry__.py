@@ -543,16 +543,28 @@ _BPE_W0_CHAR = (
     "FROM documents) WHERE regexp_matches(w, '^[a-z]+$') "
     "GROUP BY w))"
 )
-#: byte-level w0: RAW whitespace pieces, symbols = UTF-8 bytes as
-#: 2-hex-digit tokens (uppercase hex — Spark hex(encode()) and DuckDB
+#: byte-level w0: RAW whitespace pieces split at the operator's
+#: BPE_PIECE_CHAR_CAP (stepped generate_series — same chunk boundaries
+#: as the Spark transform), symbols = UTF-8 bytes as 2-hex-digit
+#: tokens (uppercase hex — Spark hex(encode()) and DuckDB
 #: hex(encode()) agree byte-for-byte)
-_BPE_W0_BYTES = (
-    "WITH w0 AS MATERIALIZED (SELECT regexp_replace(hex(encode(w)), "
-    "'(..)', '(\\1)', 'g') AS repr, cnt FROM "
-    "(SELECT w, count(*) AS cnt FROM "
-    "(SELECT unnest(string_split_regex(text, '\\s+')) AS w "
-    "FROM documents) WHERE len(w) > 0 GROUP BY w))"
-)
+def _bpe_w0_bytes() -> str:
+    from task_on_dataframes_spark.operators.bpe import BPE_PIECE_CHAR_CAP
+
+    cap = BPE_PIECE_CHAR_CAP
+    return (
+        "WITH w0 AS MATERIALIZED (SELECT regexp_replace(hex(encode(w)), "
+        "'(..)', '(\\1)', 'g') AS repr, cnt FROM "
+        "(SELECT w, count(*) AS cnt FROM "
+        f"(SELECT substr(p.w0, s.s, {cap}) AS w FROM "
+        "(SELECT w0 FROM (SELECT unnest(string_split_regex(text, "
+        "'\\s+')) AS w0 FROM documents) WHERE len(w0) > 0) p, "
+        f"LATERAL unnest(generate_series(1, len(p.w0), {cap})) AS s(s)) "
+        "GROUP BY w))"
+    )
+
+
+_BPE_W0_BYTES = _bpe_w0_bytes()
 
 
 def _bpe_ctes(merges: int = 6, w0: str = _BPE_W0_CHAR) -> list:

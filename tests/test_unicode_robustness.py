@@ -325,3 +325,39 @@ def test_multilingual_curation_pipeline_routes_every_script(spark):
     # the real (English) corpus still flows through the Latin gates
     corpus = [r for did, r in out.items() if did >= 0]
     assert corpus and all(r["script"] == "latin" for r in corpus)
+
+
+def test_byte_bpe_piece_cap_bounds_no_whitespace_documents(spark):
+    """A no-whitespace CJK clause used to become ONE word-table piece,
+    making the driver merge loop linear in piece bytes; the
+    BPE_PIECE_CHAR_CAP pre-tokenization split bounds it (r8). The cap
+    must chunk a long no-space doc, keep every piece's symbol count
+    bounded, and the byte-level trainer must still produce a full
+    merge table over the capped corpus."""
+    from task_on_dataframes_spark.operators.bpe import (
+        BPE_PIECE_CHAR_CAP,
+        _byte_word_table,
+        bpe_train_scalable,
+    )
+
+    # 1200 chars, no whitespace, cycling 30 distinct CJK chars so the
+    # chunks still contain mergeable pair structure
+    cjk = ("雨雪风云山川河流湖海森林草原沙漠岩石火焰冰霜雷电星辰日月天地春夏秋冬" * 40)[:1200]
+    docs = _docs(spark, [(1, cjk), (2, "plain latin words here"), (3, cjk[:100])])
+    words = _byte_word_table(docs, "text").collect()
+    # every piece is capped: <= cap chars -> <= 3*cap UTF-8 bytes ->
+    # <= 4 chars of wrapped-hex repr per byte
+    max_repr = max(len(r["repr"]) for r in words)
+    assert max_repr <= BPE_PIECE_CHAR_CAP * 3 * 4
+    # the 1200-char doc must have split into ceil(1200/64) chunks (its
+    # 100-char prefix doc adds 2 more, latin words 4 short pieces)
+    total_pieces = sum(r["cnt"] for r in words)
+    assert total_pieces == -(-1200 // BPE_PIECE_CHAR_CAP) + -(
+        -100 // BPE_PIECE_CHAR_CAP
+    ) + 4
+    out = bpe_train_scalable(docs, "text", merges=8, level="bytes")
+    rows = out.collect()
+    assert len(rows) == 8
+    # byte-level symbols are hex pairs; the top merge must combine two
+    # CJK byte symbols (the corpus is CJK-dominated)
+    assert all(set(r["merged"]) <= set("0123456789ABCDEF") for r in rows)
