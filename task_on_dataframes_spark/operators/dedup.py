@@ -575,13 +575,23 @@ def simhash_pairs(
     return (
         ca.join(cb, on=["chunk", "ck"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "fa", "fb")
-        .distinct()
+        # Hamming filter BEFORE the distinct (result-identical —
+        # hamming is a function of the pair): the chunk-bucket join
+        # STREAMS ~n^2/2^width candidate rows through codegen, which
+        # is pure CPU, but the old order hash-aggregated that whole
+        # stream for the dedup and OOMed at 150k docs (caught by the
+        # r8 three-point scale fit at sf3); now only true near-dups —
+        # a vanishing fraction — ever enter aggregation state. The
+        # residual n^2/2^width join CPU is the 8-bit chunk space
+        # saturating: past ~10^6 docs, widen the fingerprint
+        # (bits=48, chunks=4 -> 4096 buckets) — the banding-width
+        # lever, same pigeonhole guarantee for max_hamming <= 3
         .withColumn(
             "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .distinct()
     )
 
 

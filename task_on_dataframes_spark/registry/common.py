@@ -17,19 +17,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SCAN_PARTS_CACHE: dict[str, int] = {}
 
 
-def _scan_parts(path: str) -> int | None:
-    """Effective parquet scan parallelism: total row-group count across
-    the dataset's files (row groups are the floor on non-empty scan
-    splits). Read from the parquet footer via pyarrow (~0.3 ms, cached)
-    rather than ``df.rdd.getNumPartitions()`` — the RDD probe runs full
-    physical planning on the driver (~0.13 s measured) and was paid on
-    EVERY query invocation, which is where the round-4 common-set bench
-    regression actually came from (the repartition itself measures free
-    at sf0.1). Returns ``None`` for non-local paths — a real cluster
-    corpus has thousands of row groups, so skipping the floor there is
-    the correct no-op."""
-    if path in _SCAN_PARTS_CACHE:
-        return _SCAN_PARTS_CACHE[path]
+def _size_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('128m', '33554432', '1g')."""
+    v = str(v).strip().lower().removesuffix("b")
+    for suf, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if v.endswith(suf):
+            return int(float(v[:-1]) * mult)
+    return int(v)
+
+
+def _scan_parts(path: str, max_partition_bytes: int | None = None) -> int | None:
+    """Effective parquet scan parallelism: the row-group count CAPPED
+    by the byte-based split count (``ceil(bytes / maxPartitionBytes)``)
+    — Spark packs row groups into maxPartitionBytes-sized splits, so a
+    file with 37 tiny row groups and a 16 MB split size still scans as
+    ~2 tasks. The r8 three-point fit caught exactly that: the sf3
+    documents file cleared the old row-group-count check (37 >= 16),
+    skipped the floor, and ran every fingerprint pipeline on 2 tasks —
+    text_winnow measured 4.3x for 3x data until the estimate used the
+    min of the two bounds. Read from the parquet footer via pyarrow
+    (~0.3 ms, cached) rather than ``df.rdd.getNumPartitions()`` — the
+    RDD probe runs full physical planning on the driver (~0.13 s
+    measured) and was paid on EVERY query invocation, which is where
+    the round-4 common-set bench regression actually came from (the
+    repartition itself measures free at sf0.1). Returns ``None`` for
+    non-local paths — a real cluster corpus has thousands of
+    full-size row groups, so skipping the floor there is the correct
+    no-op."""
+    key = (path, max_partition_bytes)
+    if key in _SCAN_PARTS_CACHE:
+        return _SCAN_PARTS_CACHE[key]
     try:
         import pyarrow.parquet as pq
 
@@ -42,13 +59,27 @@ def _scan_parts(path: str) -> int | None:
         else:
             files = [path]
         n = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+        if max_partition_bytes:
+            total = sum(os.path.getsize(f) for f in files)
+            byte_splits = -(-total // max_partition_bytes)
+            n = min(n, byte_splits)
     except Exception:
         # Missing pyarrow raises ImportError, corrupt/remote paths raise
         # pyarrow.ArrowInvalid — the floor must degrade to a no-op for
         # any path Spark itself can read, never fail query construction.
         return None
-    _SCAN_PARTS_CACHE[path] = n
+    _SCAN_PARTS_CACHE[key] = n
     return n
+
+
+def _mpb(spark: SparkSession) -> int | None:
+    """The session's maxPartitionBytes, parsed, or None if unreadable."""
+    try:
+        return _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+    except Exception:
+        return None
 
 
 #: corpora below this on-disk size skip the hot-gram detection pass
@@ -98,7 +129,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     df = _t(spark, sf_dir, "documents")
     target = spark.sparkContext.defaultParallelism
-    n = _scan_parts(f"{sf_dir}/documents.parquet")
+    n = _scan_parts(f"{sf_dir}/documents.parquet", _mpb(spark))
     if n is not None and n < max(2, target // 2):
         df = df.repartition(target)
     return df
@@ -128,7 +159,7 @@ def _embs(
     if not floor:
         return df
     target = spark.sparkContext.defaultParallelism
-    n = _scan_parts(f"{sf_dir}/embeddings.parquet")
+    n = _scan_parts(f"{sf_dir}/embeddings.parquet", _mpb(spark))
     if n is not None and n < max(2, target // 2):
         df = df.repartition(target)
     return df

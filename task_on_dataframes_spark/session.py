@@ -47,7 +47,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ui.retainedExecutions", "10")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode heap = the whole "cluster": 8g OOMed the 77M-edge
+        # sf3 component graph (r8 scale fit) while 94% of the box sat
+        # idle — size the default to the host (128 GiB here), as a real
+        # deployment sizes executor memory to the workload
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,210 @@
+"""Three-point scale fit for the sweep's worst-ratio tail.
+
+The full-registry sweep measures two points (sf0.1, sf1); its big
+ratios were adjudicated as floor arithmetic (SCALE.md §9c2-style
+fixed/variable reasoning) but never VERIFIED with a third point — the
+difference between "no blowup at 10x" and "credible at 100x" (r7
+verdict item 3). This tool times a query set at sf0.1 / sf1 / sf3
+(min of 3 noop-write runs each, fresh session per scale, per-scale
+calibration probe) and separates fixed cost from slope:
+
+* ``fixed_sec`` / ``per_sf_sec`` — least-squares fit of t = f + c*sf;
+* ``excess_sf3`` — measured t(sf3) over the LINEAR prediction
+  extrapolated from the (sf0.1, sf1) segment: ~1.0 means the sf0.1->sf1
+  ratio was floor arithmetic and the true variable cost is linear;
+  >1.5 flags a super-linear slope the two-point sweep could not see.
+
+Usage:
+    python tools/scale_fit.py <round> [name ...]      # parent
+    python tools/scale_fit.py --child <sf_dir> n1 ... # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+SCALES = [
+    (0.1, os.environ.get("SCALE_FIT_SMALL", "/root/testdata/sf0.1")),
+    (1.0, os.environ.get("SCALE_FIT_MID", "/tmp/spark_graft_sf1")),
+    (3.0, os.environ.get("SCALE_FIT_BIG", "/tmp/spark_graft_sf3")),
+]
+CHILD_TIMEOUT = 3000
+
+#: the r7 sweep's worst-ratio tail plus the queries whose cross-round
+#: sf1 drift the r7 verdict asked to adjudicate
+DEFAULT_NAMES = [
+    "s2_whole_file_read",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "text_winnow",
+    "text_langid_script",
+    "dedup_components",
+    "dedup_substring_rewrite",
+    "dedup_minhash_lsh",
+    "ann_ivfpq_topk",
+    "stream_cms",
+]
+
+
+def _child(sf_dir: str, names: list[str]) -> None:
+    import __spark_entry__ as entrymod
+    from bench import _calibrate
+    from task_on_dataframes_spark.session import get_spark
+    from task_on_dataframes_spark.sources.readers import read_events
+
+    print(json.dumps({"calib_sec": _calibrate()}), flush=True)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    biggest = max(
+        (
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if os.path.isfile(os.path.join(sf_dir, f))
+        ),
+        default=0,
+    )
+    mpb = min(max(biggest // (3 * cpus), 4 << 20), 128 << 20)
+    spark = get_spark("scale-fit", max_partition_bytes=str(mpb))
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings"
+    ).split():
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    read_events(spark, f"{sf_dir}/events.parquet").count()
+
+    qs = entrymod.queries()
+    for name in names:
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            print(json.dumps({"q": name, "sec": round(best, 3)}), flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(json.dumps({"q": name, "err": str(exc)[:200]}), flush=True)
+        spark.catalog.clearCache()
+
+
+def _run_scale(sf_dir: str, names: list[str]) -> dict:
+    out: dict = {"queries": {}}
+    with tempfile.NamedTemporaryFile("w+", suffix=".log", delete=False) as f:
+        try:
+            subprocess.run(
+                [
+                    sys.executable,
+                    "tools/scale_fit.py",
+                    "--child",
+                    sf_dir,
+                    *names,
+                ],
+                cwd=HERE,
+                stdout=f,
+                stderr=subprocess.DEVNULL,
+                timeout=CHILD_TIMEOUT,
+            )
+        except subprocess.TimeoutExpired:
+            pass
+        f.flush()
+        for line in open(f.name):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "calib_sec" in rec:
+                out["calib_sec"] = rec["calib_sec"]
+            else:
+                out["queries"][rec["q"]] = rec
+    return out
+
+
+def main() -> int:
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        _child(sys.argv[2], sys.argv[3:])
+        return 0
+
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    names = sys.argv[2:] or DEFAULT_NAMES
+
+    per_scale = {}
+    for sf, sf_dir in SCALES:
+        per_scale[sf] = _run_scale(sf_dir, names)
+        print(
+            f"[scale_fit] sf{sf}: "
+            f"{len(per_scale[sf]['queries'])}/{len(names)} "
+            f"(calib {per_scale[sf].get('calib_sec')})",
+            file=sys.stderr,
+        )
+
+    sfs = [sf for sf, _ in SCALES]
+    queries: dict[str, dict] = {}
+    flagged: list[str] = []
+    for n in names:
+        ts = {
+            sf: per_scale[sf]["queries"].get(n, {}).get("sec")
+            for sf in sfs
+        }
+        rec: dict = {f"sec_sf{sf}": ts[sf] for sf in sfs}
+        if all(v is not None for v in ts.values()):
+            xs, ys = sfs, [ts[sf] for sf in sfs]
+            mx, my = sum(xs) / 3, sum(ys) / 3
+            c = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+                (x - mx) ** 2 for x in xs
+            )
+            f0 = my - c * mx
+            rec["fixed_sec"] = round(f0, 3)
+            rec["per_sf_sec"] = round(c, 3)
+            # linear prediction of sf3 from the (sf0.1, sf1) segment
+            c01 = (ts[1.0] - ts[0.1]) / 0.9
+            pred3 = ts[1.0] + 2.0 * c01
+            rec["excess_sf3"] = (
+                round(ts[3.0] / pred3, 2) if pred3 > 0 else None
+            )
+            if rec["excess_sf3"] is not None and rec["excess_sf3"] > 1.5:
+                flagged.append(n)
+        else:
+            rec["err"] = next(
+                (
+                    per_scale[sf]["queries"].get(n, {}).get("err", "MISSING")
+                    for sf in sfs
+                    if ts[sf] is None
+                ),
+                "MISSING",
+            )
+            flagged.append(n)
+        queries[n] = rec
+
+    artifact = {
+        "round": rnd,
+        "scales": {f"sf{sf}": d for sf, d in zip(sfs, [s for _, s in SCALES])},
+        "calib": {f"sf{sf}": per_scale[sf].get("calib_sec") for sf in sfs},
+        "method": (
+            "noop write; 1 warm + min of 3 timed; fresh session per scale; "
+            "excess_sf3 = t(sf3) / linear extrapolation of the "
+            "(sf0.1, sf1) segment — >1.5 flags a super-linear slope"
+        ),
+        "flagged": flagged,
+        "queries": queries,
+    }
+    path = os.path.join(HERE, f"SCALE_FIT_r{rnd:02d}.json")
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {path}: {len(names)} queries, flagged={flagged}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
