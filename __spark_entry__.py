@@ -708,85 +708,79 @@ def _bloom_decontaminate_oracle_sql(k: int = 3, m: int = 1 << 16) -> str:
 # registry
 # ---------------------------------------------------------------------------
 
-#: Round-5 driver-window rotation: the driver correctness gate checks
-#: the FIRST 50 entries of ``queries()`` in dict order. The r1-r4
-#: windows union to 155 distinct driver-checked queries; these are the
-#: 48 that never received a driver row (computed from the four
-#: CORRECTNESS_r0*.json artifacts), plus this round's new queries, so
-#: CORRECTNESS_r06 window: the 9 queries never driver-checked in any
-#: round (closing VERDICT r5 item 6), the round-6 additions, every
-#: query whose code changed this round, then the least-recently-checked
-##: round-7 driver window (the driver checks the FIRST ~50 queries()
-#: entries): never-driver-checked queries first (the five added or
-#: renamed this round), then every query whose code changed this
-#: round (star-contraction components, empty-doc quality guards,
-#: pagerank gate, IVF centroid cache, enc decode, LSH front end),
-#: then the least-recently-checked tail (the r2-era TPC-H/relational
-#: core, untouched by a driver row since CORRECTNESS_r02).
-_R7_WINDOW = [
-    "text_bpe_train16",
-    "text_bpe_bytes",
-    "ann_recall_clustered",
-    "text_langid_script",
-    "dedup_minhash_char",
-    "dedup_components",
-    "dedup_keep_canonical",
+#: round-8 driver window (the driver checks the FIRST ~50 queries()
+#: entries): the two queries added this round (star-cap recall eval,
+#: multilingual curation pipeline), then every query whose code or
+#: oracle changed this round (gopher oracle NaN guard; the
+#: lsh_candidates star refactor + oracle parameterization feeding the
+#: minhash/containment/levenshtein/recall-eval family; the
+#: ann_recall_clustered plan trim; the byte-BPE piece cap), then the
+#: least-recently-driver-checked tail (the r2/r3 relational + event
+#: wave, unchecked since CORRECTNESS_r03 per the staleness table).
+_R8_WINDOW = [
+    "dedup_star_recall_eval",
+    "pipeline_multilingual_curation",
     "quality_gopher_gate",
-    "text_quality",
-    "text_token_count",
-    "graph_pagerank",
-    "ann_ivf_topk",
-    "ann_ivfsq_topk",
-    "ann_ivfpq_topk",
-    "ann_ivf_incremental",
-    "dedup_substring_rewrite",
-    "pipeline_c4_curation",
+    "dedup_minhash_char",
     "dedup_minhash_lsh",
-    "dedup_incremental_lsh",
-    "curriculum_quality_bins",
-    "o2_pagination",
-    "planner_top90_tokens",
-    "w1_running_sum",
-    "w2_top90_tokens",
-    "o3_topk_counts",
-    "p1_projection_reindex",
-    "p3_filter_startswith",
-    "p5_null_safe_flag_filter",
-    "p6_distinct_subset",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_volume",
-    "s1_glob_source",
-    "s2_whole_file_read",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_priority_lines",
-    "q14_promo_share",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q9_product_profit",
-    "q11_value_concentration",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_filter",
-    "q21_waiting_supplier",
+    "text_containment",
+    "dedup_levenshtein",
+    "ann_recall_clustered",
+    "text_bpe_bytes",
+    "dedup_recall_eval",
+    "p8_unpivot",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "a10_pivot",
+    "a3_distinct_agg",
+    "a4_rollup",
+    "a5_percentiles",
+    "a6_stats",
+    "a7_grouping_sets",
+    "a8_cube",
+    "ann_lsh_multi_topk",
+    "decontaminate",
+    "dedup_spans",
+    "dedup_winnow",
+    "emb_kmeans",
+    "ev_funnel",
+    "ev_gap_fill",
+    "ev_hourly_agg",
+    "ev_json_props",
+    "ev_retention",
+    "ev_sliding_agg",
+    "ev_zscore_anomalies",
+    "f_json_extract",
+    "j6_asof_join",
+    "j7_range_join",
+    "p7_pivot",
+    "planner_llm_chunks",
+    "q20_excess_volume",
+    "sample_stratified",
+    "sample_topk_per_stratum",
+    "sample_weighted",
+    "skew_distinct_2phase",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "sql_exists_subquery",
+    "stream_hourly_agg",
+    "text_bm25",
+    "text_chunk",
+    "text_classifier",
+    "text_ngram_counts",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    head = {k: q[k] for k in _R7_WINDOW if k in q}
+    head = {k: q[k] for k in _R8_WINDOW if k in q}
     return head | {k: v for k, v in q.items() if k not in head}
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r4 ordering below; the driver window is imposed by
-        # _R7_WINDOW in queries() ---
+        # _R8_WINDOW in queries() ---
         "j10_interval_overlap_join": _j10_interval_overlap_join,
         "quality_ks_drift": _quality_ks_drift,
         "quality_psi_drift": _quality_psi_drift,

@@ -12,9 +12,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-#: parquet footer row-group counts, keyed by path — testdata is
-#: immutable, so one footer read per path per process is enough
-_SCAN_PARTS_CACHE: dict[str, int] = {}
+#: effective scan-split estimates, keyed by (path, maxPartitionBytes)
+#: — testdata is immutable, so one footer read per key per process
+_SCAN_PARTS_CACHE: dict[tuple, int] = {}
 
 
 def _size_bytes(v: str) -> int:

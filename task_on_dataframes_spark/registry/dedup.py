@@ -431,15 +431,27 @@ def _dedup_star_recall_eval(spark, sf_dir):
     every SF), so the all-pairs gram join can never go corpus-quadratic;
     the system under test reuses the exact production operators
     (:func:`_char_ngrams` -> :func:`minhash_signatures` ->
-    :func:`lsh_band_keys` -> :func:`star_candidates` ->
+    :func:`lsh_band_keys` -> the :func:`star_candidates` tier logic ->
     :func:`jaccard_verify`). Output: (stratum, star_bucket_cap,
-    n_exact, n_lsh, n_star, recall_vs_exact, recall_vs_lsh)."""
+    n_exact, n_lsh, n_star, recall_vs_exact, recall_vs_lsh).
+
+    Plan shape: the star-candidate sets are NESTED in the cap
+    (buckets at or under cap1 < cap2 contribute identical all-pairs;
+    buckets between them contribute star pairs under cap1 and a
+    superset of them as all-pairs under cap2; bigger buckets
+    contribute identical stars), so ONE Jaccard verification of the
+    exact ground truth plus a per-pair "minimum admitting cap"
+    annotation (0 when the pair's smaller side IS some shared
+    bucket's minimum — stars admit it at every cap — else the
+    smallest shared-bucket size) yields every per-cap count as a
+    conditional sum: one verification tree instead of five (the
+    naive form measured 570 plan-text exchanges, 13x the next
+    biggest plan in the audit)."""
     from task_on_dataframes_spark.operators.dedup import (
         _char_ngrams,
         jaccard_verify,
         lsh_band_keys,
         minhash_signatures,
-        star_candidates,
     )
 
     docs = _docs(spark, sf_dir)
@@ -467,7 +479,8 @@ def _dedup_star_recall_eval(spark, sf_dir):
             minhash_signatures(toks, 16), 16, 4
         ).persist()
         # exact ground truth: every slice pair sharing >= 1 sampled
-        # gram (J >= 0.5 implies a shared gram), verified exactly
+        # gram (J >= 0.5 implies a shared gram), verified exactly —
+        # the ONE verification; every other set derives from it
         pa = toks.select(F.col("did").alias("a"), "tok")
         pb = toks.select(F.col("did").alias("b"), "tok")
         shared = (
@@ -481,50 +494,76 @@ def _dedup_star_recall_eval(spark, sf_dir):
             .select("a", "b")
             .localCheckpoint(eager=False)
         )
-        # uncapped banded-LSH verified pairs: the star path's ceiling
-        ka = keys.select(F.col("did").alias("a"), "band", "key")
-        kb = keys.select(F.col("did").alias("b"), "band", "key")
-        ucand = (
-            ka.join(kb, on=["band", "key"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
-            .distinct()
+        # bucket co-membership of each exact pair: verified uncapped
+        # LSH pairs = exact pairs sharing >= 1 bucket (a signature
+        # collision with J < 0.5 never verifies), and the pair's
+        # min_req = min over shared buckets of (0 if a is the bucket
+        # min — stars admit it at EVERY cap — else the bucket size,
+        # the smallest cap whose all-pairs tier admits it)
+        bs = keys.groupBy("band", "key").agg(
+            F.min("did").alias("mn"), F.count(F.lit(1)).alias("bsz")
         )
-        ulsh = (
-            jaccard_verify(ucand, toks, 0.5)
-            .select("a", "b")
-            .localCheckpoint(eager=False)
+        kk = keys.join(bs, on=["band", "key"])
+        ka = kk.select(
+            F.col("did").alias("a"), "band", "key", "mn", "bsz"
+        )
+        kb = kk.select(F.col("did").alias("b"), "band", "key")
+        lsh = (
+            exact.join(ka, on="a")
+            .join(kb, on=["b", "band", "key"])
+            .select(
+                "a",
+                "b",
+                F.when(F.col("a") == F.col("mn"), F.lit(0))
+                .otherwise(F.col("bsz"))
+                .alias("req"),
+            )
+            .groupBy("a", "b")
+            .agg(F.min("req").alias("min_req"))
+        )
+        counts = lsh.agg(
+            F.count(F.lit(1)).alias("n_lsh"),
+            *[
+                F.sum((F.col("min_req") <= cap).cast("long")).alias(
+                    f"ns{cap}"
+                )
+                for cap in STAR_RECALL_CAPS
+            ],
         )
         n_ex = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        n_lsh = ulsh.agg(F.count(F.lit(1)).alias("n_lsh"))
-        for cap in STAR_RECALL_CAPS:
-            starred = jaccard_verify(
-                star_candidates(keys, cap), toks, 0.5
-            ).select("a", "b")
-            n_star = starred.agg(F.count(F.lit(1)).alias("n_star"))
-            outs.append(
-                n_ex.join(n_lsh)
-                .join(n_star)
-                .select(
-                    F.lit(stratum).alias("stratum"),
-                    F.lit(cap).alias("star_bucket_cap"),
-                    "n_exact",
-                    "n_lsh",
-                    "n_star",
-                    F.when(
-                        F.col("n_exact") > 0,
-                        F.round(F.col("n_star") / F.col("n_exact"), 6),
-                    ).alias("recall_vs_exact"),
-                    F.when(
-                        F.col("n_lsh") > 0,
-                        F.round(F.col("n_star") / F.col("n_lsh"), 6),
-                    ).alias("recall_vs_lsh"),
+        both = n_ex.join(counts)
+        # one row per cap via explode of the tier structs — a per-cap
+        # select would embed the whole tree once per output row (the
+        # 180-exchange intermediate shape of this plan)
+        tiers = F.array(
+            *[
+                F.struct(
+                    F.lit(cap).alias("cap"),
+                    F.col(f"ns{cap}").alias("ns"),
                 )
+                for cap in STAR_RECALL_CAPS
+            ]
+        )
+        outs.append(
+            both.select(
+                "n_exact", "n_lsh", F.explode(tiers).alias("t")
+            ).select(
+                F.lit(stratum).alias("stratum"),
+                F.col("t.cap").alias("star_bucket_cap"),
+                "n_exact",
+                "n_lsh",
+                F.col("t.ns").alias("n_star"),
+                F.when(
+                    F.col("n_exact") > 0,
+                    F.round(F.col("t.ns") / F.col("n_exact"), 6),
+                ).alias("recall_vs_exact"),
+                F.when(
+                    F.col("n_lsh") > 0,
+                    F.round(F.col("t.ns") / F.col("n_lsh"), 6),
+                ).alias("recall_vs_lsh"),
             )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        )
+    return outs[0].unionAll(outs[1])
 
 
 def _dedup_recall_eval(spark, sf_dir):

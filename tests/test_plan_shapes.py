@@ -304,9 +304,14 @@ def test_text_entropy_is_keyed_on_doc(spark, sf_dir, queries):
 
 
 def test_parallelism_floor_noop_when_row_groups_suffice(spark, tmp_path):
-    """The _docs/_embs floor must vanish when the scan already has
-    >= cores/2 row groups — the real-scale contract: a 100 TB corpus
-    has thousands of row groups and must never pay the repartition."""
+    """The _docs/_embs floor must vanish when the scan already splits
+    >= cores/2 ways — the real-scale contract: a 100 TB corpus has
+    thousands of full-size row groups and must never pay the
+    repartition. Since r8 the estimate is min(row groups, byte
+    splits): a tiny file with many row groups still scans as ONE task
+    (Spark packs row groups into maxPartitionBytes splits — the sf3
+    text_winnow finding), so this test shrinks maxPartitionBytes to
+    make the byte-split count honest for its 8-row-group fixture."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -333,9 +338,15 @@ def test_parallelism_floor_noop_when_row_groups_suffice(spark, tmp_path):
         }
     )
     pq.write_table(emb, f"{d}/embeddings.parquet", row_group_size=8)
-    for df in (_docs(spark, d), _embs(spark, d)):
-        plan = _physical(df)
-        assert "REPARTITION_BY_NUM" not in plan, plan
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # ~3 KB files -> >= cores/2 byte splits at a 512 B split size
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "512")
+        for df in (_docs(spark, d), _embs(spark, d)):
+            plan = _physical(df)
+            assert "REPARTITION_BY_NUM" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
 
 
 def test_parallelism_floor_fires_on_single_row_group(spark, sf_dir):

@@ -82,11 +82,25 @@ def _child(sf_dir: str, names: list[str]) -> None:
     qs = entrymod.queries()
     for name in names:
         try:
+            t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+            warm_dt = time.perf_counter() - t0
+            # min-of-3 exists to beat the sub-second scheduling floor;
+            # a >60 s job is floor-insensitive, and repeating it stacks
+            # generations of checkpoint blocks faster than the
+            # ContextCleaner frees them (the 77M-edge component graph
+            # OOMed on its third consecutive run even at 32g)
+            n_timed = 3 if warm_dt < 60 else 1
             best = None
-            for _ in range(3):
+            for _ in range(n_timed):
+                # checkpoint blocks from the previous run free only via
+                # GC of their last reference; without the nudge, 3-4
+                # generations of a big query's localCheckpoints overlap
+                # and exhaust the pool (dedup_components sf3, 77M edges
+                # per run)
+                spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
@@ -100,34 +114,62 @@ def _child(sf_dir: str, names: list[str]) -> None:
 
 
 def _run_scale(sf_dir: str, names: list[str]) -> dict:
+    """Child runner with RESUME: a hard executor OOM stops the child's
+    SparkContext and every later query in that chunk would report a
+    bogus 'stopped SparkContext' — so the query in flight gets its real
+    error recorded and a fresh child continues from the next name."""
     out: dict = {"queries": {}}
-    with tempfile.NamedTemporaryFile("w+", suffix=".log", delete=False) as f:
-        try:
-            subprocess.run(
-                [
-                    sys.executable,
-                    "tools/scale_fit.py",
-                    "--child",
-                    sf_dir,
-                    *names,
-                ],
-                cwd=HERE,
-                stdout=f,
-                stderr=subprocess.DEVNULL,
-                timeout=CHILD_TIMEOUT,
-            )
-        except subprocess.TimeoutExpired:
-            pass
-        f.flush()
-        for line in open(f.name):
+    todo = list(names)
+    while todo:
+        with tempfile.NamedTemporaryFile(
+            "w+", suffix=".log", delete=False
+        ) as f:
+            timed_out = False
             try:
-                rec = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if "calib_sec" in rec:
-                out["calib_sec"] = rec["calib_sec"]
-            else:
+                subprocess.run(
+                    [
+                        sys.executable,
+                        "tools/scale_fit.py",
+                        "--child",
+                        sf_dir,
+                        *todo,
+                    ],
+                    cwd=HERE,
+                    stdout=f,
+                    stderr=subprocess.DEVNULL,
+                    timeout=CHILD_TIMEOUT,
+                )
+            except subprocess.TimeoutExpired:
+                timed_out = True
+            f.flush()
+            done = set()
+            poisoned = False
+            for line in open(f.name):
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "calib_sec" in rec:
+                    out.setdefault("calib_sec", rec["calib_sec"])
+                    continue
+                if "err" in rec and "stopped SparkContext" in rec["err"]:
+                    poisoned = True
+                    break  # rerun this and everything after in a fresh child
                 out["queries"][rec["q"]] = rec
+                done.add(rec["q"])
+        todo = [n for n in todo if n not in done]
+        if poisoned:
+            continue
+        if timed_out and todo:
+            out["queries"][todo[0]] = {"q": todo[0], "err": "TIMEOUT"}
+            todo = todo[1:]
+        elif todo:
+            # child exited without reaching these and without a poison
+            # marker: the first one died the process — record, move on
+            out["queries"][todo[0]] = out["queries"].get(
+                todo[0], {"q": todo[0], "err": "CHILD_EXIT"}
+            )
+            todo = todo[1:]
     return out
 
 
@@ -150,6 +192,12 @@ def main() -> int:
         )
 
     sfs = [sf for sf, _ in SCALES]
+    # calib-normalize before fitting: each scale runs in its own child
+    # on its own wall-clock window, and host-speed swings of 20-40%
+    # between windows otherwise masquerade as slope (a 1.22x-slow sf0.1
+    # chunk manufactured a fake q7 excess flag in the first r8 run)
+    calibs = {sf: per_scale[sf].get("calib_sec") for sf in sfs}
+    ref = min(c for c in calibs.values() if c) if any(calibs.values()) else None
     queries: dict[str, dict] = {}
     flagged: list[str] = []
     for n in names:
@@ -159,6 +207,12 @@ def main() -> int:
         }
         rec: dict = {f"sec_sf{sf}": ts[sf] for sf in sfs}
         if all(v is not None for v in ts.values()):
+            if ref:
+                ts = {
+                    sf: round(v * ref / calibs[sf], 3) if calibs[sf] else v
+                    for sf, v in ts.items()
+                }
+                rec.update({f"norm_sf{sf}": ts[sf] for sf in sfs})
             xs, ys = sfs, [ts[sf] for sf in sfs]
             mx, my = sum(xs) / 3, sum(ys) / 3
             c = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
