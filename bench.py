@@ -105,6 +105,9 @@ def main() -> None:
         "dedup_components",
         "text_bpe_bytes",
         "dedup_minhash_char",
+        # round-8 flagship: the script-routed multilingual curation
+        # pass (verdicts + char-LSH near-dup over survivors)
+        "pipeline_multilingual_curation",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -259,16 +259,19 @@ def multilingual_curation_verdicts(
         for lang, words in STOPWORDS.items()
     ]
     # char 3-grams over the prefix of the NORMALIZED text — the
-    # repetition signal for scripts where a clause is one token
-    p2 = F.expr(
-        f"substring(trim(regexp_replace(lower({text_col}), "
-        f"'\\\\s+', ' ')), 1, {prefix})"
-    )
+    # repetition signal for scripts where a clause is one token. The
+    # prefix MUST be a named column from the projection below before
+    # the gram lambda touches it: HOF lambdas are interpreted and
+    # Catalyst inlines a referenced expression into every element
+    # evaluation, so an inline prefix re-ran the full
+    # trim(regexp_replace(lower(text))) normalize ~510x per document —
+    # measured 28 s at sf1 for the whole pipeline, 2.3x this one
+    # mistake (the script_id/BM25 inlining lesson yet again)
     c3 = F.when(
-        F.length(p2) >= 3,
+        F.length("p2") >= 3,
         F.transform(
-            F.sequence(F.lit(1), F.length(p2) - 2),
-            lambda i: p2.substr(i, F.lit(3)),
+            F.sequence(F.lit(1), F.length("p2") - 2),
+            lambda i: F.col("p2").substr(i, F.lit(3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -281,7 +284,7 @@ def multilingual_curation_verdicts(
             digest.alias("digest"),
             toks.alias("toks"),
             F.length(F.regexp_replace(text, r"\s", "")).alias("n_chars"),
-            c3.alias("c3"),
+            F.substring(nm, 1, prefix).alias("p2"),
             entries.alias("entries"),
         )
         .select(
@@ -292,7 +295,7 @@ def multilingual_curation_verdicts(
             *score_cols,
             _grams(F.col("toks"), 2).alias("g2"),
             _grams(F.col("toks"), 3).alias("g3"),
-            _dup_frac(F.col("c3")).alias("dup3c"),
+            _dup_frac(c3).alias("dup3c"),
             "entries",
         )
         .select(
