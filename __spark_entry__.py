@@ -1339,15 +1339,31 @@ WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
 """
 
 
+from task_on_dataframes_spark.operators.dedup import (
+    SIMHASH_GRAPH_BITS as _SIMHASH_GRAPH_BITS,
+)
+
+
 def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    from task_on_dataframes_spark.operators.dedup import SIMHASH_HI_SALT
     from task_on_dataframes_spark.operators.hashing import hash32_sql
 
+    def _src(j: int) -> str:
+        # bits 32+ read the salted second hash, mirroring
+        # simhash_fingerprints (operators/dedup.py)
+        return f"(h >> {j})" if j < 32 else f"(h2 >> {j - 32})"
+
     bit_sums = ", ".join(
-        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN w ELSE -w END) AS s{j}"
+        f"sum(CASE WHEN {_src(j)} & 1 = 1 THEN w ELSE -w END) AS s{j}"
         for j in range(bits)
     )
     fp_expr = " + ".join(
         f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    h2_sql = (
+        f", {hash32_sql(repr(SIMHASH_HI_SALT) + ' || tok')} AS h2"
+        if bits > 32
+        else ""
     )
     return f"""
 WITH tk AS (SELECT doc_id AS did,
@@ -1355,7 +1371,7 @@ WITH tk AS (SELECT doc_id AS did,
             FROM documents),
 tw AS (SELECT did, tok, count(*) AS w FROM tk WHERE length(tok) > 0
        GROUP BY did, tok),
-th AS (SELECT did, w, {hash32_sql('tok')} AS h FROM tw),
+th AS (SELECT did, w, {hash32_sql('tok')} AS h{h2_sql} FROM tw),
 s AS (SELECT did, {bit_sums} FROM th GROUP BY did),
 fp AS (SELECT did, CAST({fp_expr} AS BIGINT) AS simhash FROM s),
 pairs AS (SELECT x.did AS a, y.did AS b,
@@ -2896,7 +2912,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "UNION "
             "SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.node) "
             "SELECT node AS member, min(label) AS rep FROM walk GROUP BY node"
-        ).format(pairs_sql=_simhash_oracle(bits=32, max_hamming=3)),
+        ).format(pairs_sql=_simhash_oracle(bits=_SIMHASH_GRAPH_BITS, max_hamming=3)),
         "dedup_embedding_cosine": (
             "WITH sl AS (SELECT * FROM embeddings WHERE vec_id < 2000) "
             "SELECT * FROM ("
@@ -3585,7 +3601,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             "removed AS (SELECT node FROM lab WHERE rep != node) "
             "SELECT doc_id, lang FROM documents "
             "WHERE doc_id NOT IN (SELECT node FROM removed)"
-        ).format(pairs_sql=_simhash_oracle(bits=32, max_hamming=3)),
+        ).format(pairs_sql=_simhash_oracle(bits=_SIMHASH_GRAPH_BITS, max_hamming=3)),
         "text_classifier": (
             "WITH t AS (SELECT doc_id, "
             "unnest(string_split_regex(lower(text), '\\s+')) AS tok "

@@ -40,6 +40,23 @@ CHAR_SAMPLE_MOD = 4
 #: :func:`lsh_candidates`) — likewise the single source for the oracles
 DEFAULT_STAR_BUCKET_CAP = 16
 
+#: contract fingerprint width for the simhash near-dup graph
+#: (``dedup_components`` / ``dedup_keep_canonical``). 48 bits over 4
+#: chunks gives a 12-bit (4096-bucket) chunk space, so the banded
+#: candidate stream scales ~n^2/2^12 instead of the 32-bit n^2/2^8 that
+#: the round-8 three-point fit flagged super-linear at 150k docs
+#: (SCALE.md §20: 4.8x fewer candidates, 19x sparser verified graph,
+#: 47.5 -> 21.0 s at sf3). The DuckDB oracle renderer parameterizes
+#: from these same constants, so operator and oracle cannot drift.
+SIMHASH_GRAPH_BITS = 48
+#: chunk count for the pigeonhole banding (Hamming <= chunks-1 pairs
+#: are guaranteed to share a chunk)
+SIMHASH_GRAPH_CHUNKS = 4
+#: salt prefixing the second 32-bit hash that supplies fingerprint
+#: bits 32..63 (one md5 yields 32 portable bits; a salted second md5
+#: yields the rest, identically on both engines)
+SIMHASH_HI_SALT = "w48:"
+
 
 def normalized_text(col: Column) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace,
@@ -508,9 +525,13 @@ def ngram_jaccard_pairs(
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:
-    """32-bit simhash: bit j of the fingerprint is the sign of the sum
-    of (+count / -count) over tokens whose hash has bit j set. One
-    groupBy with ``bits`` conditional sums."""
+    """Simhash (up to 64 bits): bit j of the fingerprint is the sign of
+    the sum of (+count / -count) over tokens whose hash has bit j set.
+    One groupBy with ``bits`` conditional sums. The portable md5 hash
+    yields 32 bits; bits 32+ read a second, :data:`SIMHASH_HI_SALT`-ed
+    hash of the same token (both renderable in the DuckDB oracle)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"simhash bits must be in [1, 64], got {bits}")
     toks = (
         df.select(
             F.col(id_col).alias("did"),
@@ -521,12 +542,17 @@ def simhash_fingerprints(
         .agg(F.count(F.lit(1)).alias("w"))
         .withColumn("h", hash32(F.col("tok")))
     )
+    if bits > 32:
+        toks = toks.withColumn(
+            "h2", hash32(F.concat(F.lit(SIMHASH_HI_SALT), F.col("tok")))
+        )
+
+    def _bit(j: int) -> Column:
+        src, jj = ("h", j) if j < 32 else ("h2", j - 32)
+        return F.shiftright(F.col(src), jj) % 2 == 1
+
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j) % 2 == 1, F.col("w")).otherwise(
-                -F.col("w")
-            )
-        ).alias(f"s{j}")
+        F.sum(F.when(_bit(j), F.col("w")).otherwise(-F.col("w"))).alias(f"s{j}")
         for j in range(bits)
     ]
     sums = toks.groupBy("did").agg(*bit_sums)

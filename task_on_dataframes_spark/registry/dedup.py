@@ -91,15 +91,28 @@ def _dedup_components(spark, sf_dir):
     large-star/small-star contraction (operators/dedup.py:
     connected_components — O(log n) rounds over a geometrically
     shrinking edge set, never rounds x |E| like min-propagation); the
-    oracle is a recursive CTE, implementation-agnostic."""
+    oracle is a recursive CTE, implementation-agnostic.
+
+    The graph is built at SIMHASH_GRAPH_BITS (48) / SIMHASH_GRAPH_CHUNKS
+    (4): the round-8 three-point fit flagged the 32-bit default
+    super-linear at sf3 (n^2/2^8 chunk-bucket saturation, excess 2.48),
+    and the measured width lever (SCALE.md §20) is now the contract —
+    the oracle parameterizes from the same constants."""
     from task_on_dataframes_spark.operators.dedup import (
+        SIMHASH_GRAPH_BITS,
+        SIMHASH_GRAPH_CHUNKS,
         connected_components,
         simhash_fingerprints,
         simhash_pairs,
     )
 
     docs = _docs(spark, sf_dir)
-    pairs = simhash_pairs(simhash_fingerprints(docs, "doc_id", "text"), max_hamming=3)
+    pairs = simhash_pairs(
+        simhash_fingerprints(docs, "doc_id", "text", bits=SIMHASH_GRAPH_BITS),
+        max_hamming=3,
+        chunks=SIMHASH_GRAPH_CHUNKS,
+        bits=SIMHASH_GRAPH_BITS,
+    )
     return connected_components(pairs, src="a", dst="b")
 
 def _dedup_embedding_cosine(spark, sf_dir):
@@ -166,8 +179,11 @@ def _dedup_keep_canonical(spark, sf_dir):
     """End-to-end keep-one dedup: simhash pair graph -> pointer-doubling
     connected components -> drop non-representatives (broadcast
     left-anti; the corpus never shuffles for the cut). Returns the
-    surviving (doc_id, lang) rows."""
+    surviving (doc_id, lang) rows. Rides the same SIMHASH_GRAPH_BITS
+    48-bit pair graph as ``dedup_components`` (SCALE.md §20)."""
     from task_on_dataframes_spark.operators.dedup import (
+        SIMHASH_GRAPH_BITS,
+        SIMHASH_GRAPH_CHUNKS,
         keep_canonical,
         simhash_fingerprints,
         simhash_pairs,
@@ -175,7 +191,10 @@ def _dedup_keep_canonical(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     pairs = simhash_pairs(
-        simhash_fingerprints(docs, "doc_id", "text"), max_hamming=3
+        simhash_fingerprints(docs, "doc_id", "text", bits=SIMHASH_GRAPH_BITS),
+        max_hamming=3,
+        chunks=SIMHASH_GRAPH_CHUNKS,
+        bits=SIMHASH_GRAPH_BITS,
     )
     return keep_canonical(
         docs.select("doc_id", "lang"), "doc_id", pairs
@@ -523,10 +542,13 @@ def _dedup_star_recall_eval(spark, sf_dir):
         )
         counts = lsh.agg(
             F.count(F.lit(1)).alias("n_lsh"),
+            # coalesce: SUM over an empty relation is NULL, but the
+            # oracle's count(*) is 0 — a sparse natural stratum with
+            # no banded pair must emit 0 like the oracle (ADVICE r8)
             *[
-                F.sum((F.col("min_req") <= cap).cast("long")).alias(
-                    f"ns{cap}"
-                )
+                F.coalesce(
+                    F.sum((F.col("min_req") <= cap).cast("long")), F.lit(0)
+                ).alias(f"ns{cap}")
                 for cap in STAR_RECALL_CAPS
             ],
         )

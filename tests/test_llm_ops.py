@@ -82,6 +82,42 @@ def test_simhash_near_dups_have_high_jaccard(spark, sf_dir):
     assert pairs.count() >= 0  # smoke: plan executes; contents oracle-checked
 
 
+def test_simhash_graph_contract_is_48_bit(spark, sf_dir):
+    """The dedup_components / dedup_keep_canonical contract width is
+    SIMHASH_GRAPH_BITS=48 (SCALE.md §20: the 32-bit chunk space
+    saturates past ~1e6 docs). Pins the constants, checks the wide
+    fingerprint actually uses the high bits, and that the 48-bit
+    Hamming-0 pair set is a subset of the 32-bit one (identical 48-bit
+    fingerprints imply identical low 32 bits; the reverse can be a
+    collision — exactly the discrimination the wider contract buys)."""
+    from task_on_dataframes_spark.operators.dedup import (
+        SIMHASH_GRAPH_BITS,
+        SIMHASH_GRAPH_CHUNKS,
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    assert SIMHASH_GRAPH_BITS == 48
+    assert SIMHASH_GRAPH_CHUNKS == 4
+    docs = _docs(spark, sf_dir)
+    fps = simhash_fingerprints(docs, "doc_id", "text", bits=SIMHASH_GRAPH_BITS)
+    mx = fps.agg(F.max("simhash").alias("m")).collect()[0]["m"]
+    assert mx >= (1 << 32)  # high bits are populated, not degenerate
+    wide0 = simhash_pairs(
+        fps,
+        max_hamming=0,
+        chunks=SIMHASH_GRAPH_CHUNKS,
+        bits=SIMHASH_GRAPH_BITS,
+    )
+    narrow0 = simhash_pairs(
+        simhash_fingerprints(docs, "doc_id", "text"), max_hamming=0
+    )
+    wide_set = set(map(tuple, wide0.select("a", "b").collect()))
+    narrow_set = set(map(tuple, narrow0.select("a", "b").collect()))
+    assert wide_set  # planted exact duplicates exist at this SF
+    assert wide_set <= narrow_set
+
+
 def test_lsh_ann_recall_against_brute_force(spark, sf_dir):
     from task_on_dataframes_spark.operators.similarity import (
         cosine_topk,
