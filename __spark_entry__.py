@@ -233,6 +233,7 @@ from task_on_dataframes_spark.registry.text import (
     _curriculum_quality_bins,
     _pipeline_c4_curation,
     _pipeline_multilingual_curation,
+    _pipeline_multilingual_tokens,
     _text_bm25,
     _text_chunk,
     _text_fim_transform,
@@ -548,7 +549,7 @@ _BPE_W0_CHAR = (
 #: as the Spark transform), symbols = UTF-8 bytes as 2-hex-digit
 #: tokens (uppercase hex — Spark hex(encode()) and DuckDB
 #: hex(encode()) agree byte-for-byte)
-def _bpe_w0_bytes() -> str:
+def _bpe_w0_bytes(source: str = "documents") -> str:
     from task_on_dataframes_spark.operators.bpe import BPE_PIECE_CHAR_CAP
 
     cap = BPE_PIECE_CHAR_CAP
@@ -558,7 +559,7 @@ def _bpe_w0_bytes() -> str:
         "(SELECT w, count(*) AS cnt FROM "
         f"(SELECT substr(p.w0, s.s, {cap}) AS w FROM "
         "(SELECT w0 FROM (SELECT unnest(string_split_regex(text, "
-        "'\\s+')) AS w0 FROM documents) WHERE len(w0) > 0) p, "
+        f"'\\s+')) AS w0 FROM {source}) WHERE len(w0) > 0) p, "
         f"LATERAL unnest(generate_series(1, len(p.w0), {cap})) AS s(s)) "
         "GROUP BY w))"
     )
@@ -863,6 +864,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_jsonl_roundtrip": _s10_jsonl_roundtrip,
         "pipeline_c4_curation": _pipeline_c4_curation,
         "pipeline_multilingual_curation": _pipeline_multilingual_curation,
+        "pipeline_multilingual_tokens": _pipeline_multilingual_tokens,
         "j9_full_outer": _j9_full_outer,
         "w8_first_last": _w8_first_last,
         "profile_table": _profile_table,
@@ -1097,20 +1099,16 @@ def _lsh_cand_ctes(
         f"min({perm_hash_sql('h', i)}) AS mh{i}" for i in range(num_perm)
     )
     if star:
-        # exact all-pairs for buckets <= cap members, bucket-min stars
-        # above — mirrors lsh_candidates(star=True, star_bucket_cap=cap)
+        # multi-pivot star: pair admitted iff a is among the cap
+        # smallest ids of a shared bucket (rank <= cap) — mirrors
+        # star_candidates (buckets <= cap members degenerate to exact
+        # all-pairs because every member ranks <= cap)
         cand_body = (
-            "SELECT DISTINCT a, b FROM ("
-            "WITH bs AS (SELECT band, key, min(did) AS mn, "
-            "count(*) AS bsz FROM bands GROUP BY 1, 2) "
-            "SELECT x.did AS a, y.did AS b "
-            "FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key "
-            "JOIN bs ON bs.band = x.band AND bs.key = x.key "
-            f"WHERE bs.bsz <= {cap} AND x.did < y.did "
-            "UNION ALL "
-            "SELECT bs.mn AS a, x.did AS b "
-            "FROM bands x JOIN bs ON bs.band = x.band AND bs.key = x.key "
-            f"WHERE bs.bsz > {cap} AND x.did <> bs.mn)"
+            "SELECT DISTINCT x.did AS a, y.did AS b FROM "
+            "(SELECT did, band, key, row_number() OVER "
+            "(PARTITION BY band, key ORDER BY did) AS rk FROM bands) x "
+            "JOIN bands y ON x.band = y.band AND x.key = y.key "
+            f"WHERE x.rk <= {cap} AND x.did < y.did"
         )
     else:
         cand_body = (
@@ -1176,7 +1174,7 @@ def _star_recall_oracle() -> str:
         STAR_RECALL_TAIL,
     )
 
-    num_perm, bands, n = 16, 4, 5
+    num_perm, bands, n = _CHAR_LSH_NUM_PERM, _CHAR_LSH_BANDS, 5
     rows = num_perm // bands
     tb, ts = STAR_RECALL_TAIL
     sig_cols = ", ".join(
@@ -1229,8 +1227,9 @@ def _star_recall_oracle() -> str:
             f"{p}h AS (SELECT did, tok, {hash32_sql('tok')} AS h FROM {p}g), "
             f"{p}sig AS (SELECT did, {sig_cols} FROM {p}h GROUP BY did), "
             f"{p}bands AS MATERIALIZED ({band_selects}), "
-            f"{p}bs AS MATERIALIZED (SELECT band, key, min(did) AS mn, "
-            f"count(*) AS bsz FROM {p}bands GROUP BY 1, 2), "
+            f"{p}rb AS MATERIALIZED (SELECT did, band, key, "
+            f"row_number() OVER (PARTITION BY band, key ORDER BY did) "
+            f"AS rk FROM {p}bands), "
             f"{p}sz AS (SELECT did, count(*) AS sz FROM {p}g GROUP BY did), "
             f"{p}ecand AS (SELECT DISTINCT x.did AS a, y.did AS b "
             f"FROM {p}g x JOIN {p}g y ON x.tok = y.tok WHERE x.did < y.did), "
@@ -1240,20 +1239,20 @@ def _star_recall_oracle() -> str:
             f"ON x.band = y.band AND x.key = y.key WHERE x.did < y.did), "
             f"{p}uv AS MATERIALIZED ({verify(p + 'ucand', p + 'g', p + 'sz')}), "
             f"{p}cnt AS (SELECT (SELECT count(*) FROM {p}ex) AS ne, "
-            f"(SELECT count(*) FROM {p}uv) AS nl)"
+            f"(SELECT count(*) FROM {p}uv) AS nl, "
+            f"(SELECT count(DISTINCT b) FROM {p}ex) AS nde, "
+            f"(SELECT count(DISTINCT b) FROM {p}uv) AS ndl)"
         )
         for cap in STAR_RECALL_CAPS:
             parts.append(
-                f"{p}cand{cap} AS (SELECT DISTINCT a, b FROM ("
-                f"SELECT x.did AS a, y.did AS b FROM {p}bands x "
-                f"JOIN {p}bands y ON x.band = y.band AND x.key = y.key "
-                f"JOIN {p}bs bs ON bs.band = x.band AND bs.key = x.key "
-                f"WHERE bs.bsz <= {cap} AND x.did < y.did "
-                f"UNION ALL "
-                f"SELECT bs.mn AS a, x.did AS b FROM {p}bands x "
-                f"JOIN {p}bs bs ON bs.band = x.band AND bs.key = x.key "
-                f"WHERE bs.bsz > {cap} AND x.did <> bs.mn)), "
-                f"{p}vc{cap} AS (SELECT count(*) AS ns FROM "
+                # multi-pivot star: pair admitted iff rank(a) <= cap
+                # in some shared bucket (star_candidates docstring)
+                f"{p}cand{cap} AS (SELECT DISTINCT x.did AS a, y.did AS b "
+                f"FROM {p}rb x JOIN {p}bands y "
+                f"ON x.band = y.band AND x.key = y.key "
+                f"WHERE x.rk <= {cap} AND x.did < y.did), "
+                f"{p}vc{cap} AS (SELECT count(*) AS ns, "
+                f"count(DISTINCT b) AS nds FROM "
                 f"({verify(p + 'cand' + str(cap), p + 'g', p + 'sz')}))"
             )
             selects.append(
@@ -1263,7 +1262,13 @@ def _star_recall_oracle() -> str:
                 "CASE WHEN ne > 0 THEN round(ns / CAST(ne AS DOUBLE), 6) "
                 "END AS recall_vs_exact, "
                 "CASE WHEN nl > 0 THEN round(ns / CAST(nl AS DOUBLE), 6) "
-                "END AS recall_vs_lsh "
+                "END AS recall_vs_lsh, "
+                "nde AS n_docs_exact, ndl AS n_docs_lsh, "
+                "nds AS n_docs_star, "
+                "CASE WHEN nde > 0 THEN round(nds / CAST(nde AS DOUBLE), 6) "
+                "END AS doc_recall_vs_exact, "
+                "CASE WHEN ndl > 0 THEN round(nds / CAST(ndl AS DOUBLE), 6) "
+                "END AS doc_recall_vs_lsh "
                 f"FROM {p}cnt, {p}vc{cap}"
             )
     return (
@@ -1340,6 +1345,8 @@ WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
 
 
 from task_on_dataframes_spark.operators.dedup import (
+    CHAR_LSH_BANDS as _CHAR_LSH_BANDS,
+    CHAR_LSH_NUM_PERM as _CHAR_LSH_NUM_PERM,
     SIMHASH_GRAPH_BITS as _SIMHASH_GRAPH_BITS,
 )
 
@@ -1617,7 +1624,10 @@ def _multilingual_curation_oracle(
     # char-LSH CTE chain over the survivor set (same renderer as the
     # dedup_minhash_char oracle, re-pointed at surv); strip its WITH
     lsh = _lsh_cand_ctes(
-        16, 4, _lsh_g_char(source="surv"), star=True
+        _CHAR_LSH_NUM_PERM,
+        _CHAR_LSH_BANDS,
+        _lsh_g_char(source="surv"),
+        star=True,
     ).strip()
     assert lsh.startswith("WITH ")
     lsh = lsh[len("WITH ") :]
@@ -1693,6 +1703,59 @@ def _multilingual_curation_oracle(
         "CASE WHEN r.reason <> 'kept_pre' THEN r.reason "
         "WHEN r.doc_id IN (SELECT b FROM dupb) THEN 'near_duplicate' "
         "ELSE 'kept' END AS reason FROM r)"
+    )
+
+
+def _multilingual_tokens_oracle(merges: int = 64) -> str:
+    """DuckDB twin of ``pipeline_multilingual_tokens``: wraps the full
+    curation oracle to reconstruct the kept-survivor set, then replays
+    the byte-level BPE trainer (the text_bpe_bytes chained-CTE merge
+    program, w0 re-pointed at the survivors) and the per-document
+    apply chain — identical piece chunking, hex symbols, greedy
+    replace, and tie-breaks; one source of truth end to end."""
+    from task_on_dataframes_spark.operators.bpe import BPE_PIECE_CHAR_CAP
+
+    cap = BPE_PIECE_CHAR_CAP
+    pipe = _multilingual_curation_oracle().strip()
+    assert pipe.startswith("WITH ")
+    parts = [
+        pipe[len("WITH ") :].rsplit("SELECT doc_id, script,", 1)[0].rstrip()
+        # the curation oracle ends in its final SELECT; everything
+        # before it is the CTE body we extend (split on the unique
+        # final-select prefix keeps the dupb CTE list intact)
+        .rstrip(",")
+        + ", keptd AS MATERIALIZED ("
+        "SELECT r.doc_id, r.script, r.n_tokens, c.text FROM r "
+        "JOIN corp c ON c.doc_id = r.doc_id "
+        "WHERE r.reason = 'kept_pre' "
+        "AND r.doc_id NOT IN (SELECT b FROM dupb))",
+        _bpe_w0_bytes(source="keptd")[len("WITH ") :],
+    ]
+    merge_parts = _bpe_ctes(merges, w0="WITH __unused AS (SELECT 1)")[1:]
+    parts.extend(merge_parts)
+    parts.append(
+        "r0 AS (SELECT doc_id, regexp_replace(hex(encode(w)), "
+        "'(..)', '(\\1)', 'g') AS r FROM "
+        f"(SELECT doc_id, substr(p.wx, s.s, {cap}) AS w FROM "
+        "(SELECT doc_id, wx FROM (SELECT doc_id, "
+        "unnest(string_split_regex(text, '\\s+')) AS wx FROM keptd) "
+        "WHERE len(wx) > 0) p, "
+        f"LATERAL unnest(generate_series(1, len(p.wx), {cap})) AS s(s)))"
+    )
+    for i in range(1, merges + 1):
+        parts.append(
+            f"r{i} AS (SELECT doc_id, replace(r, "
+            "'(' || b.lhs || ')(' || b.rhs || ')', "
+            f"'(' || b.merged || ')') AS r FROM r{i - 1}, b{i} b)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT k.doc_id, k.script, CAST(k.n_tokens AS INT) AS n_tokens, "
+        "t.bpe_tokens FROM keptd k JOIN "
+        "(SELECT doc_id, CAST(sum(len(regexp_extract_all(r, "
+        f"'\\(([^)]*)\\)', 1))) AS BIGINT) AS bpe_tokens FROM r{merges} "
+        "GROUP BY doc_id) t ON t.doc_id = k.doc_id"
     )
 
 
@@ -2898,7 +2961,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         ),
         "dedup_minhash_lsh": _minhash_oracle(16, 4, 0.5),
         "dedup_minhash_char": _minhash_oracle(
-            16, 4, 0.5, _lsh_g_char(), star=True
+            _CHAR_LSH_NUM_PERM, _CHAR_LSH_BANDS, 0.5, _lsh_g_char(), star=True
         ),
         "dedup_incremental_lsh": _incr_lsh_oracle(16, 4, 0.5),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(3, 0.5, 50),
@@ -3792,6 +3855,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         ),
         "pipeline_c4_curation": _curation_oracle_sql(),
         "pipeline_multilingual_curation": _multilingual_curation_oracle(),
+        "pipeline_multilingual_tokens": _multilingual_tokens_oracle(),
         "graph_pagerank": _pagerank_oracle_sql(iters=5, damping=0.85),
         "s11_partition_prune": (
             "SELECT event_type, count(*) AS n FROM events "

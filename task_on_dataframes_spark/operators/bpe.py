@@ -629,3 +629,52 @@ def bpe_apply_token_counts(
         .groupBy("doc_id")
         .agg(F.sum("n").cast("bigint").alias("bpe_tokens"))
     )
+
+
+def bpe_apply_byte_token_counts(
+    docs: DataFrame,
+    merge_table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BYTE-level twin of :func:`bpe_apply_token_counts`: per-document
+    BPE piece counts under a ``level="bytes"`` merge table. Documents
+    decompose exactly like :func:`_byte_word_table` (raw whitespace
+    pieces, :data:`BPE_PIECE_CHAR_CAP` chunking, UTF-8 bytes as
+    wrapped 2-hex-digit symbols), then the tokenizer-sized merge
+    table collects to the driver and compiles to a chain of
+    scan-stage ``replace`` calls — zero shuffles beyond the final
+    per-doc count. This is the honest multilingual token accounting
+    (r8 verdict item 8): the char-level apply's ``^[a-z]+$`` filter
+    counts a CJK clause as ZERO tokens, the whitespace count as ONE.
+
+    Returns ``(doc_id, bpe_tokens)``.
+    """
+    rules = [
+        (r["lhs"], r["rhs"], r["merged"])
+        for r in merge_table.orderBy("step").collect()
+    ]
+    cap = BPE_PIECE_CHAR_CAP
+    pieces = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("w0"),
+    ).filter(F.length("w0") > 0)
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.length("w0"), F.lit(cap)),
+        lambda p: F.col("w0").substr(p, F.lit(cap)),
+    )
+    toks = pieces.select("doc_id", F.explode(chunks).alias("w"))
+    repr_col = F.regexp_replace(
+        F.hex(F.encode(F.col("w"), "UTF-8")), "(..)", "($1)"
+    )
+    for lhs, rhs, merged in rules:
+        repr_col = F.replace(
+            repr_col, F.lit(f"({lhs})({rhs})"), F.lit(f"({merged})")
+        )
+    n_syms = F.size(F.expr(_SYMS.replace("repr", "r")))
+    return (
+        toks.select("doc_id", repr_col.alias("r"))
+        .select("doc_id", n_syms.alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("bigint").alias("bpe_tokens"))
+    )

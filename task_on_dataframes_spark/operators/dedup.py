@@ -57,6 +57,18 @@ SIMHASH_GRAPH_CHUNKS = 4
 #: yields the rest, identically on both engines)
 SIMHASH_HI_SALT = "w48:"
 
+#: banding contract for the CHARACTER-shingle LSH path
+#: (``dedup_minhash_char``, the multilingual curation pipeline, and
+#: the star recall eval that measures them). (16, 4) left 9/166
+#: template-stratum near-dup docs unbanded — every pair at J barely
+#: over 0.5 missed all four bands (doc_recall_vs_exact 0.9458);
+#: (20, 5) at the same rows-per-band=4 adds a fifth detection chance
+#: and measures 0.9819 for +25% signature cost (round 9). The WORD
+#: path keeps (16, 4) — its bigram shingles are sparser and its eval
+#: (dedup_recall_eval) already measures recall 1.0 there.
+CHAR_LSH_NUM_PERM = 20
+CHAR_LSH_BANDS = 5
+
 
 def normalized_text(col: Column) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace,
@@ -288,35 +300,28 @@ def lsh_candidates(
     n-grams — the variant that sees non-whitespace-delimited scripts
     (the unicode suite pins word-shingle blindness on CJK).
 
-    ``star=True`` caps the quadratic bucket self-join: buckets up to
-    ``star_bucket_cap`` members keep exact ALL-PAIRS candidates;
-    bigger buckets (boilerplate/template collisions — measured 29M
+    ``star=True`` caps the quadratic bucket self-join with the
+    MULTI-PIVOT star (see :func:`star_candidates`): the cap smallest
+    ids of every bucket pair with every member, so buckets at or
+    under ``star_bucket_cap`` members keep exact ALL-PAIRS candidates
+    and mega-buckets (boilerplate/template collisions — measured 29M
     candidate pairs and 158 s of verification at sf1 for char
-    shingles) fall back to STAR candidates, each member pairing with
-    the bucket's minimum id (linear in bucket size, the standard
-    mega-bucket mitigation). The cap matters for RECALL, not just
-    cost: a star candidate (bucket-min, member) can FAIL Jaccard
-    verification even when two non-min members are true near-dups
-    (the min may be in the bucket only by signature collision), so
-    pure-star generation can drop verified pairs — below the cap the
-    semantics stay exactly all-pairs, and above it the lost pairs are
-    confined to docs that co-occur ONLY inside mega-buckets, where
-    all-pairs was never going to run anyway.
+    shingles under plain all-pairs) contribute cap·|bucket| pairs,
+    linear in bucket size.
 
-    That loss is MEASURED, not argued (r8): the
-    ``dedup_star_recall_eval`` query (registry/dedup.py) sweeps the
-    cap over {8, 16, 64} on a template-saturated worst-case stratum
-    and a natural stratum. Natural corpora at eval scale: recall 1.0
-    (no bucket exceeds the cap). Template-saturated mega-buckets whose
-    members are MUTUALLY near-dup: star pairs recover only ~9-45 % of
-    the uncapped-LSH verified pairs as the cap grows 8 -> 64 — so for
-    pair-level consumers, size ``star_bucket_cap`` to the largest
-    mutually-near-dup cluster worth keeping intact. Cluster-level
-    consumers (connected components -> keep-canonical, the dominant
-    dedup use) are far less exposed: every member of a mega-bucket
-    still pairs with the bucket min, so members whose star pair
-    VERIFIES stay in one component; only members near-dup to each
-    other but not to the bucket-min doc can split."""
+    The cap's recall cost is MEASURED, not argued: the r8
+    ``dedup_star_recall_eval`` found the original SINGLE-pivot
+    (bucket-min) star recovering only 0.044 of exact template-stratum
+    pairs at cap 16 — one collision-placed min failing verification
+    dropped whole cliques. The r9 multi-pivot form admits each member
+    through the cap smallest ids, which is the id order keep-one
+    marking consumes (a doc is marked when some verified SMALLER-id
+    near-dup exists), and the same eval now reports doc-level marking
+    recall alongside pair recall. Pair-level consumers should still
+    size ``star_bucket_cap`` to the largest mutually-near-dup cluster
+    whose full pair set matters; doc/cluster-level consumers
+    (keep-one marking, connected components) ride the measured
+    doc-recall columns."""
     if kind == "char":
         toks = _char_ngrams(df, id_col, text_col, shingle_n, sample_mod)
     elif shingle_n > 1:
@@ -353,31 +358,41 @@ def lsh_candidates(
 def star_candidates(
     keys: DataFrame, star_bucket_cap: int = DEFAULT_STAR_BUCKET_CAP
 ) -> DataFrame:
-    """Hybrid star candidate pairs (a < b) from a ``(did, band, key)``
-    band-key table: buckets up to ``star_bucket_cap`` members produce
-    exact all-pairs candidates; larger buckets produce bucket-min
-    STARS (each member paired with the bucket minimum — linear in
-    bucket size). Shared by :func:`lsh_candidates` (``star=True``) and
-    the ``dedup_star_recall_eval`` query, which measures the recall
-    this cap trades away as a function of the cap."""
-    stats_b = keys.groupBy("band", "key").agg(
-        F.min("did").alias("mn"), F.count(F.lit(1)).alias("bsz")
+    """MULTI-PIVOT star candidate pairs (a < b) from a ``(did, band,
+    key)`` band-key table: within every bucket the ``star_bucket_cap``
+    smallest-id members are PIVOTS, and candidates are (pivot, member)
+    pairs — one rule for both tiers, because a bucket at or under the
+    cap has every member ranked <= cap, which is exactly all-pairs,
+    while a mega-bucket contributes cap·|bucket| pairs (linear in
+    bucket size, the mega-bucket mitigation).
+
+    This replaces the round-7 single-pivot (bucket-min) star after
+    ``dedup_star_recall_eval`` measured its template-stratum cost:
+    one signature-collision min could fail Jaccard verification
+    against every true near-dup member and mark NOTHING (pair recall
+    0.044 vs exact at cap 16). With cap pivots, a member is admitted
+    through the cap smallest ids — for keep-one marking (docs marked
+    when some verified smaller-id near-dup exists) that is precisely
+    the id order the marking consumes, so doc-level marking recall is
+    the metric (measured by the same eval, r9).
+
+    Equivalent characterization used by the eval and the DuckDB
+    oracles: pair (a, b) is a candidate iff rank(a) <= cap inside
+    some shared bucket (rank = 1-based position of the id in the
+    bucket's ascending id order; a < b implies rank(a) < rank(b))."""
+    w = Window.partitionBy("band", "key").orderBy("did")
+    pivots = (
+        keys.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= star_bucket_cap)
+        .select(F.col("did").alias("a"), "band", "key")
     )
-    kk = keys.join(stats_b, on=["band", "key"])
-    small = kk.filter(F.col("bsz") <= star_bucket_cap)
-    sa = small.select(F.col("did").alias("a"), "band", "key")
-    sb = small.select(F.col("did").alias("b"), "band", "key")
-    small_pairs = (
-        sa.join(sb, on=["band", "key"])
+    members = keys.select(F.col("did").alias("b"), "band", "key")
+    return (
+        pivots.join(members, on=["band", "key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
+        .distinct()
     )
-    big_stars = (
-        kk.filter(F.col("bsz") > star_bucket_cap)
-        .filter(F.col("did") != F.col("mn"))
-        .select(F.col("mn").alias("a"), F.col("did").alias("b"))
-    )
-    return small_pairs.unionAll(big_stars).distinct()
 
 
 def incremental_lsh_matches(

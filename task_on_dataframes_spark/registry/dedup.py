@@ -51,16 +51,23 @@ def _dedup_minhash_char(spark, sf_dir):
     operator closes it). Same banded candidate generation and exact
     Jaccard verification as dedup_minhash_lsh; only the shingle basis
     changes (operators/dedup.py:_char_ngrams — character-indexed
-    substr on both engines, so unicode shingles replay exactly)."""
-    from task_on_dataframes_spark.operators.dedup import minhash_lsh_pairs
+    substr on both engines, so unicode shingles replay exactly).
+    Banding is the measured char-path contract CHAR_LSH_NUM_PERM /
+    CHAR_LSH_BANDS (see operators/dedup.py — chosen by the star
+    recall eval's doc-recall column, r9)."""
+    from task_on_dataframes_spark.operators.dedup import (
+        CHAR_LSH_BANDS,
+        CHAR_LSH_NUM_PERM,
+        minhash_lsh_pairs,
+    )
 
     docs = _docs(spark, sf_dir)
     return minhash_lsh_pairs(
         docs,
         "doc_id",
         "text",
-        num_perm=16,
-        bands=4,
+        num_perm=CHAR_LSH_NUM_PERM,
+        bands=CHAR_LSH_BANDS,
         threshold=0.5,
         shingle_n=5,
         kind="char",
@@ -438,8 +445,8 @@ def _dedup_star_recall_eval(spark, sf_dir):
 
     * ``template`` — every doc is boilerplate + a doc_id-varying tail
       of its real text: the template-saturated worst case where one
-      mega-bucket holds mutually-near-dup docs, so the bucket-min star
-      fallback provably drops verified pairs. recall_vs_lsh isolates
+      mega-bucket holds mutually-near-dup docs, so any capped
+      candidate scheme drops verified pairs. recall_vs_lsh isolates
       exactly that loss (recall_vs_exact also folds in the banding
       S-curve).
     * ``natural`` — the same docs untemplated: real small-SF buckets
@@ -450,23 +457,31 @@ def _dedup_star_recall_eval(spark, sf_dir):
     every SF), so the all-pairs gram join can never go corpus-quadratic;
     the system under test reuses the exact production operators
     (:func:`_char_ngrams` -> :func:`minhash_signatures` ->
-    :func:`lsh_band_keys` -> the :func:`star_candidates` tier logic ->
-    :func:`jaccard_verify`). Output: (stratum, star_bucket_cap,
-    n_exact, n_lsh, n_star, recall_vs_exact, recall_vs_lsh).
+    :func:`lsh_band_keys` -> the :func:`star_candidates` rank logic ->
+    :func:`jaccard_verify`).
 
-    Plan shape: the star-candidate sets are NESTED in the cap
-    (buckets at or under cap1 < cap2 contribute identical all-pairs;
-    buckets between them contribute star pairs under cap1 and a
-    superset of them as all-pairs under cap2; bigger buckets
-    contribute identical stars), so ONE Jaccard verification of the
-    exact ground truth plus a per-pair "minimum admitting cap"
-    annotation (0 when the pair's smaller side IS some shared
-    bucket's minimum — stars admit it at every cap — else the
-    smallest shared-bucket size) yields every per-cap count as a
-    conditional sum: one verification tree instead of five (the
-    naive form measured 570 plan-text exchanges, 13x the next
-    biggest plan in the audit)."""
+    Since r9 the eval ALSO reports the metric keep-one consumers ride
+    (r8 verdict item 1): per-DOC marking recall — a doc is
+    near-dup-marked when some verified pair (a, b=doc) survives the
+    cap, so n_docs_star(cap) counts docs whose smallest admitting cap
+    is <= cap, against the exact (n_docs_exact) and uncapped-LSH
+    (n_docs_lsh) marked-doc sets. Output: (stratum, star_bucket_cap,
+    n_exact, n_lsh, n_star, recall_vs_exact, recall_vs_lsh,
+    n_docs_exact, n_docs_lsh, n_docs_star, doc_recall_vs_exact,
+    doc_recall_vs_lsh).
+
+    Plan shape: under the multi-pivot star the candidate sets are
+    NESTED in the cap, and a pair's smallest admitting cap IS
+    rank(a) in its most-favorable shared bucket (star_candidates
+    docstring), so ONE Jaccard verification of the exact ground truth
+    plus a per-pair min(rank_a) annotation yields every per-cap pair
+    count as a conditional sum and every per-cap doc count from one
+    groupBy(b) of the same frame: one verification tree instead of
+    five (the naive form measured 570 plan-text exchanges, 13x the
+    next biggest plan in the audit)."""
     from task_on_dataframes_spark.operators.dedup import (
+        CHAR_LSH_BANDS,
+        CHAR_LSH_NUM_PERM,
         _char_ngrams,
         jaccard_verify,
         lsh_band_keys,
@@ -495,7 +510,9 @@ def _dedup_star_recall_eval(spark, sf_dir):
     for stratum, sdocs in strata:
         toks = _char_ngrams(sdocs, "doc_id", "text", 5).persist()
         keys = lsh_band_keys(
-            minhash_signatures(toks, 16), 16, 4
+            minhash_signatures(toks, CHAR_LSH_NUM_PERM),
+            CHAR_LSH_NUM_PERM,
+            CHAR_LSH_BANDS,
         ).persist()
         # exact ground truth: every slice pair sharing >= 1 sampled
         # gram (J >= 0.5 implies a shared gram), verified exactly —
@@ -516,29 +533,19 @@ def _dedup_star_recall_eval(spark, sf_dir):
         # bucket co-membership of each exact pair: verified uncapped
         # LSH pairs = exact pairs sharing >= 1 bucket (a signature
         # collision with J < 0.5 never verifies), and the pair's
-        # min_req = min over shared buckets of (0 if a is the bucket
-        # min — stars admit it at EVERY cap — else the bucket size,
-        # the smallest cap whose all-pairs tier admits it)
-        bs = keys.groupBy("band", "key").agg(
-            F.min("did").alias("mn"), F.count(F.lit(1)).alias("bsz")
-        )
-        kk = keys.join(bs, on=["band", "key"])
-        ka = kk.select(
-            F.col("did").alias("a"), "band", "key", "mn", "bsz"
-        )
-        kb = kk.select(F.col("did").alias("b"), "band", "key")
+        # min_req = min over shared buckets of rank(a) — under the
+        # multi-pivot star a pair is admitted at cap iff a is among
+        # the cap smallest ids of a shared bucket, so rank(a) IS the
+        # smallest admitting cap (star_candidates docstring)
+        wrk = Window.partitionBy("band", "key").orderBy("did")
+        kk = keys.withColumn("rk", F.row_number().over(wrk))
+        ka = kk.select(F.col("did").alias("a"), "band", "key", "rk")
+        kb = keys.select(F.col("did").alias("b"), "band", "key")
         lsh = (
             exact.join(ka, on="a")
             .join(kb, on=["b", "band", "key"])
-            .select(
-                "a",
-                "b",
-                F.when(F.col("a") == F.col("mn"), F.lit(0))
-                .otherwise(F.col("bsz"))
-                .alias("req"),
-            )
             .groupBy("a", "b")
-            .agg(F.min("req").alias("min_req"))
+            .agg(F.min("rk").alias("min_req"))
         )
         counts = lsh.agg(
             F.count(F.lit(1)).alias("n_lsh"),
@@ -552,8 +559,27 @@ def _dedup_star_recall_eval(spark, sf_dir):
                 for cap in STAR_RECALL_CAPS
             ],
         )
-        n_ex = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        both = n_ex.join(counts)
+        # DOC-level marking recall (r8 verdict item: the metric the
+        # keep-one pipelines actually consume — a doc is marked
+        # near-dup when some verified smaller-id pair (a, b=doc)
+        # survives the cap). Per doc b, the smallest admitting cap is
+        # min over its pairs of min_req; conditional counts give every
+        # per-cap marked-doc total from one grouped frame.
+        docm = lsh.groupBy("b").agg(F.min("min_req").alias("doc_req"))
+        doc_counts = docm.agg(
+            F.count(F.lit(1)).alias("n_docs_lsh"),
+            *[
+                F.coalesce(
+                    F.sum((F.col("doc_req") <= cap).cast("long")), F.lit(0)
+                ).alias(f"nd{cap}")
+                for cap in STAR_RECALL_CAPS
+            ],
+        )
+        n_ex = exact.agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count_distinct(F.col("b")).alias("n_docs_exact"),
+        )
+        both = n_ex.join(counts).join(doc_counts)
         # one row per cap via explode of the tier structs — a per-cap
         # select would embed the whole tree once per output row (the
         # 180-exchange intermediate shape of this plan)
@@ -562,13 +588,18 @@ def _dedup_star_recall_eval(spark, sf_dir):
                 F.struct(
                     F.lit(cap).alias("cap"),
                     F.col(f"ns{cap}").alias("ns"),
+                    F.col(f"nd{cap}").alias("nd"),
                 )
                 for cap in STAR_RECALL_CAPS
             ]
         )
         outs.append(
             both.select(
-                "n_exact", "n_lsh", F.explode(tiers).alias("t")
+                "n_exact",
+                "n_lsh",
+                "n_docs_exact",
+                "n_docs_lsh",
+                F.explode(tiers).alias("t"),
             ).select(
                 F.lit(stratum).alias("stratum"),
                 F.col("t.cap").alias("star_bucket_cap"),
@@ -583,6 +614,17 @@ def _dedup_star_recall_eval(spark, sf_dir):
                     F.col("n_lsh") > 0,
                     F.round(F.col("t.ns") / F.col("n_lsh"), 6),
                 ).alias("recall_vs_lsh"),
+                "n_docs_exact",
+                "n_docs_lsh",
+                F.col("t.nd").alias("n_docs_star"),
+                F.when(
+                    F.col("n_docs_exact") > 0,
+                    F.round(F.col("t.nd") / F.col("n_docs_exact"), 6),
+                ).alias("doc_recall_vs_exact"),
+                F.when(
+                    F.col("n_docs_lsh") > 0,
+                    F.round(F.col("t.nd") / F.col("n_docs_lsh"), 6),
+                ).alias("doc_recall_vs_lsh"),
             )
         )
     return outs[0].unionAll(outs[1])

@@ -336,6 +336,15 @@ def test_star_recall_eval_measures_the_cap_tradeoff(spark, sf_dir, queries):
     # the capped star path must actually lose pairs at the lowest cap
     assert by[("template", 8)]["n_exact"] > 0
     assert by[("template", 8)]["n_star"] < by[("template", 8)]["n_lsh"]
+    # DOC-level marking (r9): the multi-pivot star admits every member
+    # of a mega-bucket through the cap smallest ids, so keep-one
+    # marking loses NO doc relative to uncapped LSH at any cap, and
+    # the contract bar vs the exact ground truth holds at the default
+    # cap (the residual is the banding S-curve, not the star cap)
+    for (stratum, _cap), r in by.items():
+        assert r["n_docs_star"] <= r["n_docs_lsh"] <= r["n_docs_exact"]
+        assert r["doc_recall_vs_lsh"] == 1.0
+    assert by[("template", 16)]["doc_recall_vs_exact"] >= 0.95
 
 
 def test_planner_pack_is_a_five_task_chain(spark, sf_dir):

@@ -327,6 +327,37 @@ def test_multilingual_curation_pipeline_routes_every_script(spark):
     assert corpus and all(r["script"] == "latin" for r in corpus)
 
 
+def test_multilingual_tokens_report_honest_cjk_budgets(spark):
+    """The pipeline's n_tokens is a whitespace count: a surviving CJK
+    clause scores 1. pipeline_multilingual_tokens must (a) cover
+    exactly the kept survivors, (b) report byte-BPE piece counts that
+    dwarf the whitespace count on CJK, and (c) never report fewer
+    pieces than whitespace tokens anywhere (a merge can at most fuse
+    pieces WITHIN a whitespace piece, never across)."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    kept_ids = {
+        r["doc_id"]
+        for r in qs["pipeline_multilingual_curation"](spark, sf).collect()
+        if r["reason"] == "kept"
+    }
+    rows = {
+        r["doc_id"]: r
+        for r in qs["pipeline_multilingual_tokens"](spark, sf).collect()
+    }
+    assert set(rows) == kept_ids
+    for r in rows.values():
+        assert r["bpe_tokens"] >= r["n_tokens"], r
+    # the kept CJK seeds (-2, -4) are one whitespace token each but
+    # many BPE pieces — the budget the mixer must see
+    for did in (-2, -4):
+        assert rows[did]["script"] == "cjk"
+        assert rows[did]["n_tokens"] <= 2
+        assert rows[did]["bpe_tokens"] > 20 * rows[did]["n_tokens"]
+
+
 def test_byte_bpe_piece_cap_bounds_no_whitespace_documents(spark):
     """A no-whitespace CJK clause used to become ONE word-table piece,
     making the driver merge loop linear in piece bytes; the
