@@ -108,13 +108,24 @@ def main() -> None:
         # round-8 flagship: the script-routed multilingual curation
         # pass (verdicts + char-LSH near-dup over survivors)
         "pipeline_multilingual_curation",
+        # round-9 flagship: byte-BPE token accounting over the kept
+        # survivors (train + apply in one query)
+        "pipeline_multilingual_tokens",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     n_timed = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for name in headline:
-        if name not in qs:
-            continue
+    # machine-speed probes SPACED across the run (r8 verdict item 4: a
+    # single probe swings 0.299-0.549 within one run, so one-probe
+    # normalization manufactured a 10% phantom regression); start here,
+    # mid after half the suite, end after the last query — the median
+    # is the denominator, all three are recorded
+    calib_probes = [_calibrate()]
+    timed_names = [n for n in headline if n in qs]
+    mid_at = timed_names[len(timed_names) // 2] if timed_names else None
+    for name in timed_names:
+        if name == mid_at:
+            calib_probes.append(_calibrate())
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = None
         for _ in range(n_timed):
@@ -131,6 +142,7 @@ def main() -> None:
         # persist entries, so timed runs measure steady state.
         spark.catalog.clearCache()
 
+    calib_probes.append(_calibrate())
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_wall_seconds",
@@ -141,8 +153,11 @@ def main() -> None:
         # fixed single-thread CPU probe: identical work every round, so
         # round-over-round wall-clock deltas can be attributed to code
         # vs machine-speed drift (r4 measured the same r3 commit 1.27x
-        # slower than its recorded artifact on a slower host)
-        "calib_sec": _calibrate(),
+        # slower than its recorded artifact on a slower host). Since r9
+        # this is the MEDIAN of >= 3 probes spaced start/mid/end, with
+        # the raw probes recorded beside it.
+        "calib_sec": _median(calib_probes),
+        "calib_probes": calib_probes,
     }
 
     # regression anchor: compare against the newest BENCH_r{N}.json and
@@ -176,6 +191,8 @@ def main() -> None:
             "anchor": anchor.get("_file"),
             "prev_total": anchor.get("value"),
             "prev_calib": prev_calib,
+            "prev_calib_probes": anchor.get("calib_probes"),
+            "calib_probes": calib_probes,
             "common_prev": round(common_prev, 3),
             "common_now": round(common_now, 3),
             "ratio_common": ratio_common,
@@ -185,6 +202,14 @@ def main() -> None:
 
     print(json.dumps(out))
     spark.stop()
+
+
+def _median(xs: list) -> float:
+    """Median of the recorded calibration probes (statistics.median,
+    rounded like the probes themselves)."""
+    import statistics
+
+    return round(statistics.median(xs), 4)
 
 
 def _calibrate() -> float:

@@ -60,8 +60,22 @@ def _scan_parts(path: str, max_partition_bytes: int | None = None) -> int | None
             files = [path]
         n = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
         if max_partition_bytes:
+            # mirror Spark's FilePartition.maxSplitBytes (ADVICE r8 —
+            # the bare ceil(bytes/maxPartitionBytes) underestimates
+            # splits whenever total/defaultParallelism is the binding
+            # term, triggering repartitions that are not needed):
+            # maxSplit = min(maxPartitionBytes,
+            #                max(openCostInBytes, total/parallelism)),
+            # splits counted per file because a split never spans files
             total = sum(os.path.getsize(f) for f in files)
-            byte_splits = -(-total // max_partition_bytes)
+            open_cost = 4 << 20  # spark.sql.files.openCostInBytes default
+            par = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            max_split = min(
+                max_partition_bytes, max(open_cost, total // max(par, 1))
+            )
+            byte_splits = sum(
+                -(-os.path.getsize(f) // max_split) for f in files
+            )
             n = min(n, byte_splits)
     except Exception:
         # Missing pyarrow raises ImportError, corrupt/remote paths raise

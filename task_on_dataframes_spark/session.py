@@ -14,6 +14,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """min(32g, ~half of physical RAM), so heavy local-mode queries get
+    a contained JVM limit instead of the OS OOM killer on small hosts
+    (ADVICE r8). Falls back to the 128-GiB dev-host default when
+    /proc/meminfo is unavailable; SPARK_DRIVER_MEMORY overrides."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    half_gib = int(line.split()[1]) // (1 << 20) // 2
+                    return f"{max(2, min(32, half_gib))}g"
+    except OSError:
+        pass
+    return "32g"
+
+
 def get_spark(
     app_name: str = "task_on_dataframes_spark",
     master: str | None = None,
@@ -49,9 +65,14 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         # local-mode heap = the whole "cluster": 8g OOMed the 77M-edge
         # sf3 component graph (r8 scale fit) while 94% of the box sat
-        # idle — size the default to the host (128 GiB here), as a real
-        # deployment sizes executor memory to the workload
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # idle — size the default to the host (min(32g, half of
+        # physical RAM), ADVICE r8: a flat 32g on a small machine
+        # trades a contained JVM limit for the OS OOM killer), as a
+        # real deployment sizes executor memory to the workload
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -60,7 +60,9 @@ def _child(sf_dir: str, names: list[str]) -> None:
     from task_on_dataframes_spark.session import get_spark
     from task_on_dataframes_spark.sources.readers import read_events
 
-    print(json.dumps({"calib_sec": _calibrate()}), flush=True)
+    # spaced probes (start/mid/end; r8 verdict item 4 — one probe has
+    # +-40% variance): the parent records their MEDIAN as calib_sec
+    print(json.dumps({"calib_probe": _calibrate()}), flush=True)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     biggest = max(
         (
@@ -80,7 +82,10 @@ def _child(sf_dir: str, names: list[str]) -> None:
     read_events(spark, f"{sf_dir}/events.parquet").count()
 
     qs = entrymod.queries()
+    mid_at = names[len(names) // 2] if names else None
     for name in names:
+        if name == mid_at:
+            print(json.dumps({"calib_probe": _calibrate()}), flush=True)
         try:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode(
@@ -111,6 +116,7 @@ def _child(sf_dir: str, names: list[str]) -> None:
         except Exception as exc:  # noqa: BLE001
             print(json.dumps({"q": name, "err": str(exc)[:200]}), flush=True)
         spark.catalog.clearCache()
+    print(json.dumps({"calib_probe": _calibrate()}), flush=True)
 
 
 def _run_scale(sf_dir: str, names: list[str]) -> dict:
@@ -119,7 +125,9 @@ def _run_scale(sf_dir: str, names: list[str]) -> dict:
     bogus 'stopped SparkContext' — so the query in flight gets its real
     error recorded and a fresh child continues from the next name."""
     out: dict = {"queries": {}}
+    probes: list = []
     todo = list(names)
+    stalls = 0
     while todo:
         with tempfile.NamedTemporaryFile(
             "w+", suffix=".log", delete=False
@@ -149,8 +157,10 @@ def _run_scale(sf_dir: str, names: list[str]) -> dict:
                     rec = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if "calib_sec" in rec:
-                    out.setdefault("calib_sec", rec["calib_sec"])
+                if "calib_probe" in rec or "calib_sec" in rec:
+                    probes.append(
+                        rec.get("calib_probe", rec.get("calib_sec"))
+                    )
                     continue
                 if "err" in rec and "stopped SparkContext" in rec["err"]:
                     poisoned = True
@@ -159,6 +169,18 @@ def _run_scale(sf_dir: str, names: list[str]) -> dict:
                 done.add(rec["q"])
         todo = [n for n in todo if n not in done]
         if poisoned:
+            # no-progress guard (ADVICE r8): a context that dies before
+            # the FIRST query would respawn identical children forever;
+            # after 2 stalled respawns record the head as poisoned and
+            # advance
+            stalls = stalls + 1 if not done else 0
+            if stalls >= 2 and todo:
+                out["queries"][todo[0]] = {
+                    "q": todo[0],
+                    "err": "POISONED_CONTEXT",
+                }
+                todo = todo[1:]
+                stalls = 0
             continue
         if timed_out and todo:
             out["queries"][todo[0]] = {"q": todo[0], "err": "TIMEOUT"}
@@ -170,6 +192,11 @@ def _run_scale(sf_dir: str, names: list[str]) -> dict:
                 todo[0], {"q": todo[0], "err": "CHILD_EXIT"}
             )
             todo = todo[1:]
+    if probes:
+        from bench import _median
+
+        out["calib_sec"] = _median(probes)
+        out["calib_probes"] = probes
     return out
 
 

@@ -32,6 +32,8 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
+from bench import _calibrate, _median  # noqa: E402
+
 SMALL = os.environ.get("SCALE_SWEEP_SMALL", "/root/testdata/sf0.1")
 BIG = os.environ.get("SCALE_SWEEP_BIG", "/tmp/spark_graft_sf1")
 CHUNK = 16
@@ -41,16 +43,16 @@ CHUNK_TIMEOUT = {SMALL: 900, BIG: 1800}
 
 def _child(sf_dir: str, names: list[str]) -> None:
     import __spark_entry__ as entrymod
-    from bench import _calibrate
     from task_on_dataframes_spark.session import get_spark
     from task_on_dataframes_spark.sources.readers import read_events
 
-    # machine-speed probe (same fixed single-thread hash workload the
-    # BENCH artifacts record) measured BEFORE the JVM starts, so
-    # cross-round sf1 drift on untouched queries can be adjudicated by
-    # the SCALE.md §9c2 rule (r7 verdict: q7 1.5->6.2s between sweeps
-    # with unchanged plans was uninstrumentable without this)
-    print(json.dumps({"calib_sec": _calibrate()}), flush=True)
+    # machine-speed probes (same fixed single-thread hash workload the
+    # BENCH artifacts record) SPACED across the chunk — before the JVM
+    # starts, mid-list, and after the last query (r8 verdict item 4:
+    # one probe swings 0.3-0.55 within a run; the parent records the
+    # median plus the raw probes), so cross-round sf1 drift on
+    # untouched queries can be adjudicated by the SCALE.md §9c2 rule
+    print(json.dumps({"calib_probe": _calibrate()}), flush=True)
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     biggest = max(
@@ -71,7 +73,10 @@ def _child(sf_dir: str, names: list[str]) -> None:
     read_events(spark, f"{sf_dir}/events.parquet").count()
 
     qs = entrymod.queries()
+    mid_at = names[len(names) // 2] if names else None
     for name in names:
+        if name == mid_at:
+            print(json.dumps({"calib_probe": _calibrate()}), flush=True)
         try:
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -90,6 +95,7 @@ def _child(sf_dir: str, names: list[str]) -> None:
                 json.dumps({"q": name, "err": str(exc)[:200]}), flush=True
             )
         spark.catalog.clearCache()
+    print(json.dumps({"calib_probe": _calibrate()}), flush=True)
 
 
 def _sweep(sf_dir: str, names: list[str]) -> dict[str, dict]:
@@ -120,17 +126,26 @@ def _sweep(sf_dir: str, names: list[str]) -> dict[str, dict]:
                     timed_out = True
                 f.flush()
                 done = set()
-                chunk_calib = None
+                # two passes: collect every spaced probe first so each
+                # chunk's recs carry the MEDIAN (r8 verdict item 4 —
+                # a single probe has +-40% variance), then tag recs
+                recs = []
+                probes = []
                 for line in open(f.name):
                     try:
                         rec = json.loads(line)
                     except json.JSONDecodeError:
                         continue
-                    if "calib_sec" in rec:
-                        chunk_calib = rec["calib_sec"]
+                    if "calib_probe" in rec or "calib_sec" in rec:
+                        probes.append(
+                            rec.get("calib_probe", rec.get("calib_sec"))
+                        )
                         continue
-                    if chunk_calib is not None:
-                        rec["calib"] = chunk_calib
+                    recs.append(rec)
+                for rec in recs:
+                    if probes:
+                        rec["calib"] = _median(probes)
+                        rec["calib_probes"] = probes
                     results[rec["q"]] = rec
                     done.add(rec["q"])
             part = [n for n in part if n not in done]
