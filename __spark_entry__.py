@@ -709,79 +709,79 @@ def _bloom_decontaminate_oracle_sql(k: int = 3, m: int = 1 << 16) -> str:
 # registry
 # ---------------------------------------------------------------------------
 
-#: round-8 driver window (the driver checks the FIRST ~50 queries()
-#: entries): the two queries added this round (star-cap recall eval,
-#: multilingual curation pipeline), then every query whose code or
-#: oracle changed this round (gopher oracle NaN guard; the
-#: lsh_candidates star refactor + oracle parameterization feeding the
-#: minhash/containment/levenshtein/recall-eval family; the
-#: ann_recall_clustered plan trim; the byte-BPE piece cap), then the
-#: least-recently-driver-checked tail (the r2/r3 relational + event
-#: wave, unchecked since CORRECTNESS_r03 per the staleness table).
-_R8_WINDOW = [
+#: round-9 driver window (the driver checks the FIRST ~50 queries()
+#: entries): every query added or code/oracle-touched this round first
+#: (the new BPE token-accounting pipeline; the star recall eval's
+#: doc-level columns + rank-based min_req; the 48-bit simhash graph
+#: contract; the multi-pivot star + (20,5) char banding consumers; the
+#: recall-eval one-tree rewrite; text_winnow's _scan_parts formula),
+#: then the least-recently-driver-checked tail (the r3 text/window
+#: wave and the r4 ANN/quality/sampling/stream wave — stalest per the
+#: CORRECTNESS_r1..r8 union; overlap with the r8 window: 4/50).
+_R9_WINDOW = [
+    "pipeline_multilingual_tokens",
     "dedup_star_recall_eval",
-    "pipeline_multilingual_curation",
-    "quality_gopher_gate",
+    "dedup_components",
+    "dedup_keep_canonical",
     "dedup_minhash_char",
-    "dedup_minhash_lsh",
-    "text_containment",
-    "dedup_levenshtein",
-    "ann_recall_clustered",
-    "text_bpe_bytes",
+    "pipeline_multilingual_curation",
     "dedup_recall_eval",
-    "p8_unpivot",
-    "q18_large_orders",
-    "q22_idle_customers",
-    "a10_pivot",
-    "a3_distinct_agg",
-    "a4_rollup",
-    "a5_percentiles",
-    "a6_stats",
-    "a7_grouping_sets",
-    "a8_cube",
-    "ann_lsh_multi_topk",
-    "decontaminate",
-    "dedup_spans",
-    "dedup_winnow",
-    "emb_kmeans",
-    "ev_funnel",
-    "ev_gap_fill",
-    "ev_hourly_agg",
-    "ev_json_props",
-    "ev_retention",
-    "ev_sliding_agg",
-    "ev_zscore_anomalies",
-    "f_json_extract",
-    "j6_asof_join",
-    "j7_range_join",
-    "p7_pivot",
-    "planner_llm_chunks",
-    "q20_excess_volume",
-    "sample_stratified",
-    "sample_topk_per_stratum",
-    "sample_weighted",
-    "skew_distinct_2phase",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "sql_exists_subquery",
-    "stream_hourly_agg",
-    "text_bm25",
-    "text_chunk",
-    "text_classifier",
-    "text_ngram_counts",
+    "dedup_simhash",
+    "text_winnow",
+    "text_pack",
+    "text_pii_redact",
+    "text_repetition",
+    "text_tfidf",
+    "text_vocab_oov",
+    "w4_moving_avg",
+    "w5_lag_delta",
+    "w7_percent_rank",
+    "a11_histogram",
+    "ann_filtered_topk",
+    "ann_hybrid_rrf",
+    "ann_recall_eval",
+    "decontaminate_bloom",
+    "dedup_semantic",
+    "dq_rules",
+    "emb_dim_stats",
+    "emb_matryoshka_eval",
+    "ev_anomaly_mad",
+    "ev_cdc_apply",
+    "ev_markov",
+    "ev_sessionize",
+    "ev_windowed_topk",
+    "export_training_shards",
+    "f_variant_json",
+    "j10_interval_overlap_join",
+    "mix_domains",
+    "mix_token_budget",
+    "planner_pack",
+    "quality_domain_calibrate",
+    "quality_ks_drift",
+    "quality_linear_probe",
+    "quality_probe_apply",
+    "quality_probe_by_lang",
+    "s13_bucketed_join",
+    "s16_zorder_stats",
+    "s17_incremental_read",
+    "s18_bloom_join_prune",
+    "s19_dynamic_partition_overwrite",
+    "sample_interleave",
+    "sample_kcenter",
+    "sketch_cms",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    head = {k: q[k] for k in _R8_WINDOW if k in q}
+    head = {k: q[k] for k in _R9_WINDOW if k in q}
     return head | {k: v for k, v in q.items() if k not in head}
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r4 ordering below; the driver window is imposed by
-        # _R8_WINDOW in queries() ---
+        # _R9_WINDOW in queries() ---
         "j10_interval_overlap_join": _j10_interval_overlap_join,
         "quality_ks_drift": _quality_ks_drift,
         "quality_psi_drift": _quality_psi_drift,

@@ -51,6 +51,11 @@ DEFAULT_NAMES = [
     "dedup_minhash_lsh",
     "ann_ivfpq_topk",
     "stream_cms",
+    # r9 additions (r8 verdict item 6): the two bench poles that had
+    # 10x ratios but no third point, plus the new BPE-accounting pole
+    "pipeline_multilingual_curation",
+    "dedup_minhash_char",
+    "pipeline_multilingual_tokens",
 ]
 
 
