@@ -134,25 +134,37 @@ def jaccard_verify(
     """Exact Jaccard for candidate (a, b) pairs given distinct
     (did, tok) sets; keeps pairs with similarity >= threshold.
 
-    The intersection join carries ``xxhash64`` 64-bit shingle keys,
-    not the shingle strings: the (b, key)-keyed shuffle is the one
-    corpus-sized stage here, and 8-byte keys beat 15-40-byte n-gram
-    text ~3x on shuffle volume (collision odds n^2/2^65 per document
-    pair — immaterial; the oracle intersects raw strings and would
-    surface one as a mismatch)."""
-    sizes = sets.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sets.select(F.col("did").alias("a"), F.xxhash64("tok").alias("hk"))
-    sb = sets.select(F.col("did").alias("b"), F.xxhash64("tok").alias("hk"))
-    inter = (
-        candidates.join(sa, on="a").join(sb, on=["b", "hk"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    Physical shape (rewritten r9 after the sf3 three-point fit): each
+    document's shingle set is packed ONCE into an array of ``xxhash64``
+    64-bit keys (8-byte keys beat 15-40-byte n-gram text ~3x; collision
+    odds n^2/2^65 per document pair — immaterial; the oracle intersects
+    raw strings and would surface one as a mismatch), and the
+    intersection is ``array_intersect`` evaluated ROW-WISE on the pair.
+    The r8-era form exploded candidates x |shingles(a)| rows through a
+    (b, key) sort-merge join — a ~200M-row intermediate at sf3 that put
+    ``dedup_minhash_char`` at 266 s for 3.9M candidates; the array form
+    returns the identical 4,718 pairs in 8.9 s (measured, SCALE.md §24)
+    because the only shuffles are two doc-keyed hash joins whose rows
+    carry one packed set each. At 100 TB the pair row carries both
+    sampled gram arrays (~|text|/sample_mod x 8 B per side) — bounded
+    per row, and the candidate table is already star-capped, so the
+    stage is linear in candidates, not candidates x set size."""
+    packed = sets.groupBy("did").agg(
+        F.collect_set(F.xxhash64("tok")).alias("hks"),
+        F.count(F.lit(1)).alias("sz"),
     )
-    za = sizes.select(F.col("did").alias("a"), F.col("sz").alias("sza"))
-    zb = sizes.select(F.col("did").alias("b"), F.col("sz").alias("szb"))
+    pa = packed.select(
+        F.col("did").alias("a"), F.col("hks").alias("hka"),
+        F.col("sz").alias("sza"),
+    )
+    pb = packed.select(
+        F.col("did").alias("b"), F.col("hks").alias("hkb"),
+        F.col("sz").alias("szb"),
+    )
     return (
-        inter.join(za, on="a")
-        .join(zb, on="b")
+        candidates.join(pa, on="a")
+        .join(pb, on="b")
+        .withColumn("inter", F.size(F.array_intersect("hka", "hkb")))
         .withColumn(
             "jaccard",
             F.round(
