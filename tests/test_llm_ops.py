@@ -668,3 +668,47 @@ def test_tfidf_df_strategies_identical(spark, sf_dir):
         ).collect()
     )
     assert a == b and a
+
+
+def test_jaccard_verify_matches_brute_force_sets(spark):
+    """The r9 packed-array rewrite of jaccard_verify (array_intersect
+    on collect_set'd xxhash64 keys, replacing the explode/sort-merge
+    intersection join) must be value-identical to a Python brute
+    force on raw token sets: same pairs, same 6-decimal jaccard, pairs
+    whose docs are absent from the set table silently dropped (inner
+    join semantics, unchanged from the r8 form), and the threshold
+    boundary inclusive."""
+    from task_on_dataframes_spark.operators.dedup import jaccard_verify
+
+    raw = {
+        1: {"a", "b", "c", "d"},
+        2: {"a", "b", "c", "e"},      # J(1,2) = 3/5 = 0.6
+        3: {"a", "b", "x", "y"},      # J(1,3) = 2/6 ~ 0.333
+        4: {"p", "q"},                # J with 1..3 = 0
+        5: {"a", "b", "c", "d"},      # J(1,5) = 1.0
+    }
+    sets = spark.createDataFrame(
+        [(d, t) for d, toks in raw.items() for t in toks],
+        schema="did bigint, tok string",
+    )
+    # candidate list includes a zero-overlap pair and one doc (9)
+    # that has no set rows at all
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (1, 9)], schema="a bigint, b bigint"
+    )
+
+    def brute(a, b):
+        inter = len(raw[a] & raw[b])
+        return round(inter / (len(raw[a]) + len(raw[b]) - inter), 6)
+
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_verify(cands, sets, threshold=0.6).collect()
+    }
+    want = {
+        (a, b): brute(a, b)
+        for a, b in [(1, 2), (1, 3), (1, 4), (1, 5)]
+        if brute(a, b) >= 0.6
+    }
+    assert got == want          # {(1,2): 0.6 inclusive, (1,5): 1.0}
+    assert (1, 9) not in got    # absent doc -> pair dropped, no error
