@@ -147,8 +147,20 @@ def jaccard_verify(
     because the only shuffles are two doc-keyed hash joins whose rows
     carry one packed set each. At 100 TB the pair row carries both
     sampled gram arrays (~|text|/sample_mod x 8 B per side) — bounded
-    per row, and the candidate table is already star-capped, so the
-    stage is linear in candidates, not candidates x set size."""
+    per row FOR THE SAMPLED CHAR PATH, and the candidate table is
+    already star-capped, so the stage is linear in candidates, not
+    candidates x set size. Caveat (advisor, r9): word-gram consumers
+    (``ngram_jaccard_pairs``, ``winnow_pairs``) verify over FULL
+    unsampled gram sets, so a giant document in many candidate pairs
+    replicates its whole packed array once per pair through the join
+    shuffle — a row-size/skew risk the old exploded form spread across
+    rows. If a future fit flags those consumers, cap or sample their
+    gram sets at pack time.
+
+    Zero-intersection pairs are dropped explicitly (``inter > 0``):
+    the pre-r9 hash-key inner join could never emit them, and pinning
+    that keeps ``threshold == 0`` callers from suddenly seeing
+    jaccard=0.0 rows."""
     packed = sets.groupBy("did").agg(
         F.collect_set(F.xxhash64("tok")).alias("hks"),
         F.count(F.lit(1)).alias("sz"),
@@ -165,6 +177,7 @@ def jaccard_verify(
         candidates.join(pa, on="a")
         .join(pb, on="b")
         .withColumn("inter", F.size(F.array_intersect("hka", "hkb")))
+        .filter(F.col("inter") > 0)
         .withColumn(
             "jaccard",
             F.round(

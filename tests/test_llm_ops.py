@@ -698,8 +698,15 @@ def test_jaccard_verify_matches_brute_force_sets(spark):
     )
 
     def brute(a, b):
+        # HALF_UP to match Spark's F.round; Python round() is
+        # banker's and would diverge on an exact .xxxxxx5 tie
+        # (advisor, r9 — today's fixtures 0.6/0.333/1.0 never tie,
+        # but don't let a future fixture trip it).
+        from decimal import Decimal, ROUND_HALF_UP
+
         inter = len(raw[a] & raw[b])
-        return round(inter / (len(raw[a]) + len(raw[b]) - inter), 6)
+        j = Decimal(inter) / Decimal(len(raw[a]) + len(raw[b]) - inter)
+        return float(j.quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
     got = {
         (r["a"], r["b"]): r["jaccard"]

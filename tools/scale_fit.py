@@ -213,16 +213,24 @@ def _adjudicate(rnd: int) -> int:
     chunk and 6.4 s isolated (fresh session, min-of-3), same commit.
     For each flagged query this re-runs JUST that query in a fresh
     child at the big scale, records the isolated second opinion next
-    to the chunk number, recomputes excess with the MINIMUM of the two
-    draws (same plan either way — the smaller is the less-contaminated
-    sample of it), and clears the flag only if the adjudicated excess
-    fits. Queries that flagged with an error are left flagged."""
+    to the chunk number, and recomputes excess from the ISOLATED draw
+    alone (advisor, r9: taking min(chunk, isolated) was one-sided
+    lenient — a contaminated chunk draw could only ever clear flags,
+    never confirm them, and one lucky isolated draw unflagged a
+    genuinely super-linear query permanently; requiring the isolated
+    draw itself to fit keeps numerator and denominator in one
+    measurement regime). Clears the flag only if the adjudicated
+    excess fits. Queries that flagged with an error are left
+    flagged."""
     path = os.path.join(HERE, f"SCALE_FIT_r{rnd:02d}.json")
     with open(path) as f:
         art = json.load(f)
     sfs = [sf for sf, _ in SCALES]
     _, big_dir = SCALES[-1]
-    ref = min(c for c in art["calib"].values() if c)
+    calibs = [c for c in art["calib"].values() if c]
+    # All-null calib (calibration query failed at every scale): fall
+    # back to unnormalized seconds, exactly as main() does.
+    ref = min(calibs) if calibs else None
     still = []
     for n in list(art.get("flagged", [])):
         rec = art["queries"].get(n, {})
@@ -237,11 +245,12 @@ def _adjudicate(rnd: int) -> int:
         if sec is None:
             still.append(n)
             continue
-        norm = round(sec * ref / calib, 3) if calib else sec
+        norm = round(sec * ref / calib, 3) if (calib and ref) else sec
         rec["sec_sf3_isolated"] = sec
         rec["norm_sf3_isolated"] = norm
         rec["calib_isolated"] = calib
-        t3 = min(rec.get(f"norm_sf{sfs[2]}", norm), norm)
+        # Two-sided: the isolated draw must fit on its own merits.
+        t3 = norm
         pred3 = t1 + 2.0 * (t1 - t01) / 0.9
         adj = round(t3 / pred3, 2) if pred3 > 0 else None
         rec["excess_sf3_adjudicated"] = adj
@@ -254,10 +263,12 @@ def _adjudicate(rnd: int) -> int:
             file=sys.stderr,
         )
     art["flagged"] = still
-    art["method"] += (
+    note = (
         "; flagged rows re-measured isolated (fresh child, big scale) "
-        "and excess adjudicated on the min of chunk/isolated draws"
+        "and excess adjudicated on the isolated draw alone"
     )
+    if note not in art["method"]:
+        art["method"] += note
     with open(path, "w") as f:
         json.dump(art, f, indent=1)
     print(f"rewrote {path}: flagged={still}")
