@@ -85,6 +85,8 @@ from task_on_dataframes_spark.registry.dedup import (
     _dedup_cross_corpus,
     _dedup_daily_first,
     _dedup_incremental_lsh,
+    _dedup_index_build,
+    _dedup_index_probe,
     _dedup_embedding_cosine,
     _dedup_embedding_lsh,
     _dedup_exact,
@@ -795,6 +797,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dim_stats": _emb_dim_stats,
         # --- newest this round (no driver row yet, waves 5-11)
         "dedup_incremental_lsh": _dedup_incremental_lsh,
+        "dedup_index_build": _dedup_index_build,
+        "dedup_index_probe": _dedup_index_probe,
         "quality_linear_probe": _quality_linear_probe,
         "quality_probe_by_lang": _quality_probe_by_lang,
         "sketch_cms": _sketch_cms,
@@ -1299,6 +1303,49 @@ v AS (SELECT i.a, round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
 SELECT a AS doc_id, CAST(count(*) AS INT) AS n_matches,
        max(jaccard) AS max_jaccard
 FROM v GROUP BY a
+"""
+
+
+def _lsh_index_build_oracle(num_perm: int = 16, bands: int = 4) -> str:
+    """Replay of the persisted LSH index content for the corpus slice
+    (did % 7 = 0): the portable md5 band keys from the shared
+    ``_lsh_cand_ctes`` bands CTE plus each doc's distinct-shingle-set
+    size. The stored xxhash64 ``hks`` arrays are engine-internal and
+    not exposed by the build query; their semantics are pinned by
+    ``dedup_index_probe``'s Jaccard outputs."""
+    return f"""{_lsh_cand_ctes(num_perm, bands)},
+szs AS (SELECT did, count(*) AS sz FROM g GROUP BY did)
+SELECT b.did AS doc_id, b.band AS band, b.key AS key, s.sz AS sz
+FROM bands b JOIN szs s ON b.did = s.did
+WHERE b.did % 7 = 0
+"""
+
+
+def _lsh_index_probe_oracle(
+    num_perm: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """Replay of two ingest waves (did % 7 = 1, then = 2) probed
+    against the corpus index (did % 7 = 0) — the asymmetric form of
+    ``_incr_lsh_oracle`` with the batch side split by wave. The wave
+    tag rides the candidate through verification so the GROUP BY
+    reproduces the per-wave output of the Spark probe loop."""
+    return f"""{_lsh_cand_ctes(num_perm, bands)},
+icand AS (SELECT DISTINCT CAST(x.did % 7 AS INT) AS wave,
+                 x.did AS a, y.did AS b
+          FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+          WHERE x.did % 7 IN (1, 2) AND y.did % 7 = 0),
+sz AS (SELECT did, count(*) AS sz FROM g GROUP BY did),
+inter AS (SELECT c.wave, c.a, c.b, count(*) AS inter FROM icand c
+          JOIN g ga ON ga.did = c.a
+          JOIN g gb ON gb.did = c.b AND gb.tok = ga.tok
+          GROUP BY c.wave, c.a, c.b),
+v AS (SELECT i.wave, i.a,
+             round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+      FROM inter i JOIN sz sa ON i.a = sa.did JOIN sz sb ON i.b = sb.did
+      WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold})
+SELECT wave, a AS doc_id, CAST(count(*) AS INT) AS n_matches,
+       max(jaccard) AS max_jaccard
+FROM v GROUP BY wave, a
 """
 
 
@@ -2964,6 +3011,8 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
             _CHAR_LSH_NUM_PERM, _CHAR_LSH_BANDS, 0.5, _lsh_g_char(), star=True
         ),
         "dedup_incremental_lsh": _incr_lsh_oracle(16, 4, 0.5),
+        "dedup_index_build": _lsh_index_build_oracle(16, 4),
+        "dedup_index_probe": _lsh_index_probe_oracle(16, 4, 0.5),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(3, 0.5, 50),
         "dedup_simhash": _simhash_oracle(32, 3),
         "dedup_components": (

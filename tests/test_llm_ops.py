@@ -59,6 +59,39 @@ def test_incremental_lsh_matches_batch_against_corpus(spark):
     # ids 2 (novel batch) and 100/101 (corpus side) stay out
 
 
+def test_persisted_lsh_index_probe_matches_one_shot(spark, sf_dir):
+    """build_lsh_index + probe_lsh_index (the write-once / probe-only
+    r10 path) must return EXACTLY what the one-shot
+    incremental_lsh_matches computes on the same split, and the
+    second probe must reuse the persisted layout (idempotent build —
+    same table names back, no rewrite)."""
+    from task_on_dataframes_spark.operators.dedup import (
+        build_lsh_index,
+        incremental_lsh_matches,
+        probe_lsh_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 7 == 0)
+    batch = docs.filter(F.col("doc_id") % 7 != 0)
+    keys_t, sets_t = build_lsh_index(
+        spark, corpus, "doc_id", "text", name_tag="t_roundtrip"
+    )
+    # idempotent: a second build is a catalog lookup, not a rewrite
+    assert build_lsh_index(
+        spark, corpus, "doc_id", "text", name_tag="t_roundtrip"
+    ) == (keys_t, sets_t)
+    probed = probe_lsh_index(
+        spark, batch, "doc_id", "text", keys_t, sets_t, threshold=0.5
+    )
+    oneshot = incremental_lsh_matches(
+        batch, corpus, "doc_id", "text", threshold=0.5
+    )
+    got = {tuple(r) for r in probed.collect()}
+    want = {tuple(r) for r in oneshot.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_exact_dedup_counts_sum_to_corpus(spark, sf_dir):
     from task_on_dataframes_spark.operators.dedup import exact_dedup
 

@@ -356,3 +356,60 @@ def test_parallelism_floor_fires_on_single_row_group(spark, sf_dir):
 
     plan = _physical(_docs(spark, sf_dir))
     assert plan.count("REPARTITION_BY_NUM") == 1, plan
+
+
+def _scan_ancestry(plan: str, needle: str):
+    """For each plan line containing ``needle``, the list of ancestor
+    lines from the node upward to the root, recovered from the tree
+    renderer's 3-char indent markers (``+-`` / ``:-``)."""
+    marker = re.compile(r"[+:]-")
+
+    def depth(ln):
+        m = marker.search(ln)
+        return (m.start() // 3 + 1) if m else 0
+
+    lines = plan.split("\n")
+    out = []
+    for i, ln in enumerate(lines):
+        if needle in ln:
+            d, path = depth(ln), []
+            for j in range(i - 1, -1, -1):
+                dj = depth(lines[j])
+                if dj < d:
+                    path.append(lines[j])
+                    d = dj
+                    if d == 0:
+                        break
+            out.append(path)
+    return out
+
+
+@pytest.mark.parametrize(
+    "qname, n_scans",
+    [("dedup_incremental_lsh", 2), ("dedup_index_probe", 4)],
+)
+def test_lsh_index_probe_never_shuffles_the_corpus(
+    spark, sf_dir, queries, qname, n_scans
+):
+    """The round-10 incremental-dedup contract: every corpus-side
+    input to the probe is a pre-bucketed index scan joined IN PLACE —
+    between each ``tada_lshidx`` FileScan and its nearest Join
+    ancestor there is no Exchange (shuffle or broadcast of the corpus)
+    and no Aggregate (re-shingling/re-signing/re-packing of the
+    corpus). A local per-partition Sort is allowed — SMJ sorts the
+    8-file buckets in place. All shuffles in the plan are batch- or
+    candidate-sized by construction."""
+    plan = _physical(queries[qname](spark, sf_dir))
+    paths = _scan_ancestry(plan, "tada_lshidx")
+    scans = [p for p in paths if p]  # one per FileScan line
+    assert len(scans) == n_scans, plan
+    for path in scans:
+        for ln in path:
+            if "Join" in ln:
+                break
+            assert "Exchange" not in ln, plan
+            assert "Aggregate" not in ln, plan
+        else:
+            raise AssertionError(f"index scan never joined:\n{plan}")
+    # the index layout must actually engage Spark's bucketed read
+    assert plan.count("Bucketed: true") >= n_scans, plan
