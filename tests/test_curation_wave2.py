@@ -562,3 +562,35 @@ def test_bpe_bytes_batched_fallback_matches_local(spark):
     assert stats_b["path"] == "batched"
     assert local == batched
     assert len(local) == 24
+
+
+def test_merge_table_artifact_trains_once_and_roundtrips(spark):
+    """The published-tokenizer contract (r10): first call per tag
+    trains and writes parquet; later calls load the artifact without
+    invoking the trainer; the loaded table is value-identical to the
+    trained one."""
+    from task_on_dataframes_spark.operators.bpe import (
+        bpe_train,
+        merge_table_artifact,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        ["doc_id", "text"],
+    )
+    calls = []
+
+    def train():
+        calls.append(1)
+        return bpe_train(docs, "text", merges=4)
+
+    first = merge_table_artifact(spark, "t_artifact_once", train)
+    direct = bpe_train(docs, "text", merges=4)
+    assert {tuple(r) for r in first.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    again = merge_table_artifact(spark, "t_artifact_once", train)
+    assert calls == [1], "second call must consume the artifact"
+    assert {tuple(r) for r in again.collect()} == {
+        tuple(r) for r in first.collect()
+    }
