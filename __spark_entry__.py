@@ -1161,29 +1161,29 @@ WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
 def _star_recall_oracle() -> str:
     """Oracle for ``dedup_star_recall_eval``: replays both strata
     (template-saturated and natural) of the constant eval slice, the
-    exact sampled-universe Jaccard ground truth, the uncapped banded
-    LSH ceiling, and the star-capped pair sets for every cap — all
-    parameterized from the SAME constants the Spark query uses
-    (registry.dedup.STAR_RECALL_* / operators.dedup.CHAR_SAMPLE_MOD),
-    so fixture and oracle cannot drift."""
+    exact sampled-universe Jaccard ground truth, and — per banding in
+    ``STAR_RECALL_BANDINGS`` (the r9 verdict item-6 dial) — the
+    uncapped banded LSH ceiling and the star-capped pair sets for
+    every cap, all parameterized from the SAME constants the Spark
+    query uses (registry.dedup.STAR_RECALL_* /
+    operators.dedup.CHAR_SAMPLE_MOD), so fixture and oracle cannot
+    drift. The exact ground truth is banding-independent and shared
+    by every banding's rows, mirroring the Spark plan."""
     from task_on_dataframes_spark.operators.dedup import CHAR_SAMPLE_MOD
     from task_on_dataframes_spark.operators.hashing import (
         hash32_sql,
         perm_hash_sql,
     )
     from task_on_dataframes_spark.registry.dedup import (
+        STAR_RECALL_BANDINGS,
         STAR_RECALL_BOILER,
         STAR_RECALL_CAPS,
         STAR_RECALL_SLICE,
         STAR_RECALL_TAIL,
     )
 
-    num_perm, bands, n = _CHAR_LSH_NUM_PERM, _CHAR_LSH_BANDS, 5
-    rows = num_perm // bands
+    n = 5
     tb, ts = STAR_RECALL_TAIL
-    sig_cols = ", ".join(
-        f"min({perm_hash_sql('h', i)}) AS mh{i}" for i in range(num_perm)
-    )
 
     def verify(cand: str, g: str, sz: str) -> str:
         return (
@@ -1206,17 +1206,7 @@ def _star_recall_oracle() -> str:
         ),
         ("n", "natural", "text"),
     ):
-        band_selects = " UNION ALL ".join(
-            "SELECT did, {b} AS band, md5(concat_ws('_', {cols})) AS key "
-            "FROM {p}sig".format(
-                b=b,
-                p=p,
-                cols=", ".join(
-                    f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
-                ),
-            )
-            for b in range(bands)
-        )
+        # banding-independent: shingles, sizes, exact ground truth
         parts.append(
             f"{p}src AS (SELECT doc_id AS did, {text_expr} AS text "
             f"FROM documents WHERE doc_id % 3 = 0 "
@@ -1229,52 +1219,77 @@ def _star_recall_oracle() -> str:
             f"WHERE len(nm) >= {n}) "
             f"WHERE {hash32_sql('tok')} % {CHAR_SAMPLE_MOD} = 0), "
             f"{p}h AS (SELECT did, tok, {hash32_sql('tok')} AS h FROM {p}g), "
-            f"{p}sig AS (SELECT did, {sig_cols} FROM {p}h GROUP BY did), "
-            f"{p}bands AS MATERIALIZED ({band_selects}), "
-            f"{p}rb AS MATERIALIZED (SELECT did, band, key, "
-            f"row_number() OVER (PARTITION BY band, key ORDER BY did) "
-            f"AS rk FROM {p}bands), "
             f"{p}sz AS (SELECT did, count(*) AS sz FROM {p}g GROUP BY did), "
             f"{p}ecand AS (SELECT DISTINCT x.did AS a, y.did AS b "
             f"FROM {p}g x JOIN {p}g y ON x.tok = y.tok WHERE x.did < y.did), "
-            f"{p}ex AS MATERIALIZED ({verify(p + 'ecand', p + 'g', p + 'sz')}), "
-            f"{p}ucand AS (SELECT DISTINCT x.did AS a, y.did AS b "
-            f"FROM {p}bands x JOIN {p}bands y "
-            f"ON x.band = y.band AND x.key = y.key WHERE x.did < y.did), "
-            f"{p}uv AS MATERIALIZED ({verify(p + 'ucand', p + 'g', p + 'sz')}), "
-            f"{p}cnt AS (SELECT (SELECT count(*) FROM {p}ex) AS ne, "
-            f"(SELECT count(*) FROM {p}uv) AS nl, "
-            f"(SELECT count(DISTINCT b) FROM {p}ex) AS nde, "
-            f"(SELECT count(DISTINCT b) FROM {p}uv) AS ndl)"
+            f"{p}ex AS MATERIALIZED ({verify(p + 'ecand', p + 'g', p + 'sz')})"
         )
-        for cap in STAR_RECALL_CAPS:
+        for num_perm, bands in STAR_RECALL_BANDINGS:
+            q = f"{p}b{num_perm}"
+            rows = num_perm // bands
+            sig_cols = ", ".join(
+                f"min({perm_hash_sql('h', i)}) AS mh{i}"
+                for i in range(num_perm)
+            )
+            band_selects = " UNION ALL ".join(
+                "SELECT did, {b} AS band, md5(concat_ws('_', {cols})) "
+                "AS key FROM {q}sig".format(
+                    b=b,
+                    q=q,
+                    cols=", ".join(
+                        f"CAST(mh{b * rows + r} AS VARCHAR)"
+                        for r in range(rows)
+                    ),
+                )
+                for b in range(bands)
+            )
             parts.append(
-                # multi-pivot star: pair admitted iff rank(a) <= cap
-                # in some shared bucket (star_candidates docstring)
-                f"{p}cand{cap} AS (SELECT DISTINCT x.did AS a, y.did AS b "
-                f"FROM {p}rb x JOIN {p}bands y "
-                f"ON x.band = y.band AND x.key = y.key "
-                f"WHERE x.rk <= {cap} AND x.did < y.did), "
-                f"{p}vc{cap} AS (SELECT count(*) AS ns, "
-                f"count(DISTINCT b) AS nds FROM "
-                f"({verify(p + 'cand' + str(cap), p + 'g', p + 'sz')}))"
+                f"{q}sig AS (SELECT did, {sig_cols} FROM {p}h "
+                f"GROUP BY did), "
+                f"{q}bands AS MATERIALIZED ({band_selects}), "
+                f"{q}rb AS MATERIALIZED (SELECT did, band, key, "
+                f"row_number() OVER (PARTITION BY band, key ORDER BY did) "
+                f"AS rk FROM {q}bands), "
+                f"{q}ucand AS (SELECT DISTINCT x.did AS a, y.did AS b "
+                f"FROM {q}bands x JOIN {q}bands y "
+                f"ON x.band = y.band AND x.key = y.key WHERE x.did < y.did), "
+                f"{q}uv AS MATERIALIZED "
+                f"({verify(q + 'ucand', p + 'g', p + 'sz')}), "
+                f"{q}cnt AS (SELECT (SELECT count(*) FROM {p}ex) AS ne, "
+                f"(SELECT count(*) FROM {q}uv) AS nl, "
+                f"(SELECT count(DISTINCT b) FROM {p}ex) AS nde, "
+                f"(SELECT count(DISTINCT b) FROM {q}uv) AS ndl)"
             )
-            selects.append(
-                f"SELECT '{stratum}' AS stratum, "
-                f"CAST({cap} AS INT) AS star_bucket_cap, "
-                "ne AS n_exact, nl AS n_lsh, ns AS n_star, "
-                "CASE WHEN ne > 0 THEN round(ns / CAST(ne AS DOUBLE), 6) "
-                "END AS recall_vs_exact, "
-                "CASE WHEN nl > 0 THEN round(ns / CAST(nl AS DOUBLE), 6) "
-                "END AS recall_vs_lsh, "
-                "nde AS n_docs_exact, ndl AS n_docs_lsh, "
-                "nds AS n_docs_star, "
-                "CASE WHEN nde > 0 THEN round(nds / CAST(nde AS DOUBLE), 6) "
-                "END AS doc_recall_vs_exact, "
-                "CASE WHEN ndl > 0 THEN round(nds / CAST(ndl AS DOUBLE), 6) "
-                "END AS doc_recall_vs_lsh "
-                f"FROM {p}cnt, {p}vc{cap}"
-            )
+            for cap in STAR_RECALL_CAPS:
+                parts.append(
+                    # multi-pivot star: pair admitted iff rank(a) <= cap
+                    # in some shared bucket (star_candidates docstring)
+                    f"{q}cand{cap} AS (SELECT DISTINCT x.did AS a, "
+                    f"y.did AS b FROM {q}rb x JOIN {q}bands y "
+                    f"ON x.band = y.band AND x.key = y.key "
+                    f"WHERE x.rk <= {cap} AND x.did < y.did), "
+                    f"{q}vc{cap} AS (SELECT count(*) AS ns, "
+                    f"count(DISTINCT b) AS nds FROM "
+                    f"({verify(q + 'cand' + str(cap), p + 'g', p + 'sz')}))"
+                )
+                selects.append(
+                    f"SELECT '{stratum}' AS stratum, "
+                    f"CAST({num_perm} AS INT) AS num_perm, "
+                    f"CAST({bands} AS INT) AS bands, "
+                    f"CAST({cap} AS INT) AS star_bucket_cap, "
+                    "ne AS n_exact, nl AS n_lsh, ns AS n_star, "
+                    "CASE WHEN ne > 0 THEN round(ns / CAST(ne AS DOUBLE), 6) "
+                    "END AS recall_vs_exact, "
+                    "CASE WHEN nl > 0 THEN round(ns / CAST(nl AS DOUBLE), 6) "
+                    "END AS recall_vs_lsh, "
+                    "nde AS n_docs_exact, ndl AS n_docs_lsh, "
+                    "nds AS n_docs_star, "
+                    "CASE WHEN nde > 0 THEN round(nds / CAST(nde AS DOUBLE), 6) "
+                    "END AS doc_recall_vs_exact, "
+                    "CASE WHEN ndl > 0 THEN round(nds / CAST(ndl AS DOUBLE), 6) "
+                    "END AS doc_recall_vs_lsh "
+                    f"FROM {q}cnt, {q}vc{cap}"
+                )
     return (
         "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)
     )

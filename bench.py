@@ -165,10 +165,29 @@ def main() -> None:
     anchor = _latest_anchor()
     if anchor:
         prev = anchor.get("queries", {})
+        # per-query ratios are CALIB-NORMALIZED before thresholding
+        # (r9 verdict item 5: a host measured 1.52x slower manufactured
+        # 12 phantom 1.3-1.9x "regressions" while the round's real
+        # story was an improvement — the host drift factor was already
+        # recorded in both artifacts, the listing just didn't use it).
+        # host = this round's probe median over the anchor's; a query
+        # is a regression only if it slowed MORE than the host did.
+        anchor_calib = anchor.get("calib_sec")
+        host = (
+            _median(calib_probes) / anchor_calib
+            if anchor_calib
+            else 1.0
+        )
         regressions = {
-            n: {"prev": prev[n], "now": t, "ratio": round(t / prev[n], 2)}
+            n: {
+                "prev": prev[n],
+                "now": t,
+                "ratio_raw": round(t / prev[n], 2),
+                "ratio_calib": round(t / prev[n] / host, 2),
+                "host_factor": round(host, 3),
+            }
             for n, t in timings.items()
-            if n in prev and prev[n] > 0 and t > 1.3 * prev[n]
+            if n in prev and prev[n] > 0 and t / prev[n] / host > 1.3
         }
         # totals compare over the COMMON query set only — the headline
         # list grows across rounds, and summing new queries into the

@@ -481,6 +481,15 @@ def _dedup_substring_rewrite(spark, sf_dir):
 #: renderer in ``__spark_entry__`` (ADVICE r7: parameterize oracle SQL
 #: from the same constants the operator receives, so they cannot drift)
 STAR_RECALL_CAPS = (8, 16, 64)
+#: bandings measured by the recall eval (r9 verdict item 6): the
+#: banding S-curve is the CAP-INDEPENDENT recall residual (3/166
+#: template docs at (20, 5)), so the recall/cost trade across
+#: (num_perm, bands) is a contract-visible dial, not a doc footnote.
+#: (16, 4) is the word-path contract, (20, 5) the measured char-path
+#: contract (CHAR_LSH_NUM_PERM/BANDS), (24, 6) the next rung up —
+#: all at rows-per-band 4, so only the number of detection chances
+#: moves, exactly the S-curve axis being measured.
+STAR_RECALL_BANDINGS = ((16, 4), (20, 5), (24, 6))
 STAR_RECALL_BOILER = (
     "this document is provided under the standard terms of service "
     "please review the acceptable use policy before continuing "
@@ -573,14 +582,11 @@ def _dedup_star_recall_eval(spark, sf_dir):
     outs = []
     for stratum, sdocs in strata:
         toks = _char_ngrams(sdocs, "doc_id", "text", 5).persist()
-        keys = lsh_band_keys(
-            minhash_signatures(toks, CHAR_LSH_NUM_PERM),
-            CHAR_LSH_NUM_PERM,
-            CHAR_LSH_BANDS,
-        ).persist()
         # exact ground truth: every slice pair sharing >= 1 sampled
         # gram (J >= 0.5 implies a shared gram), verified exactly —
-        # the ONE verification; every other set derives from it
+        # the ONE verification; every other set derives from it.
+        # Banding-independent, so it is computed once per stratum and
+        # shared by every (num_perm, bands) row.
         pa = toks.select(F.col("did").alias("a"), "tok")
         pb = toks.select(F.col("did").alias("b"), "tok")
         shared = (
@@ -594,104 +600,130 @@ def _dedup_star_recall_eval(spark, sf_dir):
             .select("a", "b")
             .localCheckpoint(eager=False)
         )
-        # bucket co-membership of each exact pair: verified uncapped
-        # LSH pairs = exact pairs sharing >= 1 bucket (a signature
-        # collision with J < 0.5 never verifies), and the pair's
-        # min_req = min over shared buckets of rank(a) — under the
-        # multi-pivot star a pair is admitted at cap iff a is among
-        # the cap smallest ids of a shared bucket, so rank(a) IS the
-        # smallest admitting cap (star_candidates docstring)
-        wrk = Window.partitionBy("band", "key").orderBy("did")
-        kk = keys.withColumn("rk", F.row_number().over(wrk))
-        ka = kk.select(F.col("did").alias("a"), "band", "key", "rk")
-        kb = keys.select(F.col("did").alias("b"), "band", "key")
-        lsh = (
-            exact.join(ka, on="a")
-            .join(kb, on=["b", "band", "key"])
-            .groupBy("a", "b")
-            .agg(F.min("rk").alias("min_req"))
-        )
-        counts = lsh.agg(
-            F.count(F.lit(1)).alias("n_lsh"),
-            # coalesce: SUM over an empty relation is NULL, but the
-            # oracle's count(*) is 0 — a sparse natural stratum with
-            # no banded pair must emit 0 like the oracle (ADVICE r8)
-            *[
-                F.coalesce(
-                    F.sum((F.col("min_req") <= cap).cast("long")), F.lit(0)
-                ).alias(f"ns{cap}")
-                for cap in STAR_RECALL_CAPS
-            ],
-        )
-        # DOC-level marking recall (r8 verdict item: the metric the
-        # keep-one pipelines actually consume — a doc is marked
-        # near-dup when some verified smaller-id pair (a, b=doc)
-        # survives the cap). Per doc b, the smallest admitting cap is
-        # min over its pairs of min_req; conditional counts give every
-        # per-cap marked-doc total from one grouped frame.
-        docm = lsh.groupBy("b").agg(F.min("min_req").alias("doc_req"))
-        doc_counts = docm.agg(
-            F.count(F.lit(1)).alias("n_docs_lsh"),
-            *[
-                F.coalesce(
-                    F.sum((F.col("doc_req") <= cap).cast("long")), F.lit(0)
-                ).alias(f"nd{cap}")
-                for cap in STAR_RECALL_CAPS
-            ],
-        )
-        n_ex = exact.agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.count_distinct(F.col("b")).alias("n_docs_exact"),
-        )
-        both = n_ex.join(counts).join(doc_counts)
-        # one row per cap via explode of the tier structs — a per-cap
-        # select would embed the whole tree once per output row (the
-        # 180-exchange intermediate shape of this plan)
-        tiers = F.array(
-            *[
-                F.struct(
-                    F.lit(cap).alias("cap"),
-                    F.col(f"ns{cap}").alias("ns"),
-                    F.col(f"nd{cap}").alias("nd"),
+        for np_, nb in STAR_RECALL_BANDINGS:
+            outs.append(
+                _star_recall_banding_rows(
+                    stratum, toks, exact, np_, nb
                 )
-                for cap in STAR_RECALL_CAPS
-            ]
-        )
-        outs.append(
-            both.select(
-                "n_exact",
-                "n_lsh",
-                "n_docs_exact",
-                "n_docs_lsh",
-                F.explode(tiers).alias("t"),
-            ).select(
-                F.lit(stratum).alias("stratum"),
-                F.col("t.cap").alias("star_bucket_cap"),
-                "n_exact",
-                "n_lsh",
-                F.col("t.ns").alias("n_star"),
-                F.when(
-                    F.col("n_exact") > 0,
-                    F.round(F.col("t.ns") / F.col("n_exact"), 6),
-                ).alias("recall_vs_exact"),
-                F.when(
-                    F.col("n_lsh") > 0,
-                    F.round(F.col("t.ns") / F.col("n_lsh"), 6),
-                ).alias("recall_vs_lsh"),
-                "n_docs_exact",
-                "n_docs_lsh",
-                F.col("t.nd").alias("n_docs_star"),
-                F.when(
-                    F.col("n_docs_exact") > 0,
-                    F.round(F.col("t.nd") / F.col("n_docs_exact"), 6),
-                ).alias("doc_recall_vs_exact"),
-                F.when(
-                    F.col("n_docs_lsh") > 0,
-                    F.round(F.col("t.nd") / F.col("n_docs_lsh"), 6),
-                ).alias("doc_recall_vs_lsh"),
             )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _star_recall_banding_rows(stratum, toks, exact, num_perm, bands):
+    """One banding's rows of the star recall eval: band ``toks`` at
+    (num_perm, bands), annotate each exact pair with its smallest
+    admitting star cap, and emit a (stratum, num_perm, bands, cap) row
+    per cap in :data:`STAR_RECALL_CAPS` from one aggregation tree."""
+    from task_on_dataframes_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    keys = lsh_band_keys(
+        minhash_signatures(toks, num_perm), num_perm, bands
+    ).persist()
+    # bucket co-membership of each exact pair: verified uncapped
+    # LSH pairs = exact pairs sharing >= 1 bucket (a signature
+    # collision with J < 0.5 never verifies), and the pair's
+    # min_req = min over shared buckets of rank(a) — under the
+    # multi-pivot star a pair is admitted at cap iff a is among
+    # the cap smallest ids of a shared bucket, so rank(a) IS the
+    # smallest admitting cap (star_candidates docstring)
+    wrk = Window.partitionBy("band", "key").orderBy("did")
+    kk = keys.withColumn("rk", F.row_number().over(wrk))
+    ka = kk.select(F.col("did").alias("a"), "band", "key", "rk")
+    kb = keys.select(F.col("did").alias("b"), "band", "key")
+    lsh = (
+        exact.join(ka, on="a")
+        .join(kb, on=["b", "band", "key"])
+        .groupBy("a", "b")
+        .agg(F.min("rk").alias("min_req"))
+    )
+    counts = lsh.agg(
+        F.count(F.lit(1)).alias("n_lsh"),
+        # coalesce: SUM over an empty relation is NULL, but the
+        # oracle's count(*) is 0 — a sparse natural stratum with
+        # no banded pair must emit 0 like the oracle (ADVICE r8)
+        *[
+            F.coalesce(
+                F.sum((F.col("min_req") <= cap).cast("long")), F.lit(0)
+            ).alias(f"ns{cap}")
+            for cap in STAR_RECALL_CAPS
+        ],
+    )
+    # DOC-level marking recall (r8 verdict item: the metric the
+    # keep-one pipelines actually consume — a doc is marked
+    # near-dup when some verified smaller-id pair (a, b=doc)
+    # survives the cap). Per doc b, the smallest admitting cap is
+    # min over its pairs of min_req; conditional counts give every
+    # per-cap marked-doc total from one grouped frame.
+    docm = lsh.groupBy("b").agg(F.min("min_req").alias("doc_req"))
+    doc_counts = docm.agg(
+        F.count(F.lit(1)).alias("n_docs_lsh"),
+        *[
+            F.coalesce(
+                F.sum((F.col("doc_req") <= cap).cast("long")), F.lit(0)
+            ).alias(f"nd{cap}")
+            for cap in STAR_RECALL_CAPS
+        ],
+    )
+    n_ex = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_distinct(F.col("b")).alias("n_docs_exact"),
+    )
+    both = n_ex.join(counts).join(doc_counts)
+    # one row per cap via explode of the tier structs — a per-cap
+    # select would embed the whole tree once per output row (the
+    # 180-exchange intermediate shape of this plan)
+    tiers = F.array(
+        *[
+            F.struct(
+                F.lit(cap).alias("cap"),
+                F.col(f"ns{cap}").alias("ns"),
+                F.col(f"nd{cap}").alias("nd"),
+            )
+            for cap in STAR_RECALL_CAPS
+        ]
+    )
+    return (
+        both.select(
+            "n_exact",
+            "n_lsh",
+            "n_docs_exact",
+            "n_docs_lsh",
+            F.explode(tiers).alias("t"),
+        ).select(
+            F.lit(stratum).alias("stratum"),
+            F.lit(num_perm).alias("num_perm"),
+            F.lit(bands).alias("bands"),
+            F.col("t.cap").alias("star_bucket_cap"),
+            "n_exact",
+            "n_lsh",
+            F.col("t.ns").alias("n_star"),
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.col("t.ns") / F.col("n_exact"), 6),
+            ).alias("recall_vs_exact"),
+            F.when(
+                F.col("n_lsh") > 0,
+                F.round(F.col("t.ns") / F.col("n_lsh"), 6),
+            ).alias("recall_vs_lsh"),
+            "n_docs_exact",
+            "n_docs_lsh",
+            F.col("t.nd").alias("n_docs_star"),
+            F.when(
+                F.col("n_docs_exact") > 0,
+                F.round(F.col("t.nd") / F.col("n_docs_exact"), 6),
+            ).alias("doc_recall_vs_exact"),
+            F.when(
+                F.col("n_docs_lsh") > 0,
+                F.round(F.col("t.nd") / F.col("n_docs_lsh"), 6),
+            ).alias("doc_recall_vs_lsh"),
         )
-    return outs[0].unionAll(outs[1])
+    )
 
 
 def _dedup_recall_eval(spark, sf_dir):
