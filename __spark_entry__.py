@@ -711,79 +711,78 @@ def _bloom_decontaminate_oracle_sql(k: int = 3, m: int = 1 << 16) -> str:
 # registry
 # ---------------------------------------------------------------------------
 
-#: round-9 driver window (the driver checks the FIRST ~50 queries()
-#: entries): every query added or code/oracle-touched this round first
-#: (the new BPE token-accounting pipeline; the star recall eval's
-#: doc-level columns + rank-based min_req; the 48-bit simhash graph
-#: contract; the multi-pivot star + (20,5) char banding consumers; the
-#: recall-eval one-tree rewrite; text_winnow's _scan_parts formula),
-#: then the least-recently-driver-checked tail (the r3 text/window
-#: wave and the r4 ANN/quality/sampling/stream wave — stalest per the
-#: CORRECTNESS_r1..r8 union; overlap with the r8 window: 4/50).
-_R9_WINDOW = [
-    "pipeline_multilingual_tokens",
+#: driver window, rotated per round (policy: everything this round
+#: TOUCHED first — the new index build/probe pair (never
+#: driver-checked), the probe-only incremental rewrite, the banding
+#: dial, the BPE-artifact consumers, and every jaccard_verify rider —
+#: then the least-recently-driver-checked tail (the r4 stream/sql
+#: wave and the r5 multimodal/storage/sketch wave; stalest per the
+#: CORRECTNESS_r1..r9 union). Overlap with the r9 window: 5/50, all
+#: five touched by round-10 changes.
+_R10_WINDOW = [
+    "dedup_index_build",
+    "dedup_index_probe",
+    "dedup_incremental_lsh",
     "dedup_star_recall_eval",
-    "dedup_components",
-    "dedup_keep_canonical",
+    "pipeline_multilingual_tokens",
+    "text_bpe_apply",
     "dedup_minhash_char",
-    "pipeline_multilingual_curation",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_recall_eval",
-    "dedup_simhash",
     "text_winnow",
-    "text_pack",
-    "text_pii_redact",
-    "text_repetition",
-    "text_tfidf",
-    "text_vocab_oov",
-    "w4_moving_avg",
-    "w5_lag_delta",
-    "w7_percent_rank",
-    "a11_histogram",
-    "ann_filtered_topk",
-    "ann_hybrid_rrf",
-    "ann_recall_eval",
-    "decontaminate_bloom",
-    "dedup_semantic",
-    "dq_rules",
-    "emb_dim_stats",
-    "emb_matryoshka_eval",
-    "ev_anomaly_mad",
-    "ev_cdc_apply",
-    "ev_markov",
-    "ev_sessionize",
-    "ev_windowed_topk",
-    "export_training_shards",
-    "f_variant_json",
-    "j10_interval_overlap_join",
-    "mix_domains",
-    "mix_token_budget",
-    "planner_pack",
-    "quality_domain_calibrate",
-    "quality_ks_drift",
-    "quality_linear_probe",
-    "quality_probe_apply",
-    "quality_probe_by_lang",
-    "s13_bucketed_join",
-    "s16_zorder_stats",
-    "s17_incremental_read",
-    "s18_bloom_join_prune",
-    "s19_dynamic_partition_overwrite",
-    "sample_interleave",
-    "sample_kcenter",
-    "sketch_cms",
+    "snapshot_diff",
+    "sql_pipe_syntax",
+    "sql_recursive_reach",
+    "stream_cms",
+    "stream_mv_upsert",
+    "stream_sessionize",
+    "text_chunk_overlap",
+    "text_entropy",
+    "text_langid_confusion",
+    "dedup_cross_corpus",
+    "dedup_daily_first",
+    "emb_label_centroids",
+    "ev_ohlc_bars",
+    "ev_session_window_builtin",
+    "f_map_funcs",
+    "j9_full_outer",
+    "mix_temperature",
+    "mm_audio_features",
+    "mm_audio_resample",
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "mm_raw_decode",
+    "mm_raw_pipeline",
+    "profile_table",
+    "quality_psi_drift",
+    "s10_jsonl_roundtrip",
+    "s11_partition_prune",
+    "s12_sorted_stats_prune",
+    "s14_compaction",
+    "s15_schema_merge",
+    "s9_orc_roundtrip",
+    "sample_bottomk",
+    "sample_negatives",
+    "scd2_history",
+    "shard_assign",
+    "sketch_heavy_hitters",
+    "sketch_hll_bound",
+    "sketch_quantile_bound",
+    "stream_dedup",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    head = {k: q[k] for k in _R9_WINDOW if k in q}
+    head = {k: q[k] for k in _R10_WINDOW if k in q}
     return head | {k: v for k, v in q.items() if k not in head}
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r4 ordering below; the driver window is imposed by
-        # _R9_WINDOW in queries() ---
+        # _R10_WINDOW in queries() ---
         "j10_interval_overlap_join": _j10_interval_overlap_join,
         "quality_ks_drift": _quality_ks_drift,
         "quality_psi_drift": _quality_psi_drift,

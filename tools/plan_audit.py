@@ -11,8 +11,14 @@ three invariants that must hold repo-wide for the 100 TB story:
 2. **No BatchEvalPython** — row-at-a-time Python UDFs are forbidden;
    Python may only touch data through Arrow-batched
    MapInPandas / FlatMapGroupsInPandas / ArrowEvalPython.
-3. **Exchange count is recorded** per query so a future edit that
-   doubles a query's shuffles shows up as a diff in PLANAUDIT.md.
+3. **Exchange counts are recorded** per query so a future edit that
+   doubles a query's shuffles shows up as a diff in PLANAUDIT.md —
+   BOTH the static plan-text count and, since r10 (r9 verdict item
+   7), the PHYSICAL post-AQE counts: each query is executed at the
+   audit SF and the final adaptive plan's unique ShuffleQueryStage /
+   BroadcastQueryStage ids are counted, so exchange reuse is credited
+   (dedup_recall_eval: 31 plan-text vs 12 shuffles + 8 broadcasts
+   physical). Drift review keys on the physical number.
 
 Usage: python tools/plan_audit.py [--sf-dir DIR] [--out PLANAUDIT.md]
 Exit code 1 if any invariant is violated.
@@ -48,7 +54,28 @@ def main() -> int:
             df = fn(spark, args.sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001 — audit must not abort
-            rows.append((name, "-", "-", f"ERROR building plan: {e}"))
+            rows.append((name, "-", "-", "-", "-", f"ERROR building plan: {e}"))
+            violations.append(name)
+            continue
+        # physical post-AQE counts: execute the SAME QueryExecution
+        # (collect finalizes the AdaptiveSparkPlan in place) and count
+        # unique query-stage ids — reused exchanges share an id, so
+        # AQE reuse is credited instead of double-counted
+        import re as _re
+
+        try:
+            df.collect()
+            final = df._jdf.queryExecution().executedPlan().toString()
+            n_shuf = len(set(_re.findall(r"ShuffleQueryStage (\d+)", final)))
+            n_bcast = len(
+                set(_re.findall(r"BroadcastQueryStage (\d+)", final))
+            )
+            phys_s, phys_b = str(n_shuf), str(n_bcast)
+        except Exception as e:  # noqa: BLE001
+            phys_s, phys_b = "-", "-"
+            rows_note_err = f"ERROR executing: {e}"
+            rows.append((name, str(plan.count("Exchange")), "-", "-",
+                         str(plan.count("FileScan")), rows_note_err))
             violations.append(name)
             continue
         bad = [f for f in FORBIDDEN if f in plan]
@@ -78,6 +105,8 @@ def main() -> int:
             (
                 name,
                 str(plan.count("Exchange")),
+                phys_s,
+                phys_b,
                 str(plan.count("FileScan")),
                 "; ".join(notes),
             )
@@ -88,13 +117,19 @@ def main() -> int:
         "",
         f"Queries audited: {len(rows)}; violations: {len(violations)}.",
         "Invariants: no CartesianProduct, no row-at-a-time Python",
-        "(BatchEvalPython). Exchange/scan counts recorded for drift",
-        f"review. sf_dir={args.sf_dir}.",
+        "(BatchEvalPython). Exchange counts recorded for drift review:",
+        "`exchanges` is the static plan-text count; `shuffles`/`bcasts`",
+        "are the PHYSICAL post-AQE unique query-stage counts from an",
+        "executed run (reuse credited) — drift review keys on these.",
+        f"sf_dir={args.sf_dir}.",
         "",
-        "| query | exchanges | scans | notes |",
-        "|---|---|---|---|",
+        "| query | exchanges | shuffles | bcasts | scans | notes |",
+        "|---|---|---|---|---|---|",
     ]
-    lines += [f"| {n} | {e} | {s} | {x} |" for n, e, s, x in rows]
+    lines += [
+        f"| {n} | {e} | {ps} | {pb} | {s} | {x} |"
+        for n, e, ps, pb, s, x in rows
+    ]
     text = "\n".join(lines) + "\n"
     if args.out:
         with open(args.out, "w") as f:

@@ -205,6 +205,72 @@ def _run_scale(sf_dir: str, names: list[str]) -> dict:
     return out
 
 
+def _grow(rnd: int, sf: float, sf_dir: str, names: list) -> int:
+    """Grow-with-scale point (r9 verdict item 3): the quadratic regime
+    of the char-LSH family opens when dup-CLUSTER size grows with the
+    corpus (10 word-shuffled replicas at sf1 -> 30 at sf3 -> 100 at
+    sf10), and the star cap's saturation had only been measured to 30.
+    This mode measures ``names`` at one additional big scale (fresh
+    child, same noop-write / min-of-3 / calib protocol), records
+    ``sec_sf{sf}`` / ``norm_sf{sf}`` / ``excess_sf{sf}`` into the
+    existing SCALE_FIT_r{rnd} artifact, and extends ``flagged``.
+    excess = measured / linear extrapolation of the artifact's
+    (sf1, sf3) normalized segment — the two points where the cluster
+    regime is already growing, so super-linear cap saturation cannot
+    hide in a small-cluster baseline."""
+    path = os.path.join(HERE, f"SCALE_FIT_r{rnd:02d}.json")
+    with open(path) as f:
+        art = json.load(f)
+    sfs = [s for s, _ in SCALES]
+    calibs = [c for c in art["calib"].values() if c]
+    ref = min(calibs) if calibs else None
+    meas = _run_scale(sf_dir, names)
+    calib = meas.get("calib_sec")
+    for n in names:
+        rec = art["queries"].setdefault(n, {})
+        sec = meas["queries"].get(n, {}).get("sec")
+        if sec is None:
+            rec[f"err_sf{sf}"] = meas["queries"].get(n, {}).get(
+                "err", "MISSING"
+            )
+            if n not in art["flagged"]:
+                art["flagged"].append(n)
+            continue
+        norm = round(sec * ref / calib, 3) if (calib and ref) else sec
+        rec[f"sec_sf{sf}"] = sec
+        rec[f"norm_sf{sf}"] = norm
+        t1 = rec.get(f"norm_sf{sfs[1]}")
+        t3 = rec.get(f"norm_sf{sfs[2]}")
+        if t1 is not None and t3 is not None and t3 > t1:
+            slope = (t3 - t1) / (sfs[2] - sfs[1])
+            pred = t3 + (sf - sfs[2]) * slope
+            ex = round(norm / pred, 2) if pred > 0 else None
+            rec[f"excess_sf{sf}"] = ex
+            if ex is not None and ex > 1.5 and n not in art["flagged"]:
+                art["flagged"].append(n)
+        print(
+            f"[grow] {n}: sec={sec} norm={norm} "
+            f"excess_sf{sf}={rec.get(f'excess_sf{sf}')}",
+            file=sys.stderr,
+        )
+    art.setdefault("grow", {})[f"sf{sf}"] = {
+        "dir": sf_dir,
+        "calib_sec": calib,
+        "calib_probes": meas.get("calib_probes"),
+        "names": names,
+    }
+    note = (
+        f"; grow-with-scale point at sf{sf}: excess vs linear "
+        "extrapolation of the (sf1, sf3) normalized segment"
+    )
+    if note not in art["method"]:
+        art["method"] += note
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(f"rewrote {path}: flagged={art['flagged']}")
+    return 0
+
+
 def _adjudicate(rnd: int) -> int:
     """Isolation re-measure for flagged rows (r9): the fit child runs
     its whole name list in ONE session, so a flagged big-scale row can
@@ -281,6 +347,13 @@ def main() -> int:
         return 0
     if len(sys.argv) > 2 and sys.argv[1] == "--adjudicate":
         return _adjudicate(int(sys.argv[2]))
+    if len(sys.argv) > 4 and sys.argv[1] == "--grow":
+        return _grow(
+            int(sys.argv[2]),
+            float(sys.argv[3]),
+            sys.argv[4],
+            sys.argv[5:] or ["dedup_minhash_char", "pipeline_multilingual_curation"],
+        )
 
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     names = sys.argv[2:] or DEFAULT_NAMES
