@@ -316,35 +316,59 @@ def test_lsh_recall_eval_shape(spark, sf_dir, queries):
 
 
 def test_star_recall_eval_measures_the_cap_tradeoff(spark, sf_dir, queries):
+    from task_on_dataframes_spark.operators.dedup import (
+        CHAR_LSH_NUM_PERM,
+    )
+    from task_on_dataframes_spark.registry.dedup import (
+        STAR_RECALL_BANDINGS,
+        STAR_RECALL_CAPS,
+    )
+
     rows = queries["dedup_star_recall_eval"](spark, sf_dir).collect()
-    assert len(rows) == 6  # 2 strata x 3 caps
-    by = {(r["stratum"], r["star_bucket_cap"]): r for r in rows}
-    for (stratum, _cap), r in by.items():
+    # 2 strata x 3 bandings (the r10 dial) x 3 caps
+    assert len(rows) == 2 * len(STAR_RECALL_BANDINGS) * len(STAR_RECALL_CAPS)
+    by = {
+        (r["stratum"], r["num_perm"], r["star_bucket_cap"]): r
+        for r in rows
+    }
+    for (stratum, _np, _cap), r in by.items():
         # star pairs are a subset of the uncapped-LSH pairs, which are
         # a subset of the exact ground truth
         assert r["n_star"] <= r["n_lsh"] <= r["n_exact"]
         for col in ("recall_vs_exact", "recall_vs_lsh"):
             if r[col] is not None:
                 assert 0.0 <= r[col] <= 1.0
-    # raising the cap can only widen the all-pairs tier: verified star
-    # pairs are monotone non-decreasing in the cap on both strata
     for stratum in ("template", "natural"):
-        ns = [by[(stratum, c)]["n_star"] for c in (8, 16, 64)]
-        assert ns == sorted(ns)
+        for np_, _nb in STAR_RECALL_BANDINGS:
+            # raising the cap can only widen the all-pairs tier:
+            # verified star pairs monotone non-decreasing in the cap
+            ns = [by[(stratum, np_, c)]["n_star"] for c in STAR_RECALL_CAPS]
+            assert ns == sorted(ns)
     # the template stratum is built to saturate: boilerplate dominates
     # every doc, so the exact near-dup pair set must be non-trivial and
     # the capped star path must actually lose pairs at the lowest cap
-    assert by[("template", 8)]["n_exact"] > 0
-    assert by[("template", 8)]["n_star"] < by[("template", 8)]["n_lsh"]
+    # (checked at the char-path contract banding)
+    cnp = CHAR_LSH_NUM_PERM
+    assert by[("template", cnp, 8)]["n_exact"] > 0
+    assert by[("template", cnp, 8)]["n_star"] < by[("template", cnp, 8)]["n_lsh"]
     # DOC-level marking (r9): the multi-pivot star admits every member
     # of a mega-bucket through the cap smallest ids, so keep-one
     # marking loses NO doc relative to uncapped LSH at any cap, and
     # the contract bar vs the exact ground truth holds at the default
     # cap (the residual is the banding S-curve, not the star cap)
-    for (stratum, _cap), r in by.items():
+    for (stratum, _np, _cap), r in by.items():
         assert r["n_docs_star"] <= r["n_docs_lsh"] <= r["n_docs_exact"]
         assert r["doc_recall_vs_lsh"] == 1.0
-    assert by[("template", 16)]["doc_recall_vs_exact"] >= 0.95
+    assert by[("template", cnp, 16)]["doc_recall_vs_exact"] >= 0.95
+    # the dial itself (r10): at fixed rows-per-band, more bands mean
+    # more detection chances — marked-doc counts monotone
+    # non-decreasing in num_perm at every cap on the template stratum
+    for cap in STAR_RECALL_CAPS:
+        nd = [
+            by[("template", np_, cap)]["n_docs_star"]
+            for np_, _nb in STAR_RECALL_BANDINGS
+        ]
+        assert nd == sorted(nd)
 
 
 def test_planner_pack_is_a_five_task_chain(spark, sf_dir):
