@@ -600,10 +600,17 @@ def _dedup_star_recall_eval(spark, sf_dir):
             .select("a", "b")
             .localCheckpoint(eager=False)
         )
+        # ONE signature aggregation per stratum at the widest banding's
+        # perm count: every banding draws from the same hash family, so
+        # (16,4)/(20,5) band keys are prefix slices of the 24-perm
+        # signature frame — 3x fewer corpus-slice aggregations than
+        # signing per banding (lsh_band_keys only reads mh0..mh{np-1})
+        max_np = max(np_ for np_, _ in STAR_RECALL_BANDINGS)
+        sigs = minhash_signatures(toks, max_np).persist()
         for np_, nb in STAR_RECALL_BANDINGS:
             outs.append(
                 _star_recall_banding_rows(
-                    stratum, toks, exact, np_, nb
+                    stratum, sigs, exact, np_, nb
                 )
             )
     out = outs[0]
@@ -612,19 +619,15 @@ def _dedup_star_recall_eval(spark, sf_dir):
     return out
 
 
-def _star_recall_banding_rows(stratum, toks, exact, num_perm, bands):
-    """One banding's rows of the star recall eval: band ``toks`` at
-    (num_perm, bands), annotate each exact pair with its smallest
-    admitting star cap, and emit a (stratum, num_perm, bands, cap) row
-    per cap in :data:`STAR_RECALL_CAPS` from one aggregation tree."""
-    from task_on_dataframes_spark.operators.dedup import (
-        lsh_band_keys,
-        minhash_signatures,
-    )
+def _star_recall_banding_rows(stratum, sigs, exact, num_perm, bands):
+    """One banding's rows of the star recall eval: slice ``sigs`` (a
+    shared >=num_perm-wide signature frame) into this banding's band
+    keys, annotate each exact pair with its smallest admitting star
+    cap, and emit a (stratum, num_perm, bands, cap) row per cap in
+    :data:`STAR_RECALL_CAPS` from one aggregation tree."""
+    from task_on_dataframes_spark.operators.dedup import lsh_band_keys
 
-    keys = lsh_band_keys(
-        minhash_signatures(toks, num_perm), num_perm, bands
-    ).persist()
+    keys = lsh_band_keys(sigs, num_perm, bands).persist()
     # bucket co-membership of each exact pair: verified uncapped
     # LSH pairs = exact pairs sharing >= 1 bucket (a signature
     # collision with J < 0.5 never verifies), and the pair's
