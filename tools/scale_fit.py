@@ -276,27 +276,26 @@ def _grow(rnd: int, sf: float, sf_dir: str, names: list) -> int:
 
 
 def _adjudicate(rnd: int) -> int:
-    """Isolation re-measure for flagged rows (r9): the fit child runs
-    its whole name list in ONE session, so a flagged big-scale row can
-    be cross-query session state or a co-tenant transient rather than
+    """Isolation re-measure for flagged rows: the fit child runs its
+    whole name list in ONE session, so a flagged row can be
+    cross-query session state or a co-tenant transient rather than
     real slope — dedup_minhash_char drew 12.4 s inside the 13-query
     chunk and 6.4 s isolated (fresh session, min-of-3), same commit.
-    For each flagged query this re-runs JUST that query in a fresh
-    child at the big scale, records the isolated second opinion next
-    to the chunk number, and recomputes excess from the ISOLATED draw
-    alone (advisor, r9: taking min(chunk, isolated) was one-sided
-    lenient — a contaminated chunk draw could only ever clear flags,
-    never confirm them, and one lucky isolated draw unflagged a
-    genuinely super-linear query permanently; requiring the isolated
-    draw itself to fit keeps numerator and denominator in one
-    measurement regime). Clears the flag only if the adjudicated
-    excess fits. Queries that flagged with an error are left
-    flagged."""
+
+    Since r10 the adjudicated excess is computed from a FULLY isolated
+    regime (advisor, r9): each flagged query is re-run in its own
+    fresh child at EVERY scale, and the excess fit uses only those
+    draws — the r9 form re-measured sf3 alone and compared it against
+    chunk-measured sf0.1/sf1 points, mixing a cold-session numerator
+    with warm-chunk denominators (a sub-second fixed-cost query then
+    fails on session overhead, not slope). The two-sided rule stands:
+    the isolated-regime excess itself must fit (no min-with-chunk
+    leniency). Chunk numbers stay recorded beside the isolated ones.
+    Queries that flagged with an error are left flagged."""
     path = os.path.join(HERE, f"SCALE_FIT_r{rnd:02d}.json")
     with open(path) as f:
         art = json.load(f)
     sfs = [sf for sf, _ in SCALES]
-    _, big_dir = SCALES[-1]
     calibs = [c for c in art["calib"].values() if c]
     # All-null calib (calibration query failed at every scale): fall
     # back to unnormalized seconds, exactly as main() does.
@@ -304,38 +303,43 @@ def _adjudicate(rnd: int) -> int:
     still = []
     for n in list(art.get("flagged", [])):
         rec = art["queries"].get(n, {})
-        t01 = rec.get(f"norm_sf{sfs[0]}")
-        t1 = rec.get(f"norm_sf{sfs[1]}")
-        if rec.get("err") or t01 is None or t1 is None:
+        if rec.get("err"):
             still.append(n)
             continue
-        iso = _run_scale(big_dir, [n])
-        sec = iso["queries"].get(n, {}).get("sec")
-        calib = iso.get("calib_sec")
-        if sec is None:
+        iso = {}
+        failed = False
+        for sf, sf_dir in SCALES:
+            m = _run_scale(sf_dir, [n])
+            sec = m["queries"].get(n, {}).get("sec")
+            calib = m.get("calib_sec")
+            if sec is None:
+                failed = True
+                break
+            norm = round(sec * ref / calib, 3) if (calib and ref) else sec
+            iso[sf] = norm
+            rec[f"sec_sf{sf}_isolated"] = sec
+            rec[f"norm_sf{sf}_isolated"] = norm
+            rec[f"calib_sf{sf}_isolated"] = calib
+        if failed:
             still.append(n)
             continue
-        norm = round(sec * ref / calib, 3) if (calib and ref) else sec
-        rec["sec_sf3_isolated"] = sec
-        rec["norm_sf3_isolated"] = norm
-        rec["calib_isolated"] = calib
-        # Two-sided: the isolated draw must fit on its own merits.
-        t3 = norm
-        pred3 = t1 + 2.0 * (t1 - t01) / 0.9
+        t01, t1, t3 = iso[sfs[0]], iso[sfs[1]], iso[sfs[2]]
+        # monotone floor — see the matching note in main()
+        pred3 = max(t1 + 2.0 * (t1 - t01) / 0.9, t1)
         adj = round(t3 / pred3, 2) if pred3 > 0 else None
         rec["excess_sf3_adjudicated"] = adj
         if adj is None or adj > 1.5:
             still.append(n)
         print(
-            f"[adjudicate] {n}: chunk norm_sf3="
-            f"{rec.get(f'norm_sf{sfs[2]}')} isolated={norm} "
-            f"adjudicated excess={adj}",
+            f"[adjudicate] {n}: isolated norms "
+            f"{t01} / {t1} / {t3} adjudicated excess={adj}",
             file=sys.stderr,
         )
     art["flagged"] = still
     note = (
-        "; flagged rows re-measured isolated (fresh child, big scale) "
-        "and excess adjudicated on the isolated draw alone"
+        "; flagged rows re-measured in a fully isolated regime (one "
+        "fresh child per scale) and excess adjudicated on the "
+        "isolated draws alone"
     )
     if note not in art["method"]:
         art["method"] += note
@@ -404,7 +408,8 @@ def main() -> int:
             rec["per_sf_sec"] = round(c, 3)
             # linear prediction of sf3 from the (sf0.1, sf1) segment
             c01 = (ts[1.0] - ts[0.1]) / 0.9
-            pred3 = ts[1.0] + 2.0 * c01
+            # monotone floor — see the matching note in _adjudicate
+            pred3 = max(ts[1.0] + 2.0 * c01, ts[1.0])
             rec["excess_sf3"] = (
                 round(ts[3.0] / pred3, 2) if pred3 > 0 else None
             )
