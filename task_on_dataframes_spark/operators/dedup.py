@@ -195,12 +195,36 @@ def jaccard_verify_packed(
     sides itself) and :func:`probe_lsh_index` (the b side comes
     pre-packed from the persisted index): two doc-keyed hash joins,
     row-wise ``array_intersect``, round-6 Jaccard, threshold filter.
-    ``pa`` is (a, hka, sza); ``pb`` is (b, hkb, szb)."""
+    ``pa`` is (a, hka, sza); ``pb`` is (b, hkb, szb).
+
+    The intersect is forced to evaluate EXACTLY ONCE (r10, found by
+    the sf10 grow-with-scale fit): written naively, Catalyst pushes
+    the ``inter > 0`` / threshold filters INTO the second join's
+    condition, where ``array_intersect`` is re-evaluated per row in
+    the non-codegen condition path and AGAIN in the output projection
+    — 4 occurrences in the physical plan, measured 65-175 s for 18.2M
+    candidates at sf10 vs 7-17 s with a single codegen'd evaluation
+    (same session, same cached inputs, identical 42,119 output
+    pairs). The ``__barrier`` column is a nondeterministic no-op the
+    filter references: PushPredicateThroughNonJoin requires every
+    projected field to be deterministic and the filter condition to
+    be deterministic, so the substitution that duplicates the
+    intersect is blocked, and column pruning cannot drop the barrier
+    because the filter references it. The filter is semantically
+    ``rand() > -1`` = always true; task retries re-draw the value but
+    the result set is unchanged. A pinned plan test asserts the
+    single-evaluation shape (tests/test_plan_shapes.py)."""
+    joined = candidates.join(pa, on="a").join(pb, on="b")
+    once = joined.select(
+        "a",
+        "b",
+        "sza",
+        "szb",
+        F.size(F.array_intersect("hka", "hkb")).alias("inter"),
+        F.rand().alias("__barrier"),
+    )
     return (
-        candidates.join(pa, on="a")
-        .join(pb, on="b")
-        .withColumn("inter", F.size(F.array_intersect("hka", "hkb")))
-        .filter(F.col("inter") > 0)
+        once.filter((F.col("__barrier") > F.lit(-1.0)) & (F.col("inter") > 0))
         .withColumn(
             "jaccard",
             F.round(

@@ -413,3 +413,25 @@ def test_lsh_index_probe_never_shuffles_the_corpus(
             raise AssertionError(f"index scan never joined:\n{plan}")
     # the index layout must actually engage Spark's bucketed read
     assert plan.count("Bucketed: true") >= n_scans, plan
+
+
+def test_jaccard_verify_intersects_exactly_once(spark):
+    """The r10 sf10 finding: without the pushdown barrier, Catalyst
+    duplicates array_intersect into the join condition (interpreted,
+    per candidate row) and the output projection — 4 plan occurrences
+    and a 10-25x verification slowdown at 18M candidates. Pin the
+    single-evaluation shape."""
+    from pyspark.sql import functions as F
+
+    from task_on_dataframes_spark.operators.dedup import jaccard_verify
+
+    sets = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "z")],
+        "did bigint, tok string",
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "a bigint, b bigint")
+    v = jaccard_verify(cands, sets, 0.5)
+    plan = _physical(v)
+    assert plan.count("array_intersect") == 1, plan
+    got = {(r["a"], r["b"]): r["jaccard"] for r in v.collect()}
+    assert got == {(1, 2): 1.0}
