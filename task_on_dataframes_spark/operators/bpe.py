@@ -686,7 +686,9 @@ def bpe_apply_byte_token_counts(
 _ARTIFACT_BASE: list = []
 
 
-def merge_table_artifact(spark, tag: str, train_fn) -> DataFrame:
+def merge_table_artifact(
+    spark, tag: str, train_fn, merges: int = None, level: str = None
+) -> DataFrame:
     """Train-once BPE merge-table artifact (the r9 verdict's missing
     infrastructure #2): the first call per ``tag`` runs ``train_fn()``
     and PUBLISHES the merge table as parquet (the
@@ -701,13 +703,31 @@ def merge_table_artifact(spark, tag: str, train_fn) -> DataFrame:
     provably run off the published file. The table is tokenizer-sized
     (``merges`` rows); application code orders by ``step`` itself, so
     parquet's unordered roundtrip is safe. Idempotent per ``tag``;
-    a new corpus release publishes under a new tag."""
+    a new corpus release publishes under a new tag.
+
+    ``merges``/``level``, when given, are folded into the artifact
+    path (advisor, r10): the cache key then carries the trainer
+    parameters itself, so a tag reused with a different merge count
+    or byte/char level can never serve the wrong table. Freshness is
+    decided by ``_SUCCESS`` when the writer emits one, falling back
+    to directory-contains-parquet (``mapreduce.fileoutputcommitter.
+    marksuccessfuljobs=false`` suppresses the marker; without the
+    fallback every call would silently retrain and rewrite)."""
     import os
     import tempfile
 
     if not _ARTIFACT_BASE:
         _ARTIFACT_BASE.append(tempfile.mkdtemp(prefix="tada_bpe_"))
-    path = os.path.join(_ARTIFACT_BASE[0], f"merges_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    suffix = ""
+    if merges is not None:
+        suffix += f"_m{merges}"
+    if level is not None:
+        suffix += f"_{level}"
+    path = os.path.join(_ARTIFACT_BASE[0], f"merges_{tag}{suffix}")
+    fresh = os.path.exists(os.path.join(path, "_SUCCESS")) or (
+        os.path.isdir(path)
+        and any(n.endswith(".parquet") for n in os.listdir(path))
+    )
+    if not fresh:
         train_fn().write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

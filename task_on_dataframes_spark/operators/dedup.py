@@ -211,9 +211,16 @@ def jaccard_verify_packed(
     be deterministic, so the substitution that duplicates the
     intersect is blocked, and column pruning cannot drop the barrier
     because the filter references it. The filter is semantically
-    ``rand() > -1`` = always true; task retries re-draw the value but
-    the result set is unchanged. A pinned plan test asserts the
-    single-evaluation shape (tests/test_plan_shapes.py)."""
+    ``rand(0) > -1`` = always true; the seed pins plan stability
+    across sessions (advisor, r10) and task retries re-draw the same
+    sequence, but the result set never depends on the value. A pinned
+    plan test asserts the single-evaluation shape AND that
+    ``__barrier`` never escapes into the output schema
+    (tests/test_plan_shapes.py). Fallback if a Spark upgrade ever
+    re-enables the pushdown (the plan test will fail loudly): persist
+    the ``once`` frame — ``once.persist()`` materializes the single
+    evaluation physically, at the cost of caching candidate-count
+    rows."""
     joined = candidates.join(pa, on="a").join(pb, on="b")
     once = joined.select(
         "a",
@@ -221,7 +228,7 @@ def jaccard_verify_packed(
         "sza",
         "szb",
         F.size(F.array_intersect("hka", "hkb")).alias("inter"),
-        F.rand().alias("__barrier"),
+        F.rand(0).alias("__barrier"),
     )
     return (
         once.filter((F.col("__barrier") > F.lit(-1.0)) & (F.col("inter") > 0))
@@ -661,7 +668,11 @@ def probe_lsh_index(
     bid = batch.select(
         F.col(id_col).alias("did"), F.col(text_col).alias("text")
     )
-    toks = _shingles(bid, "did", "text", shingle_n).persist()
+    # no persist: the shingle frame feeds exactly two batch-sized
+    # branches (signatures, packing) — recomputing a batch-scale
+    # narrow scan is cheaper than leaking a cached entry per probe
+    # (advisor, r10: repeated probes never unpersisted it)
+    toks = _shingles(bid, "did", "text", shingle_n)
     sigs = minhash_signatures(toks, num_perm)
     bkeys = (
         lsh_band_keys(sigs, num_perm, bands)

@@ -450,6 +450,7 @@ def _pipeline_multilingual_tokens(spark, sf_dir):
     merge_table = merge_table_artifact(
         spark, tag,
         lambda: bpe_train_scalable(surv, "text", merges=64, level="bytes"),
+        merges=64, level="bytes",
     )
     counts = bpe_apply_byte_token_counts(surv, merge_table, "doc_id", "text")
     return kept.join(counts, on="doc_id").select(
@@ -822,6 +823,7 @@ def _text_bpe_apply(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     tag = "docs_c6_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     merge_table = merge_table_artifact(
-        spark, tag, lambda: bpe_train(docs, "text", merges=6)
+        spark, tag, lambda: bpe_train(docs, "text", merges=6),
+        merges=6, level="word",
     )
     return bpe_apply_token_counts(docs, merge_table)

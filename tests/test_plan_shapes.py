@@ -433,5 +433,45 @@ def test_jaccard_verify_intersects_exactly_once(spark):
     v = jaccard_verify(cands, sets, 0.5)
     plan = _physical(v)
     assert plan.count("array_intersect") == 1, plan
+    # the barrier is plumbing, not output: it must never escape into
+    # the result schema (r10 verdict item 5 — also guards against a
+    # Spark upgrade silently rewriting the projection shape)
+    assert "__barrier" not in v.columns
+    got = {(r["a"], r["b"]): r["jaccard"] for r in v.collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_jaccard_verify_packed_path_intersects_exactly_once(spark):
+    """Pin the PRE-PACKED entry point too (advisor, r10): the
+    probe_lsh_index path calls jaccard_verify_packed directly with a
+    stored packed b-side, a different plan ancestry that the
+    jaccard_verify pin does not cover — a Catalyst rule change could
+    re-enable the duplicate-intersect pushdown on one path but not
+    the other."""
+    from pyspark.sql import functions as F
+
+    from task_on_dataframes_spark.operators.dedup import (
+        jaccard_verify_packed,
+        pack_shingle_sets,
+    )
+
+    sets = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "z")],
+        "did bigint, tok string",
+    )
+    packed = pack_shingle_sets(sets)
+    pa = packed.select(
+        F.col("did").alias("a"), F.col("hks").alias("hka"),
+        F.col("sz").alias("sza"),
+    )
+    pb = packed.select(
+        F.col("did").alias("b"), F.col("hks").alias("hkb"),
+        F.col("sz").alias("szb"),
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "a bigint, b bigint")
+    v = jaccard_verify_packed(cands, pa, pb, 0.5)
+    plan = _physical(v)
+    assert plan.count("array_intersect") == 1, plan
+    assert "__barrier" not in v.columns
     got = {(r["a"], r["b"]): r["jaccard"] for r in v.collect()}
     assert got == {(1, 2): 1.0}

@@ -58,13 +58,19 @@ def main() -> int:
             violations.append(name)
             continue
         # physical post-AQE counts: execute the SAME QueryExecution
-        # (collect finalizes the AdaptiveSparkPlan in place) and count
-        # unique query-stage ids — reused exchanges share an id, so
-        # AQE reuse is credited instead of double-counted
+        # and count unique query-stage ids — reused exchanges share an
+        # id, so AQE reuse is credited instead of double-counted.
+        # toRdd().count() runs the identical AdaptiveSparkPlanExec
+        # JVM-side WITHOUT materializing results on the driver
+        # (advisor, r10: collect() could OOM the audit on wide per-doc
+        # queries at a larger --sf-dir) and without the plan rewrite
+        # df.count() would apply (a new Aggregate QueryExecution
+        # prunes payload columns and changes the very shuffles being
+        # audited).
         import re as _re
 
         try:
-            df.collect()
+            df._jdf.queryExecution().toRdd().count()
             final = df._jdf.queryExecution().executedPlan().toString()
             n_shuf = len(set(_re.findall(r"ShuffleQueryStage (\d+)", final)))
             n_bcast = len(

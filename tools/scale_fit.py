@@ -245,9 +245,13 @@ def _grow(rnd: int, sf: float, sf_dir: str, names: list) -> int:
         rec[f"norm_sf{sf}"] = norm
         t1 = rec.get(f"norm_sf{sfs[1]}")
         t3 = rec.get(f"norm_sf{sfs[2]}")
-        if t1 is not None and t3 is not None and t3 > t1:
-            slope = (t3 - t1) / (sfs[2] - sfs[1])
-            pred = t3 + (sf - sfs[2]) * slope
+        if t1 is not None and t3 is not None:
+            # monotone prediction floor (advisor, r10): a flat or
+            # noisy-decreasing (sf1, sf3) segment must not skip the
+            # check or predict bigger = faster — clamp the slope at 0
+            # and the prediction at t3, mirroring main()/_adjudicate
+            slope = max((t3 - t1) / (sfs[2] - sfs[1]), 0.0)
+            pred = max(t3 + (sf - sfs[2]) * slope, t3)
             ex = round(norm / pred, 2) if pred > 0 else None
             rec[f"excess_sf{sf}"] = ex
             if ex is not None and ex > 1.5 and n not in art["flagged"]:
