@@ -135,47 +135,58 @@ def script_id(
     script for any monolingual document at ~1/6 the work. Pass
     ``prefix=0`` to scan everything.
 
-    Execution shape (measured, not guessed): the counts EXPLODE into
-    (script_idx, n) rows and the argmax is one map-side-combinable
-    groupBy — NOT a chained when() fold over count columns. Catalyst
-    collapses projections and inlines every count expression into
-    each comparison that references it, so the fold form re-ran each
-    regex ~2x (8.4 s vs 4.2 s at sf1); the Generate stage evaluates
-    the count array exactly once per row (the same
-    exploded-aggregation-beats-scan-stage-fold lesson as SCALE.md
-    §17d's BM25 rewrite).
+    Execution shape (measured twice, r7 then r11): the counts build
+    ONE named array<struct(n, ni)> column and the argmax is a
+    scan-stage ``array_max`` over it (struct ordering: highest count
+    wins, ties fall to the lowest declaration index via ``ni = -i``).
+    Three rejected shapes, all measured: (a) a chained when() fold
+    over count COLUMNS re-ran each class regex ~2x — Catalyst inlines
+    every count expression into each comparison (8.4 s vs 4.2 s at
+    sf1, r7); (b) the r7-r10 explode + groupBy argmax paid a
+    map-side Sort + SortAggregate + a corpus Exchange + reduce Sort
+    (``first()``'s string buffer keeps it off HashAggregate), AND
+    ``InferFiltersFromGenerate`` inferred an always-true
+    ``size(entries) > 0`` filter that predicate pushdown inlined
+    BELOW the projection, re-running all 8 regexes per row a second
+    time; (c) ``array_max`` is evaluated once because the entries
+    producer is a named non-cheap alias referenced 9x, which blocks
+    CollapseProject from inlining it (the same named-column
+    discipline as the c3 gram array in
+    :func:`multilingual_curation_verdicts`). The r11 form is pure
+    scan-stage: zero shuffles, zero sorts, each regex exactly once.
 
     Output: (id, n_<script>... , script) — counts are PREFIX counts."""
     text = F.col(text_col)
     if prefix > 0:
         text = F.substring(text, 1, prefix)
+    # struct field order (n, ni) drives array_max's comparison:
+    # argmax count, first-declared script wins ties
     entries = F.array(
         *[
             F.struct(
-                F.lit(i).alias("i"),
                 F.length(F.regexp_replace(text, f"[^{rng}]", "")).alias(
                     "n"
                 ),
+                F.lit(-i).alias("ni"),
             )
             for i, (_name, rng) in enumerate(SCRIPT_RANGES)
         ]
     )
-    ex = df.select(F.col(id_col), F.explode(entries).alias("e"))
-    count_aggs = [
-        F.max(F.when(F.col("e.i") == i, F.col("e.n"))).alias(f"n_{name}")
-        for i, (name, _rng) in enumerate(SCRIPT_RANGES)
-    ]
-    # argmax with first-declared-wins ties: max of (n, -i)
-    m = F.max(
-        F.struct(F.col("e.n").alias("n"), (-F.col("e.i")).alias("ni"))
-    ).alias("m")
-    agg = ex.groupBy(id_col).agg(*count_aggs, m)
+    staged = df.select(F.col(id_col), entries.alias("entries"))
+    picked = staged.select(
+        F.col(id_col),
+        *[
+            F.element_at("entries", i + 1)["n"].alias(f"n_{name}")
+            for i, (name, _rng) in enumerate(SCRIPT_RANGES)
+        ],
+        F.array_max("entries").alias("m"),
+    )
     case: Column = F.lit(SCRIPT_RANGES[-1][0])
     for i in range(len(SCRIPT_RANGES) - 2, -1, -1):
         case = F.when(
             -F.col("m.ni") == i, F.lit(SCRIPT_RANGES[i][0])
         ).otherwise(case)
-    return agg.select(
+    return picked.select(
         F.col(id_col),
         *[f"n_{name}" for name, _rng in SCRIPT_RANGES],
         F.when(F.col("m.n") > 0, case).otherwise(F.lit("none")).alias(
@@ -221,14 +232,12 @@ def multilingual_curation_verdicts(
     in the registry's ``pipeline_multilingual_curation``, which
     documents the full priority order.
 
-    Plan shape: ONE corpus scan computes every per-row signal and the
-    per-script count entries; the script argmax rides the SAME
-    explode-with-carry aggregation :func:`script_id` uses (chained
-    when-folds over the count columns re-ran every class regex ~2x —
-    measured in round 7, see script_id's docstring), with the other
-    signals carried through ``first()`` aggregates; the only other
-    shuffle is the digest window. Zero UDFs, zero joins of the corpus
-    to itself."""
+    Plan shape (r11): ONE corpus scan computes every per-row signal
+    and the script argmax — the scan-stage ``array_max`` form shared
+    with :func:`script_id` (see its docstring for the two rejected
+    shapes and their measured costs) — so the ONLY shuffle in the
+    whole verdict computation is the digest window. Zero UDFs, zero
+    joins of the corpus to itself, zero aggregations."""
     from pyspark.sql import Window
 
     text = F.col(text_col)
@@ -236,13 +245,16 @@ def multilingual_curation_verdicts(
     nm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     digest = F.md5(nm)
     sample = F.substring(text, 1, prefix)
+    # struct field order (n, ni): array_max's struct comparison is
+    # the argmax with first-declared-wins ties (same form as
+    # script_id — see its docstring for the three rejected shapes)
     entries = F.array(
         *[
             F.struct(
-                F.lit(i).alias("i"),
                 F.length(
                     F.regexp_replace(sample, f"[^{rng}]", "")
                 ).alias("n"),
+                F.lit(-i).alias("ni"),
             )
             for i, (_name, rng) in enumerate(SCRIPT_RANGES)
         ]
@@ -275,9 +287,16 @@ def multilingual_curation_verdicts(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    # scalarize every signal BEFORE the script explode: the Generate
-    # duplicates carried columns into 8 rows per doc, so token/gram
-    # arrays must never ride through it — only these small scalars do
+    # every signal is a named column BEFORE anything references it
+    # twice: g2/g3/c3 are gram ARRAYS consumed by multiple size/
+    # distinct/aggregate expressions, and an inline producer gets
+    # re-evaluated per reference (the r11 plan audit caught dup3c's
+    # c3 transform — 510 substrings/row — inlined FOUR times because
+    # _dup_frac(c3) took the expression instead of a column). The
+    # script argmax is the scan-stage array_max form shared with
+    # script_id (see its docstring for the rejected explode+groupBy
+    # shape: SortAggregate + corpus Exchange + an inferred
+    # size(entries)>0 filter that re-ran all 8 regexes per row).
     staged = (
         df.select(
             F.col(id_col),
@@ -295,7 +314,7 @@ def multilingual_curation_verdicts(
             *score_cols,
             _grams(F.col("toks"), 2).alias("g2"),
             _grams(F.col("toks"), 3).alias("g3"),
-            _dup_frac(c3).alias("dup3c"),
+            c3.alias("c3"),
             "entries",
         )
         .select(
@@ -311,31 +330,16 @@ def multilingual_curation_verdicts(
                 F.round(_top_count(F.col("g2")) / F.size("g2"), 6),
             ).otherwise(F.lit(0.0)).alias("top2"),
             _dup_frac(F.col("g3")).alias("dup3"),
-            "dup3c",
-            F.explode("entries").alias("e"),
+            _dup_frac(F.col("c3")).alias("dup3c"),
+            F.array_max("entries").alias("m"),
         )
-    )
-    m = F.max(
-        F.struct(F.col("e.n").alias("n"), (-F.col("e.i")).alias("ni"))
-    ).alias("m")
-    carried = [
-        "digest",
-        "n_tokens",
-        "n_chars",
-        "best_stop",
-        "top2",
-        "dup3",
-        "dup3c",
-    ]
-    agg = staged.groupBy(id_col).agg(
-        *[F.first(c).alias(c) for c in carried], m
     )
     case: Column = F.lit(SCRIPT_RANGES[-1][0])
     for i in range(len(SCRIPT_RANGES) - 2, -1, -1):
         case = F.when(
             -F.col("m.ni") == i, F.lit(SCRIPT_RANGES[i][0])
         ).otherwise(case)
-    sig = agg.select(
+    sig = staged.select(
         F.col(id_col),
         "digest",
         "n_tokens",
