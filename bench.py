@@ -120,12 +120,17 @@ def main() -> None:
     # normalization manufactured a 10% phantom regression); start here,
     # mid after half the suite, end after the last query — the median
     # is the denominator, all three are recorded
+    # parallel-stage probe warm run (codegen compile for the probe
+    # itself), then the same start/mid/end spacing as the CPU probe
+    _calibrate_parallel(spark, cpus)
     calib_probes = [_calibrate()]
+    calib_par_probes = [_calibrate_parallel(spark, cpus)]
     timed_names = [n for n in headline if n in qs]
     mid_at = timed_names[len(timed_names) // 2] if timed_names else None
     for name in timed_names:
         if name == mid_at:
             calib_probes.append(_calibrate())
+            calib_par_probes.append(_calibrate_parallel(spark, cpus))
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = None
         for _ in range(n_timed):
@@ -143,6 +148,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     calib_probes.append(_calibrate())
+    calib_par_probes.append(_calibrate_parallel(spark, cpus))
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_wall_seconds",
@@ -158,6 +164,10 @@ def main() -> None:
         # the raw probes recorded beside it.
         "calib_sec": _median(calib_probes),
         "calib_probes": calib_probes,
+        # fixed 32-task shuffle probe (r10 verdict item 4): normalizes
+        # scheduler/parallelism drift the single-thread probe can't see
+        "calib_par_sec": _median(calib_par_probes),
+        "calib_par_probes": calib_par_probes,
     }
 
     # regression anchor: compare against the newest BENCH_r{N}.json and
@@ -178,6 +188,17 @@ def main() -> None:
             if anchor_calib
             else 1.0
         )
+        # scheduler-drift factor from the parallel-stage probe, when
+        # the anchor recorded one (r10 verdict item 4): a query is a
+        # regression only if NEITHER probe explains the slowdown —
+        # sub-second shuffle-bound queries track the parallel probe,
+        # CPU-bound scans track the single-thread one
+        anchor_calib_par = anchor.get("calib_par_sec")
+        host_par = (
+            _median(calib_par_probes) / anchor_calib_par
+            if anchor_calib_par
+            else None
+        )
         regressions = {
             n: {
                 "prev": prev[n],
@@ -185,9 +206,20 @@ def main() -> None:
                 "ratio_raw": round(t / prev[n], 2),
                 "ratio_calib": round(t / prev[n] / host, 2),
                 "host_factor": round(host, 3),
+                **(
+                    {
+                        "ratio_calib_par": round(t / prev[n] / host_par, 2),
+                        "host_factor_par": round(host_par, 3),
+                    }
+                    if host_par
+                    else {}
+                ),
             }
             for n, t in timings.items()
-            if n in prev and prev[n] > 0 and t / prev[n] / host > 1.3
+            if n in prev
+            and prev[n] > 0
+            and t / prev[n] / host > 1.3
+            and (not host_par or t / prev[n] / host_par > 1.3)
         }
         # totals compare over the COMMON query set only — the headline
         # list grows across rounds, and summing new queries into the
@@ -216,6 +248,8 @@ def main() -> None:
             "common_now": round(common_now, 3),
             "ratio_common": ratio_common,
             "ratio_common_calib_normalized": ratio_calib,
+            "prev_calib_par": anchor_calib_par,
+            "host_factor_par": round(host_par, 3) if host_par else None,
             "regressions": regressions,
         }
 
@@ -242,6 +276,39 @@ def _calibrate() -> float:
         h = hashlib.sha256(b"spark-graft-calibration")
         for _ in range(1_000_000):
             h = hashlib.sha256(h.digest())
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
+
+
+def _calibrate_parallel(spark, cpus: int) -> float:
+    """Seconds for a fixed 2-stage Spark job: ``cpus`` map tasks of
+    deterministic xxhash64 work into one 64-group shuffle (min of 3,
+    after the caller's warm run). The single-thread CPU probe above is
+    blind to scheduler/parallelism drift — the r10 verdict showed the
+    suite's sub-second shuffle-bound queries (sessionize, as-of join)
+    moving 2-3x "calib-normalized" with zero code change because only
+    single-core speed was being divided out. This probe exercises the
+    exact machinery those queries are bound by: task dispatch across
+    all cores, one shuffle round-trip, scheduler wake-ups."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 8_000_000, 1, cpus)
+            .withColumn("h", F.xxhash64("id"))
+            .groupBy(F.pmod(F.col("h"), F.lit(64)).alias("b"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                # modulus keeps the ANSI-mode sum inside long range
+                F.sum(F.pmod(F.col("h"), F.lit(1_000_003))).alias("s"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
         dt = time.perf_counter() - t0
         best = dt if best is None or dt < best else best
     return round(best, 4)
