@@ -115,6 +115,8 @@ from task_on_dataframes_spark.registry.embeddings import (
     _ann_ivfpq_topk,
     _ann_ivfsq_topk,
     _ann_ivf_incremental,
+    _ann_index_build,
+    _ann_index_probe,
     _ann_pq_topk,
     _ann_lsh_multi_topk,
     _ann_sq_rerank,
@@ -958,6 +960,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq_rerank": _ann_sq_rerank,
         "ann_ivfsq_topk": _ann_ivfsq_topk,
         "ann_ivf_incremental": _ann_ivf_incremental,
+        "ann_index_build": _ann_index_build,
+        "ann_index_probe": _ann_index_probe,
         "sample_topk_per_stratum": _sample_topk_per_stratum,
         "dedup_winnow": _dedup_winnow,
         "w5_lag_delta": _w5_lag_delta,
@@ -2152,6 +2156,93 @@ def _ivf_incr_oracle() -> str:
     )
 
 
+def _ivf_index_build_oracle() -> str:
+    """Persisted-IVF-index content oracle (mirrors
+    similarity.build_ivf_index over the base split): hash-stratified
+    centroid selection on vec_id % 10 != 0, argmax list assignment,
+    and the stored per-vector norm."""
+    return (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings WHERE vec_id % 10 != 0), "
+        "ch AS (SELECT vec_id, v, "
+        "CAST(('0x' || substr(md5(CAST('ivf:' || CAST(vec_id AS VARCHAR) "
+        "AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM c), "
+        "cent AS (SELECT vec_id AS cid, v AS cv FROM ("
+        "SELECT vec_id, v, row_number() OVER "
+        "(PARTITION BY h % 16 ORDER BY h, vec_id) AS rn FROM ch) "
+        "WHERE rn = 1), "
+        "assign AS (SELECT c.vec_id, c.v, cent.cid, "
+        "round(list_dot_product(c.v, cent.cv) / "
+        "(sqrt(list_dot_product(c.v, c.v)) * "
+        "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS sim "
+        "FROM c, cent), "
+        "member AS (SELECT vec_id, v, cid FROM ("
+        "SELECT vec_id, v, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM assign) "
+        "WHERE rn = 1) "
+        "SELECT vec_id, cid, "
+        "round(sqrt(list_dot_product(v, v)), 5) AS nc FROM member"
+    )
+
+
+def _ivf_index_probe_oracle() -> str:
+    """Probe-only search oracle (mirrors similarity.probe_ivf_index
+    driven by registry._ann_index_probe): two query waves ranked
+    against the base-split centroids, exact cosine within the probed
+    stored lists, top-10 per query per wave."""
+    waves = []
+    for wave, (lo, hi) in enumerate([(0, 10), (10, 20)], start=1):
+        waves.append(
+            f"q{wave} AS (SELECT vec_id AS query_id, v AS vq FROM call "
+            f"WHERE vec_id >= {lo} AND vec_id < {hi}), "
+            f"qa{wave} AS (SELECT q.query_id, q.vq, cent.cid, "
+            "round(list_dot_product(q.vq, cent.cv) / "
+            "(sqrt(list_dot_product(q.vq, q.vq)) * "
+            "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS qsim "
+            f"FROM q{wave} q, cent), "
+            f"probes{wave} AS (SELECT query_id, vq, cid FROM ("
+            "SELECT query_id, vq, cid, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY qsim DESC, cid ASC) AS pr "
+            f"FROM qa{wave}) WHERE pr <= 4), "
+            f"s{wave} AS (SELECT p.query_id, m.vec_id, "
+            "round(list_dot_product(p.vq, m.v) / "
+            "(sqrt(list_dot_product(p.vq, p.vq)) * "
+            "sqrt(list_dot_product(m.v, m.v))), 5) AS cos "
+            f"FROM member m JOIN probes{wave} p ON m.cid = p.cid "
+            "WHERE p.query_id != m.vec_id), "
+            f"r{wave} AS (SELECT query_id, vec_id, cos, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) "
+            f"AS rank FROM s{wave})"
+        )
+    return (
+        "WITH call AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings), "
+        "c AS (SELECT vec_id, v FROM call WHERE vec_id % 10 != 0), "
+        "ch AS (SELECT vec_id, v, "
+        "CAST(('0x' || substr(md5(CAST('ivf:' || CAST(vec_id AS VARCHAR) "
+        "AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM c), "
+        "cent AS (SELECT vec_id AS cid, v AS cv FROM ("
+        "SELECT vec_id, v, row_number() OVER "
+        "(PARTITION BY h % 16 ORDER BY h, vec_id) AS rn FROM ch) "
+        "WHERE rn = 1), "
+        "assign AS (SELECT c.vec_id, c.v, cent.cid, "
+        "round(list_dot_product(c.v, cent.cv) / "
+        "(sqrt(list_dot_product(c.v, c.v)) * "
+        "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS sim "
+        "FROM c, cent), "
+        "member AS (SELECT vec_id, v, cid FROM ("
+        "SELECT vec_id, v, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM assign) "
+        "WHERE rn = 1), "
+        + ", ".join(waves)
+        + " SELECT CAST(1 AS INTEGER) AS wave, query_id, vec_id, cos, "
+        "CAST(rank AS INTEGER) AS rank FROM r1 WHERE rank <= 10 "
+        "UNION ALL "
+        "SELECT CAST(2 AS INTEGER) AS wave, query_id, vec_id, cos, "
+        "CAST(rank AS INTEGER) AS rank FROM r2 WHERE rank <= 10"
+    )
+
+
 def _ivfsq_oracle() -> str:
     """IVF + int8 SQ + exact rerank oracle (mirrors
     similarity.ivfsq_ann_topk): identical centroid selection /
@@ -3119,6 +3210,8 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         "ann_ivf_topk": _ivf_oracle(),
         "ann_ivfsq_topk": _ivfsq_oracle(),
         "ann_ivf_incremental": _ivf_incr_oracle(),
+        "ann_index_build": _ivf_index_build_oracle(),
+        "ann_index_probe": _ivf_index_probe_oracle(),
         "ann_filtered_topk": _ivf_oracle(" WHERE label % 4 = 0"),
         # the recursive-CTE query ships ONE SQL text for both engines
         "sql_recursive_reach": RECURSIVE_REACH_SQL,

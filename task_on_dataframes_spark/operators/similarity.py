@@ -476,6 +476,135 @@ def ivf_ann_incremental(
     )
 
 
+#: bucket count for the persisted IVF index list table — same sizing
+#: note as dedup.LSH_INDEX_BUCKETS (cluster-sized at 100 TB, 8 keeps
+#: the test-scale layout on the s13 bucketed-join contract)
+IVF_INDEX_BUCKETS = 8
+
+
+def build_ivf_index(
+    spark,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    name_tag: str = "default",
+    base_path: Optional[str] = None,
+    n_centroids: int = 16,
+    n_buckets: int = IVF_INDEX_BUCKETS,
+) -> tuple:
+    """Persist the write-once IVF index — the vector twin of
+    ``dedup.build_lsh_index`` (r10 verdict item 6:
+    :func:`ivf_ann_incremental` still re-derived coarse lists
+    in-session; a production vector index pays the coarse quantizer
+    ONCE per corpus release and every later query batch probes the
+    stored lists).
+
+    Two parquet tables:
+
+    * ``tada_ivfidx_cents_{name_tag}``: ``(cid, cv)`` — the
+      ``n_centroids`` coarse centroids (hash-stratified deterministic
+      selection, identical to :func:`_ivf_centroids`). Tiny; always
+      broadcast by consumers.
+    * ``tada_ivfidx_lists_{name_tag}``: ``(cid, vec_id, vc, nc)`` —
+      the inverted-list membership (argmax centroid assignment,
+      identical to :func:`_ivf_member`) with each vector's norm
+      PRECOMPUTED, bucketed AND sorted by ``cid`` so a probe reads
+      only the probed lists (bucket pruning on the ``cid IN (...)``
+      probe filter) and never recomputes a corpus norm.
+
+    Returns ``(cents_table, lists_table)``. Idempotent per
+    ``name_tag`` — an existing layout is reused, not rewritten."""
+    import tempfile
+
+    cents_t = f"tada_ivfidx_cents_{name_tag}"
+    lists_t = f"tada_ivfidx_lists_{name_tag}"
+    if spark.catalog.tableExists(cents_t) and spark.catalog.tableExists(
+        lists_t
+    ):
+        return cents_t, lists_t
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vc"),
+    )
+    cents = _ivf_centroids(c, n_centroids)
+    member = _ivf_member(c, cents).withColumn("nc", norm("vc"))
+    base = base_path or tempfile.mkdtemp(prefix="tada_ivfidx_")
+    spark.sql(f"DROP TABLE IF EXISTS {cents_t}")
+    (
+        cents.write.mode("overwrite")
+        .option("path", f"{base}/{cents_t}")
+        .format("parquet")
+        .saveAsTable(cents_t)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {lists_t}")
+    (
+        member.select("cid", "vec_id", "vc", "nc")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "cid")
+        .sortBy("cid")
+        .option("path", f"{base}/{lists_t}")
+        .format("parquet")
+        .saveAsTable(lists_t)
+    )
+    return cents_t, lists_t
+
+
+def probe_ivf_index(
+    spark,
+    queries: DataFrame,
+    cents_table: str,
+    lists_table: str,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k ANN search of a query batch against the PERSISTED IVF
+    index written by :func:`build_ivf_index` — the probe-only plan:
+
+    1. rank centroids per query against the broadcast stored centroid
+       table (batch x n_centroids rows — batch-sized);
+    2. collect the probed list ids (a driver-side list BOUNDED by
+       ``n_centroids``, never corpus data) and filter the list table
+       with ``cid IN (...)`` — bucket pruning skips unprobed buckets
+       at the scan, the literal filter reaches the parquet reader;
+    3. broadcast the probed (query_id, vq, cid) pairs into the list
+       scan — the corpus side never shuffles, never aggregates, and
+       never recomputes a norm (``nc`` is stored).
+
+    Output (query_id, vec_id, cos, rank), rank 1..k by exact cosine
+    within probed lists — value-identical to :func:`ivf_ann_topk`
+    over the same corpus. Plan contract asserted in
+    tests/test_plan_shapes.py (no Exchange/Aggregate above the
+    ``tada_ivfidx`` scans)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    )
+    cents = spark.table(cents_table)
+    probes = _ivf_probes(q, cents, n_probe)
+    cids = sorted(
+        r["cid"] for r in probes.select("cid").distinct().collect()
+    )
+    lists = spark.table(lists_table).filter(F.col("cid").isin(cids))
+    scored = (
+        lists.join(F.broadcast(probes.withColumn("nq", norm("vq"))), on="cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot("vq", "vc") / (F.col("nq") * F.col("nc")), 5
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def quantize_int8(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -297,6 +297,70 @@ def _ann_ivf_incremental(spark, sf_dir):
     )
 
 
+def _ensure_ivf_index(spark, sf_dir):
+    """Build (once per session per sf_dir — the s13 layout-caching
+    contract shared with dedup's _ensure_lsh_index) the persisted IVF
+    index over the base corpus split (vec_id % 10 != 0): the stored
+    centroid table and the cid-bucketed inverted-list table with
+    precomputed norms. Returns (cents_table, lists_table)."""
+    import hashlib
+
+    from task_on_dataframes_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = _embs(spark, sf_dir).filter(F.col("vec_id") % 10 != 0)
+    return build_ivf_index(
+        spark, base, "vec_id", "embedding", name_tag=tag, n_centroids=16
+    )
+
+
+def _ann_index_build(spark, sf_dir):
+    """The write-once IVF corpus index as a first-class query (r10
+    verdict item 6 — the vector twin of dedup_index_build): persist
+    coarse centroids + cid-bucketed inverted lists with precomputed
+    norms for the base corpus (vec_id % 10 != 0), then return the
+    index content — one row per vector with its list assignment and
+    stored norm. The oracle replays centroid selection, argmax
+    assignment, and the norm from the raw parquet. Build cost is one
+    corpus scan + the centroid-sample shuffle + the assignment argmax,
+    paid once per corpus release."""
+    cents_t, lists_t = _ensure_ivf_index(spark, sf_dir)
+    return spark.table(lists_t).select(
+        "vec_id", "cid", F.round("nc", 5).alias("nc")
+    )
+
+
+def _ann_index_probe(spark, sf_dir):
+    """Two query waves probed against the SAME persisted IVF index —
+    the reuse contract that makes vector search incremental: wave 1
+    (vec_id < 10) and wave 2 (10 <= vec_id < 20) each rank the stored
+    centroids, read ONLY their probed buckets (cid IN-filter bucket
+    pruning), and score against stored vectors + norms. The corpus is
+    never re-assigned, re-normed, or shuffled (plan contract in
+    tests/test_plan_shapes.py). Output = exact top-10 by cosine
+    within probed lists, tagged by wave."""
+    from task_on_dataframes_spark.operators.similarity import (
+        probe_ivf_index,
+    )
+
+    emb = _embs(spark, sf_dir)
+    cents_t, lists_t = _ensure_ivf_index(spark, sf_dir)
+    outs = []
+    for wave, (lo, hi) in enumerate([(0, 10), (10, 20)], start=1):
+        batch = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        m = probe_ivf_index(
+            spark, batch, cents_t, lists_t, k=10, n_probe=4
+        )
+        outs.append(m.withColumn("wave", F.lit(wave)))
+    return outs[0].unionByName(outs[1]).select(
+        "wave", "query_id", "vec_id", "cos", "rank"
+    )
+
+
 def clustered_embeddings(
     emb: DataFrame, n_clusters: int = 12, jitter: float = 0.15
 ) -> DataFrame:

@@ -415,6 +415,33 @@ def test_lsh_index_probe_never_shuffles_the_corpus(
     assert plan.count("Bucketed: true") >= n_scans, plan
 
 
+def test_ivf_index_probe_never_shuffles_the_corpus(
+    spark, sf_dir, queries
+):
+    """The r11 persisted-IVF contract (vector twin of the LSH index
+    probe above): every inverted-list scan in ann_index_probe is
+    joined via the broadcast probe pairs IN PLACE — between each
+    ``tada_ivfidx_lists`` FileScan and its nearest Join ancestor
+    there is no Exchange (no shuffle or broadcast of the corpus) and
+    no Aggregate (no re-assignment or re-norming). The probed-cid
+    literal filter must reach the parquet reader, which is what makes
+    the scan list-pruned at scale."""
+    plan = _physical(queries["ann_index_probe"](spark, sf_dir))
+    paths = _scan_ancestry(plan, "tada_ivfidx_lists")
+    scans = [p for p in paths if p]
+    assert len(scans) == 2, plan  # one per query wave
+    for path in scans:
+        for ln in path:
+            if "Join" in ln:
+                break
+            assert "Exchange" not in ln, plan
+            assert "Aggregate" not in ln, plan
+        else:
+            raise AssertionError(f"list scan never joined:\n{plan}")
+    # the cid IN (...) probe filter is pushed into the parquet reader
+    assert "PushedFilters: [In(cid" in plan, plan
+
+
 def test_jaccard_verify_intersects_exactly_once(spark):
     """The r10 sf10 finding: without the pushdown barrier, Catalyst
     duplicates array_intersect into the join condition (interpreted,
