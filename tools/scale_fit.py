@@ -228,17 +228,25 @@ def _grow(rnd: int, sf: float, sf_dir: str, names: list) -> int:
     excess = measured / linear extrapolation of the artifact's
     (sf1, sf3) normalized segment — the two points where the cluster
     regime is already growing, so super-linear cap saturation cannot
-    hide in a small-cluster baseline."""
+    hide in a small-cluster baseline.
+
+    ISOLATED since r11: each name runs in its OWN fresh child (one
+    per-name calibration), not one shared chunk — SCALE.md §27: the
+    r10 shared-chunk grow run (5 queries sequentially, pipelines
+    last) manufactured excess 1.89/1.65 on queries that measured
+    SUB-linear wall when re-run isolated on the same commit."""
     path = os.path.join(HERE, f"SCALE_FIT_r{rnd:02d}.json")
     with open(path) as f:
         art = json.load(f)
     sfs = [s for s, _ in SCALES]
     calibs = [c for c in art["calib"].values() if c]
     ref = min(calibs) if calibs else None
-    meas = _run_scale(sf_dir, names)
-    calib = meas.get("calib_sec")
+    grow_calibs = {}
     for n in names:
         rec = art["queries"].setdefault(n, {})
+        meas = _run_scale(sf_dir, [n])
+        calib = meas.get("calib_sec")
+        grow_calibs[n] = calib
         sec = meas["queries"].get(n, {}).get("sec")
         if sec is None:
             rec[f"err_sf{sf}"] = meas["queries"].get(n, {}).get(
@@ -270,13 +278,14 @@ def _grow(rnd: int, sf: float, sf_dir: str, names: list) -> int:
         )
     art.setdefault("grow", {})[f"sf{sf}"] = {
         "dir": sf_dir,
-        "calib_sec": calib,
-        "calib_probes": meas.get("calib_probes"),
+        "calib_per_name": grow_calibs,
         "names": names,
+        "regime": "isolated (one fresh child + calib per name)",
     }
     note = (
         f"; grow-with-scale point at sf{sf}: excess vs linear "
-        "extrapolation of the (sf1, sf3) normalized segment"
+        "extrapolation of the (sf1, sf3) normalized segment, "
+        "measured ISOLATED per name (r11)"
     )
     if note not in art["method"]:
         art["method"] += note
