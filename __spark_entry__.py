@@ -86,6 +86,7 @@ from task_on_dataframes_spark.registry.dedup import (
     _dedup_daily_first,
     _dedup_incremental_lsh,
     _dedup_index_build,
+    _dedup_index_maintain,
     _dedup_index_probe,
     _dedup_embedding_cosine,
     _dedup_embedding_lsh,
@@ -116,6 +117,7 @@ from task_on_dataframes_spark.registry.embeddings import (
     _ann_ivfsq_topk,
     _ann_ivf_incremental,
     _ann_index_build,
+    _ann_index_maintain,
     _ann_index_probe,
     _ann_pq_topk,
     _ann_lsh_multi_topk,
@@ -714,77 +716,84 @@ def _bloom_decontaminate_oracle_sql(k: int = 3, m: int = 1 << 16) -> str:
 # ---------------------------------------------------------------------------
 
 #: driver window, rotated per round (policy: everything this round
-#: TOUCHED first — the new index build/probe pair (never
-#: driver-checked), the probe-only incremental rewrite, the banding
-#: dial, the BPE-artifact consumers, and every jaccard_verify rider —
-#: then the least-recently-driver-checked tail (the r4 stream/sql
-#: wave and the r5 multimodal/storage/sketch wave; stalest per the
-#: CORRECTNESS_r1..r9 union). Overlap with the r9 window: 5/50, all
-#: five touched by round-10 changes.
-_R10_WINDOW = [
+#: TOUCHED first — the new persisted-IVF index pair (never
+#: driver-checked), the two pipeline flagships after the §27 verdict
+#: rewrite (scan-stage array_max argmax, named c3), the script_id
+#: consumers, the three event-family queries under bench-drift
+#: adjudication, every rider of the seeded-barrier / BPE-artifact-key
+#: changes — then the least-recently-driver-checked tail (stalest per
+#: the CORRECTNESS_r1..r10 union). Overlap with the r10 window: 6/50,
+#: all six touched by round-11 changes.
+_R11_WINDOW = [
+    # never driver-checked (new this round)
+    "ann_index_build",
+    "ann_index_probe",
+    "ann_index_maintain",
+    "dedup_index_maintain",
+    # §27 verdict rewrite + script_id consumers
+    "pipeline_multilingual_curation",
+    "pipeline_multilingual_tokens",
+    "text_langid_script",
+    "text_langid",
+    # bench-drift adjudication targets (parallel-stage probe)
+    "j6_asof_join",
+    "ev_sessionize",
+    "ev_hourly_agg",
+    # persisted-index probes (new bench flagships) + barrier riders
     "dedup_index_build",
     "dedup_index_probe",
-    "dedup_incremental_lsh",
-    "dedup_star_recall_eval",
-    "pipeline_multilingual_tokens",
-    "text_bpe_apply",
     "dedup_minhash_char",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_recall_eval",
-    "text_winnow",
-    "snapshot_diff",
-    "sql_pipe_syntax",
-    "sql_recursive_reach",
-    "stream_cms",
-    "stream_mv_upsert",
-    "stream_sessionize",
-    "text_chunk_overlap",
-    "text_entropy",
-    "text_langid_confusion",
-    "dedup_cross_corpus",
-    "dedup_daily_first",
-    "emb_label_centroids",
-    "ev_ohlc_bars",
-    "ev_session_window_builtin",
-    "f_map_funcs",
-    "j9_full_outer",
-    "mix_temperature",
-    "mm_audio_features",
-    "mm_audio_resample",
-    "mm_decode_meta",
-    "mm_frame_sample",
-    "mm_raw_decode",
-    "mm_raw_pipeline",
-    "profile_table",
-    "quality_psi_drift",
-    "s10_jsonl_roundtrip",
-    "s11_partition_prune",
-    "s12_sorted_stats_prune",
-    "s14_compaction",
-    "s15_schema_merge",
-    "s9_orc_roundtrip",
-    "sample_bottomk",
-    "sample_negatives",
-    "scd2_history",
-    "shard_assign",
-    "sketch_heavy_hitters",
-    "sketch_hll_bound",
-    "sketch_quantile_bound",
-    "stream_dedup",
+    "dedup_incremental_lsh",
+    # BPE artifact-key change rider
+    "text_bpe_apply",
+    # stalest tail (r3/r4 waves, unseen since)
+    "stream_enrich",
+    "stream_stream_join",
+    "stream_windowed_topk",
+    "text_bigram_lm",
+    "text_fim_transform",
+    "text_sentences",
+    "w8_first_last",
+    "a1_value_counts",
+    "a2_scalar_sum",
+    "a9_quantiles",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_sq_rerank",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_substring",
+    "emb_gram",
+    "emb_pca_project",
+    "emb_pca_top",
+    "emb_pca_top2",
+    "emb_quantize",
+    "f1_explode_carry",
+    "f2_word_boundary_split",
+    "f_array_funcs",
+    "f_date_funcs",
+    "f_posexplode",
+    "f_string_funcs",
+    "j3_left_join",
+    "j4_semi_join",
+    "j5_anti_join",
+    "mm_png_decode",
+    "mm_wav_decode",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    head = {k: q[k] for k in _R10_WINDOW if k in q}
+    head = {k: q[k] for k in _R11_WINDOW if k in q}
     return head | {k: v for k, v in q.items() if k not in head}
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r4 ordering below; the driver window is imposed by
-        # _R10_WINDOW in queries() ---
+        # _R11_WINDOW in queries() ---
         "j10_interval_overlap_join": _j10_interval_overlap_join,
         "quality_ks_drift": _quality_ks_drift,
         "quality_psi_drift": _quality_psi_drift,
@@ -799,6 +808,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest this round (no driver row yet, waves 5-11)
         "dedup_incremental_lsh": _dedup_incremental_lsh,
         "dedup_index_build": _dedup_index_build,
+        "dedup_index_maintain": _dedup_index_maintain,
         "dedup_index_probe": _dedup_index_probe,
         "quality_linear_probe": _quality_linear_probe,
         "quality_probe_by_lang": _quality_probe_by_lang,
@@ -961,6 +971,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfsq_topk": _ann_ivfsq_topk,
         "ann_ivf_incremental": _ann_ivf_incremental,
         "ann_index_build": _ann_index_build,
+        "ann_index_maintain": _ann_index_maintain,
         "ann_index_probe": _ann_index_probe,
         "sample_topk_per_stratum": _sample_topk_per_stratum,
         "dedup_winnow": _dedup_winnow,
@@ -1364,6 +1375,36 @@ v AS (SELECT i.wave, i.a,
 SELECT wave, a AS doc_id, CAST(count(*) AS INT) AS n_matches,
        max(jaccard) AS max_jaccard
 FROM v GROUP BY wave, a
+"""
+
+
+def _lsh_index_maintain_oracle(
+    num_perm: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """Replay of the index LIFECYCLE query: phase 1 probes wave 1
+    (did % 7 = 1) against the corpus index (did % 7 = 0); phase 2
+    probes wave 2 (did % 7 = 2) against the index GROWN by the
+    wave-1 append, i.e. targets did % 7 IN (0, 1). Identical
+    shingle/signature/band CTEs as the build/probe oracles; only the
+    candidate asymmetry differs."""
+    return f"""{_lsh_cand_ctes(num_perm, bands)},
+icand AS (SELECT DISTINCT CASE WHEN x.did % 7 = 1 THEN 1 ELSE 2 END AS phase,
+                 x.did AS a, y.did AS b
+          FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+          WHERE (x.did % 7 = 1 AND y.did % 7 = 0)
+             OR (x.did % 7 = 2 AND y.did % 7 IN (0, 1))),
+sz AS (SELECT did, count(*) AS sz FROM g GROUP BY did),
+inter AS (SELECT c.phase, c.a, c.b, count(*) AS inter FROM icand c
+          JOIN g ga ON ga.did = c.a
+          JOIN g gb ON gb.did = c.b AND gb.tok = ga.tok
+          GROUP BY c.phase, c.a, c.b),
+v AS (SELECT i.phase, i.a,
+             round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+      FROM inter i JOIN sz sa ON i.a = sa.did JOIN sz sb ON i.b = sb.did
+      WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold})
+SELECT phase, a AS doc_id, CAST(count(*) AS INT) AS n_matches,
+       max(jaccard) AS max_jaccard
+FROM v GROUP BY phase, a
 """
 
 
@@ -2243,6 +2284,73 @@ def _ivf_index_probe_oracle() -> str:
     )
 
 
+def _ivf_index_maintain_oracle() -> str:
+    """Lifecycle oracle (mirrors registry._ann_index_maintain): the
+    base split (vec_id % 10 not in (0, 5)) elects the centroids and
+    phase-1 membership; phase 2 adds the growth wave (% 10 = 5)
+    assigned to the SAME frozen centroids. One bounded query batch
+    (% 10 = 0, vec_id < 200) is ranked once (probes are
+    centroid-only, so phase-invariant) and scored against each
+    phase's member set, top-10 per query per phase."""
+    phase_score = (
+        "s{p} AS (SELECT pr.query_id, m.vec_id, "
+        "round(list_dot_product(pr.vq, m.v) / "
+        "(sqrt(list_dot_product(pr.vq, pr.vq)) * "
+        "sqrt(list_dot_product(m.v, m.v))), 5) AS cos "
+        "FROM member{p} m JOIN probes pr ON m.cid = pr.cid "
+        "WHERE pr.query_id != m.vec_id), "
+        "r{p} AS (SELECT query_id, vec_id, cos, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) "
+        "AS rank FROM s{p})"
+    )
+    member = (
+        "assign{p} AS (SELECT u.vec_id, u.v, cent.cid, "
+        "round(list_dot_product(u.v, cent.cv) / "
+        "(sqrt(list_dot_product(u.v, u.v)) * "
+        "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS sim "
+        "FROM {src} u, cent), "
+        "member{p} AS (SELECT vec_id, v, cid FROM ("
+        "SELECT vec_id, v, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn "
+        "FROM assign{p}) WHERE rn = 1)"
+    )
+    return (
+        "WITH call AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings), "
+        "c AS (SELECT vec_id, v FROM call "
+        "WHERE vec_id % 10 NOT IN (0, 5)), "
+        "ch AS (SELECT vec_id, v, "
+        "CAST(('0x' || substr(md5(CAST('ivf:' || CAST(vec_id AS VARCHAR) "
+        "AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM c), "
+        "cent AS (SELECT vec_id AS cid, v AS cv FROM ("
+        "SELECT vec_id, v, row_number() OVER "
+        "(PARTITION BY h % 16 ORDER BY h, vec_id) AS rn FROM ch) "
+        "WHERE rn = 1), "
+        "grown AS (SELECT vec_id, v FROM c UNION ALL "
+        "SELECT vec_id, v FROM call WHERE vec_id % 10 = 5), "
+        + member.format(p=1, src="c") + ", "
+        + member.format(p=2, src="grown") + ", "
+        "q AS (SELECT vec_id AS query_id, v AS vq FROM call "
+        "WHERE vec_id % 10 = 0 AND vec_id < 200), "
+        "qa AS (SELECT q.query_id, q.vq, cent.cid, "
+        "round(list_dot_product(q.vq, cent.cv) / "
+        "(sqrt(list_dot_product(q.vq, q.vq)) * "
+        "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS qsim "
+        "FROM q, cent), "
+        "probes AS (SELECT query_id, vq, cid FROM ("
+        "SELECT query_id, vq, cid, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY qsim DESC, cid ASC) AS pr "
+        "FROM qa) WHERE pr <= 4), "
+        + phase_score.format(p=1) + ", "
+        + phase_score.format(p=2)
+        + " SELECT CAST(1 AS INTEGER) AS phase, query_id, vec_id, cos, "
+        "CAST(rank AS INTEGER) AS rank FROM r1 WHERE rank <= 10 "
+        "UNION ALL "
+        "SELECT CAST(2 AS INTEGER) AS phase, query_id, vec_id, cos, "
+        "CAST(rank AS INTEGER) AS rank FROM r2 WHERE rank <= 10"
+    )
+
+
 def _ivfsq_oracle() -> str:
     """IVF + int8 SQ + exact rerank oracle (mirrors
     similarity.ivfsq_ann_topk): identical centroid selection /
@@ -3117,6 +3225,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         ),
         "dedup_incremental_lsh": _incr_lsh_oracle(16, 4, 0.5),
         "dedup_index_build": _lsh_index_build_oracle(16, 4),
+        "dedup_index_maintain": _lsh_index_maintain_oracle(16, 4, 0.5),
         "dedup_index_probe": _lsh_index_probe_oracle(16, 4, 0.5),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(3, 0.5, 50),
         "dedup_simhash": _simhash_oracle(32, 3),
@@ -3211,6 +3320,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         "ann_ivfsq_topk": _ivfsq_oracle(),
         "ann_ivf_incremental": _ivf_incr_oracle(),
         "ann_index_build": _ivf_index_build_oracle(),
+        "ann_index_maintain": _ivf_index_maintain_oracle(),
         "ann_index_probe": _ivf_index_probe_oracle(),
         "ann_filtered_topk": _ivf_oracle(" WHERE label % 4 = 0"),
         # the recursive-CTE query ships ONE SQL text for both engines

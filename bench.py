@@ -111,6 +111,11 @@ def main() -> None:
         # round-9 flagship: byte-BPE token accounting over the kept
         # survivors (train + apply in one query)
         "pipeline_multilingual_tokens",
+        # round-10/11 flagships: probe-only paths against persisted
+        # indexes (the warm run pays the one-time index build; timed
+        # runs measure the steady-state batch-sized probe)
+        "dedup_index_probe",
+        "ann_index_probe",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}

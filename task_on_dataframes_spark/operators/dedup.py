@@ -710,6 +710,125 @@ def probe_lsh_index(
     )
 
 
+def append_lsh_index(
+    spark,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    keys_table: str,
+    sets_table: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    n_buckets: int = LSH_INDEX_BUCKETS,
+) -> None:
+    """Fold a deduped ingest ``batch`` INTO the persisted LSH index —
+    the maintenance step that completes the index lifecycle
+    (:func:`build_lsh_index` once -> :func:`probe_lsh_index` per wave
+    -> ``append_lsh_index`` per accepted wave), so wave N+2 finds
+    near-dups of wave N+1, not just of the original corpus.
+
+    Scale shape: only the BATCH is shingled, signed, and packed (the
+    same batch-sized plan as the probe); the new rows are written as
+    additional bucketed+sorted files into the SAME tables
+    (by-name ``saveAsTable`` append with a matching bucket spec —
+    Spark validates the spec against the catalog). The existing index
+    files are never read, rewritten, or shuffled: append cost is
+    O(batch), independent of corpus size.
+
+    Contract drift after appends: each append adds one file per
+    occupied bucket, so the bucketed scan keeps its no-Exchange
+    probe-join guarantee (bucket pruning and co-location are
+    file-count-independent) but SMJ now sorts each multi-file bucket
+    in place — the probe plan gains a LOCAL Sort, never a shuffle
+    (this is the exact regime tests/test_plan_shapes.py already
+    allows). :func:`compact_lsh_index` restores the one-file-per-
+    bucket layout when accumulated appends make the local sorts
+    matter.
+
+    ``num_perm``/``bands``/``shingle_n`` must match the build call —
+    they parameterize the stored signatures.
+    """
+    bid = batch.select(
+        F.col(id_col).alias("did"), F.col(text_col).alias("text")
+    )
+    toks = _shingles(bid, "did", "text", shingle_n)
+    sigs = minhash_signatures(toks, num_perm)
+    keys = lsh_band_keys(sigs, num_perm, bands).withColumn(
+        "bk", F.concat_ws(":", F.col("band").cast("string"), F.col("key"))
+    )
+    packed = pack_shingle_sets(toks)
+    for name, df, key in ((keys_table, keys, "bk"), (sets_table, packed, "did")):
+        (
+            df.write.mode("append")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+
+
+def compact_lsh_index(
+    spark,
+    keys_table: str,
+    sets_table: str,
+    name_tag: str,
+    base_path: Optional[str] = None,
+    n_buckets: int = LSH_INDEX_BUCKETS,
+) -> tuple:
+    """Rewrite an appended-to LSH index into a fresh one-file-per-
+    bucket layout — the amortized maintenance pass (the Iceberg/Delta
+    ``rewrite_data_files`` analog for this layout) that removes the
+    per-bucket local Sorts appends accumulate in the probe plan.
+
+    Each table is repartitioned on its bucket column into exactly
+    ``n_buckets`` partitions — ``repartition(n, col)`` and
+    ``bucketBy(n, col)`` share the same murmur3-pmod placement, so
+    every task holds exactly one bucket and the bucketed write emits
+    ONE sorted file per bucket. Cost: one full shuffle of the INDEX
+    (not the corpus text — band keys and packed digests only), paid
+    once per compaction window; probes in between stay O(batch).
+
+    Returns the new ``(keys_table, sets_table)`` names under
+    ``name_tag``; the old tables are left for the caller to drop once
+    readers drain (snapshot-style swap, never in-place).
+
+    The source is re-read by PATH, not through the catalog: the
+    catalog table's bucket spec already advertises
+    ``HashPartitioning(key, n)``, so Catalyst eliminates the
+    ``repartition`` as redundant — and then scans the files in
+    arbitrary non-bucketed splits, scattering each bucket across
+    tasks (observed: 11 files for 8 buckets). A path read has unknown
+    partitioning, the shuffle survives, and task id == bucket id
+    (repartition and bucketBy share murmur3-pmod placement), so each
+    task emits exactly one sorted file.
+    """
+    import os
+    import tempfile
+
+    new_keys = f"tada_lshidx_keys_{name_tag}"
+    new_sets = f"tada_lshidx_sets_{name_tag}"
+    base = base_path or tempfile.mkdtemp(prefix="tada_lshidx_")
+    for src, name, key in (
+        (keys_table, new_keys, "bk"),
+        (sets_table, new_sets, "did"),
+    ):
+        cat = spark.table(src)
+        src_dir = os.path.dirname(cat.inputFiles()[0])
+        raw = spark.read.schema(cat.schema).parquet(src_dir)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            raw.repartition(n_buckets, F.col(key))
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return new_keys, new_sets
+
+
 def levenshtein_pairs(
     df: DataFrame,
     id_col: str,

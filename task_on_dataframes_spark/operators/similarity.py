@@ -549,6 +549,49 @@ def build_ivf_index(
     return cents_t, lists_t
 
 
+def append_ivf_index(
+    spark,
+    batch: DataFrame,
+    cents_table: str,
+    lists_table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = IVF_INDEX_BUCKETS,
+) -> None:
+    """Fold a batch of NEW vectors into the persisted IVF index — the
+    maintenance step that completes the vector-index lifecycle
+    (:func:`build_ivf_index` once -> :func:`probe_ivf_index` per
+    query wave -> ``append_ivf_index`` per ingest wave), the exact
+    twin of ``dedup.append_lsh_index``.
+
+    The coarse quantizer stays FROZEN (the contract
+    :func:`ivf_ann_incremental` already pins in-session: re-training
+    centroids per wave would invalidate every stored assignment):
+    batch vectors are scored against the broadcast STORED centroid
+    table, argmax-assigned, normed, and appended as additional
+    bucketed+sorted files into the list table. The existing index
+    files are never read or rewritten — append cost is O(batch x
+    n_centroids), independent of corpus size. Bucket pruning and the
+    no-Exchange probe join survive appends (file-count-independent);
+    multi-file buckets only add a LOCAL sort in SMJ plans, and the
+    probe path joins via broadcast anyway."""
+    b = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vc"),
+    )
+    member = _ivf_member(b, spark.table(cents_table)).withColumn(
+        "nc", norm("vc")
+    )
+    (
+        member.select("cid", "vec_id", "vc", "nc")
+        .write.mode("append")
+        .bucketBy(n_buckets, "cid")
+        .sortBy("cid")
+        .format("parquet")
+        .saveAsTable(lists_table)
+    )
+
+
 def probe_ivf_index(
     spark,
     queries: DataFrame,

@@ -296,6 +296,56 @@ def _dedup_index_probe(spark, sf_dir):
         "wave", "doc_id", "n_matches", "max_jaccard"
     )
 
+def _dedup_index_maintain(spark, sf_dir):
+    """The full index lifecycle in one query (r11): build the
+    persisted LSH index on the corpus slice (doc_id % 7 == 0), probe
+    wave 1 (% 7 == 1) against it, APPEND wave 1's band keys and
+    packed sets into the index (batch-sized work only — the existing
+    index files are never read or rewritten), then probe wave 2
+    (% 7 == 2) against the GROWN index. Phase 2's matches therefore
+    include near-dups of wave-1 documents, which the build-once/
+    probe-only queries can never see — the property that makes
+    rolling 100 TB ingest dedup converge instead of only deduping
+    against a frozen snapshot.
+
+    Phase 1 is materialized (localCheckpoint) BEFORE the append so
+    both phases are deterministic on re-execution of the returned
+    frame; the index gets a fresh tag per invocation so repeated
+    calls never double-append. Output:
+    (phase, doc_id, n_matches, max_jaccard)."""
+    import uuid
+
+    from task_on_dataframes_spark.operators.dedup import (
+        append_lsh_index,
+        build_lsh_index,
+        probe_lsh_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tag = "mnt_" + uuid.uuid4().hex[:8]
+    corpus = docs.filter(F.col("doc_id") % 7 == 0)
+    keys_t, sets_t = build_lsh_index(
+        spark, corpus, "doc_id", "text", name_tag=tag,
+        num_perm=16, bands=4, shingle_n=2,
+    )
+    wave1 = docs.filter(F.col("doc_id") % 7 == 1)
+    m1 = probe_lsh_index(
+        spark, wave1, "doc_id", "text", keys_t, sets_t,
+        num_perm=16, bands=4, threshold=0.5, shingle_n=2,
+    ).withColumn("phase", F.lit(1)).localCheckpoint()
+    append_lsh_index(
+        spark, wave1, "doc_id", "text", keys_t, sets_t,
+        num_perm=16, bands=4, shingle_n=2,
+    )
+    wave2 = docs.filter(F.col("doc_id") % 7 == 2)
+    m2 = probe_lsh_index(
+        spark, wave2, "doc_id", "text", keys_t, sets_t,
+        num_perm=16, bands=4, threshold=0.5, shingle_n=2,
+    ).withColumn("phase", F.lit(2))
+    return m1.unionByName(m2).select(
+        "phase", "doc_id", "n_matches", "max_jaccard"
+    )
+
 def _dedup_incremental_lsh(spark, sf_dir):
     """Near-dup version of :func:`_dedup_cross_corpus`: the new batch
     (doc_id % 7 != 0) is LSH-probed against the existing corpus slice

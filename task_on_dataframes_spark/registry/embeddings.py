@@ -361,6 +361,53 @@ def _ann_index_probe(spark, sf_dir):
     )
 
 
+def _ann_index_maintain(spark, sf_dir):
+    """The full vector-index lifecycle in one query (r11, the twin of
+    dedup_index_maintain): build the persisted IVF index on the base
+    split (vec_id % 10 not in (0, 5)), probe a bounded query batch
+    (vec_id % 10 == 0, vec_id < 200) against it, APPEND the growth
+    wave (vec_id % 10 == 5) — assigned to the FROZEN stored centroids,
+    batch-sized work only — then probe the SAME queries against the
+    GROWN index. Phase-2 top-10s can pull in appended vectors, which
+    the build-once path can never return: the property that lets a
+    100 TB vector corpus take rolling ingest without re-quantizing.
+
+    Phase 1 is materialized (localCheckpoint) before the append so
+    both phases stay deterministic on re-execution; a fresh tag per
+    invocation prevents double-appends. Output:
+    (phase, query_id, vec_id, cos, rank)."""
+    import uuid
+
+    from task_on_dataframes_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    emb = _embs(spark, sf_dir)
+    tag = "mnt_" + uuid.uuid4().hex[:8]
+    base = emb.filter(
+        (F.col("vec_id") % 10 != 0) & (F.col("vec_id") % 10 != 5)
+    )
+    cents_t, lists_t = build_ivf_index(
+        spark, base, "vec_id", "embedding", name_tag=tag, n_centroids=16
+    )
+    queries = emb.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 200)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    m1 = probe_ivf_index(
+        spark, queries, cents_t, lists_t, k=10, n_probe=4
+    ).withColumn("phase", F.lit(1)).localCheckpoint()
+    growth = emb.filter(F.col("vec_id") % 10 == 5)
+    append_ivf_index(spark, growth, cents_t, lists_t)
+    m2 = probe_ivf_index(
+        spark, queries, cents_t, lists_t, k=10, n_probe=4
+    ).withColumn("phase", F.lit(2))
+    return m1.unionByName(m2).select(
+        "phase", "query_id", "vec_id", "cos", "rank"
+    )
+
+
 def clustered_embeddings(
     emb: DataFrame, n_clusters: int = 12, jitter: float = 0.15
 ) -> DataFrame:

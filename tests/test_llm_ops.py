@@ -92,6 +92,92 @@ def test_persisted_lsh_index_probe_matches_one_shot(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_lsh_index_append_then_compact_roundtrip(spark, sf_dir):
+    """The r11 index lifecycle: appending a wave into the persisted
+    index makes its documents probe-visible (equal to a one-shot over
+    corpus+wave), the append must not rewrite existing index files,
+    and compaction restores one file per bucket while leaving probe
+    results bit-identical."""
+    import glob
+    import os
+
+    from task_on_dataframes_spark.operators.dedup import (
+        LSH_INDEX_BUCKETS,
+        append_lsh_index,
+        build_lsh_index,
+        compact_lsh_index,
+        incremental_lsh_matches,
+        probe_lsh_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old "
+        "stone bridge by the river every single morning without fail"
+    )
+    w1doc = base.replace("lazy", "sleepy")  # near-dup of corpus 100
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "completely different corpus text here "
+                            "about astronomy and telescopes at night")],
+        ["doc_id", "text"],
+    )
+    wave1 = spark.createDataFrame(
+        [(200, w1doc), (201, "novel wave one content with no overlap "
+                             "whatsoever to anything else at all")],
+        ["doc_id", "text"],
+    )
+    wave2 = spark.createDataFrame(
+        # near-dup of WAVE-1 doc 201 — only findable post-append
+        [(300, "novel wave one content with no overlap whatsoever "
+               "to anything else here")],
+        ["doc_id", "text"],
+    )
+    keys_t, sets_t = build_lsh_index(
+        spark, corpus, "doc_id", "text", name_tag="t_maintain"
+    )
+    keys_dir = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {keys_t}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    ).removeprefix("file:")
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(keys_dir, "*.parquet"))
+    }
+    append_lsh_index(spark, wave1, "doc_id", "text", keys_t, sets_t)
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(keys_dir, "*.parquet"))
+    }
+    # append-only: every pre-existing file survives untouched
+    assert set(before) <= set(after) and len(after) > len(before)
+    assert all(after[p] == m for p, m in before.items())
+    probed = probe_lsh_index(
+        spark, wave2, "doc_id", "text", keys_t, sets_t, threshold=0.5
+    )
+    oneshot = incremental_lsh_matches(
+        wave2, corpus.unionByName(wave1), "doc_id", "text", threshold=0.5
+    )
+    got = {tuple(r) for r in probed.collect()}
+    want = {tuple(r) for r in oneshot.collect()}
+    assert got == want and len(want) > 0
+    # compaction: one sorted file per bucket, identical probe output
+    ck, cs = compact_lsh_index(spark, keys_t, sets_t, "t_maintain_c")
+    ck_dir = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {ck}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    ).removeprefix("file:")
+    files = glob.glob(os.path.join(ck_dir, "*.parquet"))
+    assert len(files) <= LSH_INDEX_BUCKETS, files
+    compacted = {
+        tuple(r)
+        for r in probe_lsh_index(
+            spark, wave2, "doc_id", "text", ck, cs, threshold=0.5
+        ).collect()
+    }
+    assert compacted == got
+
+
 def test_exact_dedup_counts_sum_to_corpus(spark, sf_dir):
     from task_on_dataframes_spark.operators.dedup import exact_dedup
 

@@ -386,7 +386,14 @@ def _scan_ancestry(plan: str, needle: str):
 
 @pytest.mark.parametrize(
     "qname, n_scans",
-    [("dedup_incremental_lsh", 2), ("dedup_index_probe", 4)],
+    [
+        ("dedup_incremental_lsh", 2),
+        ("dedup_index_probe", 4),
+        # maintain: phase 1 is checkpointed away; the surviving plan
+        # is the wave-2 probe over the APPENDED (multi-file-bucket)
+        # index — 2 scans, still joined in place (local Sort only)
+        ("dedup_index_maintain", 2),
+    ],
 )
 def test_lsh_index_probe_never_shuffles_the_corpus(
     spark, sf_dir, queries, qname, n_scans
@@ -439,6 +446,29 @@ def test_ivf_index_probe_never_shuffles_the_corpus(
         else:
             raise AssertionError(f"list scan never joined:\n{plan}")
     # the cid IN (...) probe filter is pushed into the parquet reader
+    assert "PushedFilters: [In(cid" in plan, plan
+
+
+def test_ivf_index_maintain_probe_stays_in_place(spark, sf_dir, queries):
+    """ann_index_maintain's surviving plan (phase 1 is checkpointed
+    away) is the phase-2 probe over the APPENDED list table: the scan
+    must still be joined in place via the broadcast probe pairs — no
+    Exchange, no Aggregate between the ``tada_ivfidx_lists`` FileScan
+    and its Join — and the probed-cid literal filter must still reach
+    the parquet reader. Appends add files per bucket; they must not
+    change the probe plan shape."""
+    plan = _physical(queries["ann_index_maintain"](spark, sf_dir))
+    paths = _scan_ancestry(plan, "tada_ivfidx_lists")
+    scans = [p for p in paths if p]
+    assert len(scans) == 1, plan  # phase 2 only — phase 1 checkpointed
+    for path in scans:
+        for ln in path:
+            if "Join" in ln:
+                break
+            assert "Exchange" not in ln, plan
+            assert "Aggregate" not in ln, plan
+        else:
+            raise AssertionError(f"list scan never joined:\n{plan}")
     assert "PushedFilters: [In(cid" in plan, plan
 
 
