@@ -86,6 +86,7 @@ from task_on_dataframes_spark.registry.dedup import (
     _dedup_daily_first,
     _dedup_incremental_lsh,
     _dedup_index_build,
+    _dedup_index_compact,
     _dedup_index_maintain,
     _dedup_index_probe,
     _dedup_embedding_cosine,
@@ -220,6 +221,7 @@ from task_on_dataframes_spark.registry.streaming import (
     _stream_mv_upsert,
     _stream_windowed_topk,
     _stream_dedup,
+    _stream_index_maintain,
     _stream_enrich,
     _stream_hourly_agg,
     _stream_sessionize,
@@ -730,6 +732,8 @@ _R11_WINDOW = [
     "ann_index_probe",
     "ann_index_maintain",
     "dedup_index_maintain",
+    "dedup_index_compact",
+    "stream_index_maintain",
     # §27 verdict rewrite + script_id consumers
     "pipeline_multilingual_curation",
     "pipeline_multilingual_tokens",
@@ -777,8 +781,6 @@ _R11_WINDOW = [
     "f_posexplode",
     "f_string_funcs",
     "j3_left_join",
-    "j4_semi_join",
-    "j5_anti_join",
     "mm_png_decode",
     "mm_wav_decode",
 ]
@@ -808,6 +810,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest this round (no driver row yet, waves 5-11)
         "dedup_incremental_lsh": _dedup_incremental_lsh,
         "dedup_index_build": _dedup_index_build,
+        "dedup_index_compact": _dedup_index_compact,
         "dedup_index_maintain": _dedup_index_maintain,
         "dedup_index_probe": _dedup_index_probe,
         "quality_linear_probe": _quality_linear_probe,
@@ -869,6 +872,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s15_schema_merge": _s15_schema_merge,
         "ev_session_window_builtin": _ev_session_window_builtin,
         "stream_dedup": _stream_dedup,
+        "stream_index_maintain": _stream_index_maintain,
         "stream_enrich": _stream_enrich,
         "stream_stream_join": _stream_stream_join,
         "emb_label_centroids": _emb_label_centroids,
@@ -1405,6 +1409,31 @@ v AS (SELECT i.phase, i.a,
 SELECT phase, a AS doc_id, CAST(count(*) AS INT) AS n_matches,
        max(jaccard) AS max_jaccard
 FROM v GROUP BY phase, a
+"""
+
+
+def _lsh_index_compact_oracle(
+    num_perm: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """Compacted-index probe oracle: compaction must not change any
+    value, so this is exactly the grown-index replay of
+    _lsh_index_maintain_oracle's phase 2 (wave 2 probed against
+    corpus + appended wave 1), without the phase tag."""
+    return f"""{_lsh_cand_ctes(num_perm, bands)},
+icand AS (SELECT DISTINCT x.did AS a, y.did AS b
+          FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+          WHERE x.did % 7 = 2 AND y.did % 7 IN (0, 1)),
+sz AS (SELECT did, count(*) AS sz FROM g GROUP BY did),
+inter AS (SELECT c.a, c.b, count(*) AS inter FROM icand c
+          JOIN g ga ON ga.did = c.a
+          JOIN g gb ON gb.did = c.b AND gb.tok = ga.tok
+          GROUP BY c.a, c.b),
+v AS (SELECT i.a, round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+      FROM inter i JOIN sz sa ON i.a = sa.did JOIN sz sb ON i.b = sb.did
+      WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold})
+SELECT a AS doc_id, CAST(count(*) AS INT) AS n_matches,
+       max(jaccard) AS max_jaccard
+FROM v GROUP BY a
 """
 
 
@@ -3225,6 +3254,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         ),
         "dedup_incremental_lsh": _incr_lsh_oracle(16, 4, 0.5),
         "dedup_index_build": _lsh_index_build_oracle(16, 4),
+        "dedup_index_compact": _lsh_index_compact_oracle(16, 4, 0.5),
         "dedup_index_maintain": _lsh_index_maintain_oracle(16, 4, 0.5),
         "dedup_index_probe": _lsh_index_probe_oracle(16, 4, 0.5),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(3, 0.5, 50),
@@ -4053,6 +4083,9 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         "stream_dedup": (
             "SELECT DISTINCT user_id, event_type FROM events"
         ),
+        # the streaming drain reproduces the batch lifecycle exactly:
+        # same grown-index replay as dedup_index_maintain
+        "stream_index_maintain": _lsh_index_maintain_oracle(16, 4, 0.5),
         "stream_enrich": (
             "SELECT user_id % 7 AS segment, event_type, count(*) AS n, "
             "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "

@@ -778,8 +778,15 @@ def compact_lsh_index(
 ) -> tuple:
     """Rewrite an appended-to LSH index into a fresh one-file-per-
     bucket layout — the amortized maintenance pass (the Iceberg/Delta
-    ``rewrite_data_files`` analog for this layout) that removes the
-    per-bucket local Sorts appends accumulate in the probe plan.
+    ``rewrite_data_files`` analog for this layout). What it buys:
+    bounded file listing, one sorted run per bucket for the probe
+    SMJ's local sort to consume (appends accumulate one run per wave),
+    and scan-side IO back to one sequential file per bucket. It does
+    NOT remove the local Sort node itself — Spark stopped claiming
+    bucketed-scan output ordering in 3.0 (SPARK-28632) even at one
+    file per bucket, so the sort stays as a cheap single-run pass;
+    the no-Exchange probe contract is unchanged either way
+    (plan-pinned for the compacted index in tests/test_plan_shapes).
 
     Each table is repartitioned on its bucket column into exactly
     ``n_buckets`` partitions — ``repartition(n, col)`` and

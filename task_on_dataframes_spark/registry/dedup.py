@@ -346,6 +346,47 @@ def _dedup_index_maintain(spark, sf_dir):
         "phase", "doc_id", "n_matches", "max_jaccard"
     )
 
+def _dedup_index_compact(spark, sf_dir):
+    """Compaction as a first-class query (r11): build the corpus
+    index, append wave 1 (doc_id % 7 == 1) — leaving multi-file
+    buckets — then COMPACT to one sorted file per bucket and probe
+    wave 2 (% 7 == 2) against the compacted index. Results must be
+    bit-identical to probing the uncompacted index (the oracle is the
+    same grown-index replay as dedup_index_maintain's phase 2); what
+    compaction buys is the LAYOUT — one sorted file per bucket again
+    (bounded listing, one sort run per bucket, sequential scan IO)
+    with the no-Exchange probe contract intact (pinned in
+    tests/test_plan_shapes.py; the local Sort node itself stays —
+    SPARK-28632 disabled bucketed-scan ordering claims since 3.0).
+    Output: (doc_id, n_matches, max_jaccard)."""
+    import uuid
+
+    from task_on_dataframes_spark.operators.dedup import (
+        append_lsh_index,
+        build_lsh_index,
+        compact_lsh_index,
+        probe_lsh_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tag = "cmp_" + uuid.uuid4().hex[:8]
+    corpus = docs.filter(F.col("doc_id") % 7 == 0)
+    keys_t, sets_t = build_lsh_index(
+        spark, corpus, "doc_id", "text", name_tag=tag,
+        num_perm=16, bands=4, shingle_n=2,
+    )
+    wave1 = docs.filter(F.col("doc_id") % 7 == 1)
+    append_lsh_index(
+        spark, wave1, "doc_id", "text", keys_t, sets_t,
+        num_perm=16, bands=4, shingle_n=2,
+    )
+    ck, cs = compact_lsh_index(spark, keys_t, sets_t, tag + "_c")
+    wave2 = docs.filter(F.col("doc_id") % 7 == 2)
+    return probe_lsh_index(
+        spark, wave2, "doc_id", "text", ck, cs,
+        num_perm=16, bands=4, threshold=0.5, shingle_n=2,
+    )
+
 def _dedup_incremental_lsh(spark, sf_dir):
     """Near-dup version of :func:`_dedup_cross_corpus`: the new batch
     (doc_id % 7 != 0) is LSH-probed against the existing corpus slice

@@ -291,3 +291,47 @@ def _stream_cms(spark, sf_dir):
         max_files_per_trigger=1,
     )
     return state.select("r", "bk", "c")
+
+def _stream_index_maintain(spark, sf_dir):
+    """Continuous-ingest index maintenance through a REAL Structured
+    Streaming drain (r11): the corpus slice (doc_id % 7 == 0) is
+    indexed once, then two ingest waves (% 7 == 1, then % 7 == 2)
+    arrive as ordered micro-batches; each batch is probed against the
+    index AS OF the previous batch inside foreachBatch and then
+    appended into it. Wave 2's matches therefore include wave-1
+    documents — the same grown-index semantics as the batch
+    dedup_index_maintain query, checked by the SAME value oracle, but
+    produced by the streaming engine (sequential micro-batches,
+    checkpointed exactly-once foreachBatch). phase = doc_id % 7
+    recovers the wave tag. Output: (phase, doc_id, n_matches,
+    max_jaccard)."""
+    import tempfile
+    import uuid
+
+    from task_on_dataframes_spark.operators.dedup import build_lsh_index
+    from task_on_dataframes_spark.streaming.index import (
+        index_maintain_stream,
+        stage_wave_files,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = "strm_" + uuid.uuid4().hex[:8]
+    corpus = docs.filter(F.col("doc_id") % 7 == 0)
+    keys_t, sets_t = build_lsh_index(
+        spark, corpus, "doc_id", "text", name_tag=tag,
+        num_perm=16, bands=4, shingle_n=2,
+    )
+    src = stage_wave_files(
+        spark, docs,
+        [F.col("doc_id") % 7 == 1, F.col("doc_id") % 7 == 2],
+    )
+    res = index_maintain_stream(
+        spark, src, keys_t, sets_t,
+        results_dir=tempfile.mkdtemp(prefix="tada_simres_") + "/out",
+        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
+        num_perm=16, bands=4, threshold=0.5, shingle_n=2,
+    )
+    return res.select(
+        (F.col("doc_id") % 7).cast("int").alias("phase"),
+        "doc_id", "n_matches", "max_jaccard",
+    )

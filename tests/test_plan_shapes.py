@@ -449,6 +449,30 @@ def test_ivf_index_probe_never_shuffles_the_corpus(
     assert "PushedFilters: [In(cid" in plan, plan
 
 
+def test_compacted_index_probe_stays_in_place(spark, sf_dir, queries):
+    """The compacted index must keep the exact probe contract of the
+    fresh-built one: each ``tada_lshidx`` FileScan joined in place
+    (no Exchange, no Aggregate above it) with the bucketed read
+    engaged. A LOCAL per-bucket Sort remains — Spark has not claimed
+    bucketed-scan output ordering since 3.0 (SPARK-28632) even at one
+    file per bucket — so compaction's measured win is the file count
+    (one sorted file per bucket, pinned in test_llm_ops) and the
+    single sort input per bucket, not the Sort node's absence."""
+    plan = _physical(queries["dedup_index_compact"](spark, sf_dir))
+    paths = _scan_ancestry(plan, "tada_lshidx")
+    scans = [p for p in paths if p]
+    assert len(scans) == 2, plan  # compacted keys + compacted sets
+    for path in scans:
+        for ln in path:
+            if "Join" in ln:
+                break
+            assert "Exchange" not in ln, plan
+            assert "Aggregate" not in ln, plan
+        else:
+            raise AssertionError(f"index scan never joined:\n{plan}")
+    assert plan.count("Bucketed: true") >= 2, plan
+
+
 def test_ivf_index_maintain_probe_stays_in_place(spark, sf_dir, queries):
     """ann_index_maintain's surviving plan (phase 1 is checkpointed
     away) is the phase-2 probe over the APPENDED list table: the scan
