@@ -80,15 +80,23 @@ def _child(sf_dir: str, names: list[str]) -> None:
     # +-40% variance): the parent records their MEDIAN as calib_sec
     print(json.dumps({"calib_probe": _calibrate()}), flush=True)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    biggest = max(
-        (
-            os.path.getsize(os.path.join(sf_dir, f))
-            for f in os.listdir(sf_dir)
-            if os.path.isfile(os.path.join(sf_dir, f))
-        ),
-        default=0,
-    )
+    sizes = [
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if os.path.isfile(os.path.join(sf_dir, f))
+    ]
+    biggest = max(sizes, default=0)
     mpb = min(max(biggest // (3 * cpus), 4 << 20), 128 << 20)
+    # heap sized to the fixture, like maxPartitionBytes above — a real
+    # deployment scales executor memory with the data, and holding the
+    # 32g test-scale heap while the fixture grows 100x measures memory
+    # starvation, not the plan: at sf10 (1.6 GiB on disk) the cached
+    # shingle/key frames thrash against 16M-row join execution memory
+    # and identical runs drew 12-123 s (SCALE.md §28 addendum). Rule:
+    # 32g below 1 GiB on-disk (every regular fit scale — their regime
+    # and cross-round comparability are unchanged), 64g at/above.
+    if "SPARK_DRIVER_MEMORY" not in os.environ and sum(sizes) >= (1 << 30):
+        os.environ["SPARK_DRIVER_MEMORY"] = "64g"
     spark = get_spark("scale-fit", max_partition_bytes=str(mpb))
     for t in (
         "region nation customer supplier part orders lineitem documents "
@@ -109,11 +117,18 @@ def _child(sf_dir: str, names: list[str]) -> None:
             ).save()
             warm_dt = time.perf_counter() - t0
             # min-of-3 exists to beat the sub-second scheduling floor;
-            # a >60 s job is floor-insensitive, and repeating it stacks
-            # generations of checkpoint blocks faster than the
-            # ContextCleaner frees them (the 77M-edge component graph
-            # OOMed on its third consecutive run even at 32g)
-            n_timed = 3 if warm_dt < 60 else 1
+            # a >60 s job is floor-insensitive to THAT, but its FIRST
+            # timed run is reliably polluted by the warm run's cleanup
+            # (ContextCleaner deleting GiB-scale shuffle files + full
+            # GCs of the warm run's heap debris): measured at sf10,
+            # back-to-back runs draw 133.6 / 104.8 / 12.2 / 10.7 s with
+            # both persisted frames fully cached from run 0 — the
+            # settled regime only appears from the SECOND timed run
+            # (SCALE.md §28 addendum). min-of-2 catches it; three runs
+            # of a big query stack checkpoint generations faster than
+            # the cleaner frees them (the 77M-edge component graph
+            # OOMed on its third consecutive run even at 32g).
+            n_timed = 3 if warm_dt < 60 else 2
             best = None
             for _ in range(n_timed):
                 # checkpoint blocks from the previous run free only via
@@ -258,8 +273,17 @@ def _grow(rnd: int, sf: float, sf_dir: str, names: list) -> int:
         norm = round(sec * ref / calib, 3) if (calib and ref) else sec
         rec[f"sec_sf{sf}"] = sec
         rec[f"norm_sf{sf}"] = norm
-        t1 = rec.get(f"norm_sf{sfs[1]}")
-        t3 = rec.get(f"norm_sf{sfs[2]}")
+        # regime consistency (r11): the grow point is measured ISOLATED,
+        # so extrapolate from isolated (sf1, sf3) draws when the row has
+        # them (written by _adjudicate) — comparing an isolated t10
+        # against chunk-polluted t1/t3 mixes regimes, the exact defect
+        # the r9/r10 adjudication hardening removed one level down
+        t1 = rec.get(
+            f"norm_sf{sfs[1]}_isolated", rec.get(f"norm_sf{sfs[1]}")
+        )
+        t3 = rec.get(
+            f"norm_sf{sfs[2]}_isolated", rec.get(f"norm_sf{sfs[2]}")
+        )
         if t1 is not None and t3 is not None:
             # monotone prediction floor (advisor, r10): a flat or
             # noisy-decreasing (sf1, sf3) segment must not skip the
@@ -295,7 +319,7 @@ def _grow(rnd: int, sf: float, sf_dir: str, names: list) -> int:
     return 0
 
 
-def _adjudicate(rnd: int) -> int:
+def _adjudicate(rnd: int, extra: list = ()) -> int:
     """Isolation re-measure for flagged rows: the fit child runs its
     whole name list in ONE session, so a flagged row can be
     cross-query session state or a co-tenant transient rather than
@@ -311,7 +335,13 @@ def _adjudicate(rnd: int) -> int:
     fails on session overhead, not slope). The two-sided rule stands:
     the isolated-regime excess itself must fit (no min-with-chunk
     leniency). Chunk numbers stay recorded beside the isolated ones.
-    Queries that flagged with an error are left flagged."""
+    Queries that flagged with an error are left flagged.
+
+    ``extra`` names are adjudicated too even though unflagged — for
+    rows whose chunk draws are visibly polluted in a way the excess
+    formula cannot flag (e.g. non-monotone t(sf1) > t(sf3): the
+    monotone floor clamps the slope so excess_sf3 looks fine, but any
+    later grow extrapolation from those points would be garbage)."""
     path = os.path.join(HERE, f"SCALE_FIT_r{rnd:02d}.json")
     with open(path) as f:
         art = json.load(f)
@@ -321,7 +351,10 @@ def _adjudicate(rnd: int) -> int:
     # back to unnormalized seconds, exactly as main() does.
     ref = min(calibs) if calibs else None
     still = []
-    for n in list(art.get("flagged", [])):
+    todo = list(art.get("flagged", [])) + [
+        n for n in extra if n not in art.get("flagged", [])
+    ]
+    for n in todo:
         rec = art["queries"].get(n, {})
         if rec.get("err"):
             still.append(n)
@@ -348,7 +381,11 @@ def _adjudicate(rnd: int) -> int:
         pred3 = max(t1 + 2.0 * (t1 - t01) / 0.9, t1)
         adj = round(t3 / pred3, 2) if pred3 > 0 else None
         rec["excess_sf3_adjudicated"] = adj
-        if adj is None or adj > 1.5:
+        if (adj is None or adj > 1.5) and n not in extra:
+            still.append(n)
+        elif adj is not None and adj > 1.5 and n in extra:
+            # an extra (unflagged) row that fails its isolated fit is
+            # a real finding, not a pollution artifact — flag it
             still.append(n)
         print(
             f"[adjudicate] {n}: isolated norms "
@@ -374,7 +411,7 @@ def main() -> int:
         _child(sys.argv[2], sys.argv[3:])
         return 0
     if len(sys.argv) > 2 and sys.argv[1] == "--adjudicate":
-        return _adjudicate(int(sys.argv[2]))
+        return _adjudicate(int(sys.argv[2]), sys.argv[3:])
     if len(sys.argv) > 4 and sys.argv[1] == "--grow":
         return _grow(
             int(sys.argv[2]),
