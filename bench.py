@@ -223,6 +223,15 @@ def main() -> None:
             for n, t in timings.items()
             if n in prev
             and prev[n] > 0
+            # raw slowdown is a NECESSARY condition: when the host
+            # probe got FASTER (host < 1), dividing by it asserts the
+            # query "should have sped up too" — true for CPU-bound
+            # scans, false for scheduler/shuffle-bound sub-second
+            # queries, and on a 0.721 host factor it manufactured 19
+            # phantom rows whose raw ratios were 0.94-1.28 (r11 local
+            # run). A query whose wall time did not grow did not
+            # regress.
+            and t / prev[n] > 1.3
             and t / prev[n] / host > 1.3
             and (not host_par or t / prev[n] / host_par > 1.3)
         }
