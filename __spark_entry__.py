@@ -118,6 +118,7 @@ from task_on_dataframes_spark.registry.embeddings import (
     _ann_ivfsq_topk,
     _ann_ivf_incremental,
     _ann_index_build,
+    _ann_index_compact,
     _ann_index_maintain,
     _ann_index_probe,
     _ann_pq_topk,
@@ -975,6 +976,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfsq_topk": _ann_ivfsq_topk,
         "ann_ivf_incremental": _ann_ivf_incremental,
         "ann_index_build": _ann_index_build,
+        "ann_index_compact": _ann_index_compact,
         "ann_index_maintain": _ann_index_maintain,
         "ann_index_probe": _ann_index_probe,
         "sample_topk_per_stratum": _sample_topk_per_stratum,
@@ -2380,6 +2382,62 @@ def _ivf_index_maintain_oracle() -> str:
     )
 
 
+def _ivf_index_compact_oracle() -> str:
+    """Compaction-invariance oracle (mirrors registry
+    ._ann_index_compact): compaction only rewrites the file LAYOUT, so
+    the probe against the compacted index must equal the grown-index
+    replay — identical to :func:`_ivf_index_maintain_oracle` phase 2
+    (base split elects centroids, growth wave joins the member set
+    under the frozen quantizer, bounded query batch scores against
+    the grown members), without the phase column."""
+    return (
+        "WITH call AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings), "
+        "c AS (SELECT vec_id, v FROM call "
+        "WHERE vec_id % 10 NOT IN (0, 5)), "
+        "ch AS (SELECT vec_id, v, "
+        "CAST(('0x' || substr(md5(CAST('ivf:' || CAST(vec_id AS VARCHAR) "
+        "AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM c), "
+        "cent AS (SELECT vec_id AS cid, v AS cv FROM ("
+        "SELECT vec_id, v, row_number() OVER "
+        "(PARTITION BY h % 16 ORDER BY h, vec_id) AS rn FROM ch) "
+        "WHERE rn = 1), "
+        "grown AS (SELECT vec_id, v FROM c UNION ALL "
+        "SELECT vec_id, v FROM call WHERE vec_id % 10 = 5), "
+        "assign AS (SELECT u.vec_id, u.v, cent.cid, "
+        "round(list_dot_product(u.v, cent.cv) / "
+        "(sqrt(list_dot_product(u.v, u.v)) * "
+        "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS sim "
+        "FROM grown u, cent), "
+        "member AS (SELECT vec_id, v, cid FROM ("
+        "SELECT vec_id, v, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn "
+        "FROM assign) WHERE rn = 1), "
+        "q AS (SELECT vec_id AS query_id, v AS vq FROM call "
+        "WHERE vec_id % 10 = 0 AND vec_id < 200), "
+        "qa AS (SELECT q.query_id, q.vq, cent.cid, "
+        "round(list_dot_product(q.vq, cent.cv) / "
+        "(sqrt(list_dot_product(q.vq, q.vq)) * "
+        "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS qsim "
+        "FROM q, cent), "
+        "probes AS (SELECT query_id, vq, cid FROM ("
+        "SELECT query_id, vq, cid, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY qsim DESC, cid ASC) AS pr "
+        "FROM qa) WHERE pr <= 4), "
+        "s AS (SELECT pr.query_id, m.vec_id, "
+        "round(list_dot_product(pr.vq, m.v) / "
+        "(sqrt(list_dot_product(pr.vq, pr.vq)) * "
+        "sqrt(list_dot_product(m.v, m.v))), 5) AS cos "
+        "FROM member m JOIN probes pr ON m.cid = pr.cid "
+        "WHERE pr.query_id != m.vec_id), "
+        "r AS (SELECT query_id, vec_id, cos, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) "
+        "AS rank FROM s) "
+        "SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank "
+        "FROM r WHERE rank <= 10"
+    )
+
+
 def _ivfsq_oracle() -> str:
     """IVF + int8 SQ + exact rerank oracle (mirrors
     similarity.ivfsq_ann_topk): identical centroid selection /
@@ -3350,6 +3408,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         "ann_ivfsq_topk": _ivfsq_oracle(),
         "ann_ivf_incremental": _ivf_incr_oracle(),
         "ann_index_build": _ivf_index_build_oracle(),
+        "ann_index_compact": _ivf_index_compact_oracle(),
         "ann_index_maintain": _ivf_index_maintain_oracle(),
         "ann_index_probe": _ivf_index_probe_oracle(),
         "ann_filtered_topk": _ivf_oracle(" WHERE label % 4 = 0"),

@@ -648,6 +648,76 @@ def probe_ivf_index(
     )
 
 
+def compact_ivf_index(
+    spark,
+    cents_table: str,
+    lists_table: str,
+    name_tag: str,
+    base_path: Optional[str] = None,
+    n_buckets: int = IVF_INDEX_BUCKETS,
+) -> tuple:
+    """Rewrite an appended-to IVF index into a fresh one-file-per-
+    bucket layout — the vector twin of ``dedup.compact_lsh_index``
+    (r11 verdict, What's missing #2: every :func:`append_ivf_index`
+    wave adds one file per written cid bucket forever; multi-file
+    buckets degrade file listing, turn the per-bucket sort into a
+    multi-run merge, and fragment scan IO). Compaction restores one
+    sorted sequential file per cid bucket, paid as ONE shuffle of the
+    INDEX (vectors + norms, not query traffic), once per maintenance
+    window; probes in between stay O(batch x n_centroids).
+
+    The list table is re-read by PATH, not through the catalog — the
+    catalog scan advertises ``HashPartitioning(cid, n)``, so Catalyst
+    drops the ``repartition`` as redundant and then splits the files
+    in arbitrary non-bucketed chunks (the compact_lsh_index gotcha,
+    SCALE.md §27, applies identically). A path read has unknown
+    partitioning, the shuffle survives, and since ``repartition(n,
+    col)`` and ``bucketBy(n, col)`` share murmur3-pmod placement,
+    each task holds exactly one bucket and writes exactly one sorted
+    file.
+
+    The centroid table (n_centroids rows) is copied under the new tag
+    so the returned pair is a self-contained snapshot — callers swap
+    to ``(new_cents, new_lists)`` and drop the old pair once readers
+    drain; the frozen-quantizer contract (append_ivf_index) means the
+    copy is value-identical, never re-trained. Returns the new
+    ``(cents_table, lists_table)`` names."""
+    import os
+    import tempfile
+
+    new_cents = f"tada_ivfidx_cents_{name_tag}"
+    new_lists = f"tada_ivfidx_lists_{name_tag}"
+    base = base_path or tempfile.mkdtemp(prefix="tada_ivfidx_")
+    cents = spark.table(cents_table)
+    spark.sql(f"DROP TABLE IF EXISTS {new_cents}")
+    (
+        cents.write.mode("overwrite")
+        .option("path", f"{base}/{new_cents}")
+        .format("parquet")
+        .saveAsTable(new_cents)
+    )
+    cat = spark.table(lists_table)
+    files = cat.inputFiles()
+    if files:
+        src_dir = os.path.dirname(files[0])
+        raw = spark.read.schema(cat.schema).parquet(src_dir)
+    else:
+        # zero-file list table: compact to an empty index rather than
+        # IndexError (same guard as compact_lsh_index)
+        raw = spark.createDataFrame([], cat.schema)
+    spark.sql(f"DROP TABLE IF EXISTS {new_lists}")
+    (
+        raw.repartition(n_buckets, F.col("cid"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "cid")
+        .sortBy("cid")
+        .option("path", f"{base}/{new_lists}")
+        .format("parquet")
+        .saveAsTable(new_lists)
+    )
+    return new_cents, new_lists
+
+
 def quantize_int8(
     emb: DataFrame,
     id_col: str = "vec_id",

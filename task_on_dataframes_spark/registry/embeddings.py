@@ -408,6 +408,46 @@ def _ann_index_maintain(spark, sf_dir):
     )
 
 
+def _ann_index_compact(spark, sf_dir):
+    """Vector-index compaction as a first-class query (r12, the twin
+    of dedup_index_compact): build the persisted IVF index on the
+    base split (vec_id % 10 not in (0, 5)), APPEND the growth wave
+    (% 10 == 5) — leaving multi-file cid buckets — then COMPACT to
+    one sorted file per bucket and probe the bounded query batch
+    (% 10 == 0, vec_id < 200) against the compacted index. Results
+    must be value-identical to probing the uncompacted grown index
+    (the oracle is the same grown-index replay as ann_index_maintain
+    phase 2); what compaction buys is the LAYOUT — bounded listing,
+    one sort run per bucket, sequential scan IO — with the
+    no-corpus-shuffle probe contract intact (pinned in
+    tests/test_plan_shapes.py). Output: (query_id, vec_id, cos,
+    rank)."""
+    import uuid
+
+    from task_on_dataframes_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        probe_ivf_index,
+    )
+
+    emb = _embs(spark, sf_dir)
+    tag = "cmp_" + uuid.uuid4().hex[:8]
+    base = emb.filter(
+        (F.col("vec_id") % 10 != 0) & (F.col("vec_id") % 10 != 5)
+    )
+    cents_t, lists_t = build_ivf_index(
+        spark, base, "vec_id", "embedding", name_tag=tag, n_centroids=16
+    )
+    growth = emb.filter(F.col("vec_id") % 10 == 5)
+    append_ivf_index(spark, growth, cents_t, lists_t)
+    cc, cl = compact_ivf_index(spark, cents_t, lists_t, tag + "_c")
+    queries = emb.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 200)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return probe_ivf_index(spark, queries, cc, cl, k=10, n_probe=4)
+
+
 def clustered_embeddings(
     emb: DataFrame, n_clusters: int = 12, jitter: float = 0.15
 ) -> DataFrame:

@@ -178,6 +178,64 @@ def test_lsh_index_append_then_compact_roundtrip(spark, sf_dir):
     assert compacted == got
 
 
+def test_ivf_index_compact_roundtrip(spark, sf_dir):
+    """The r12 vector-index compaction (twin of the LSH roundtrip
+    above): appending a wave leaves multi-file cid buckets; compaction
+    restores at most one file per bucket while leaving probe results
+    bit-identical, and the compacted pair is a self-contained snapshot
+    (centroids copied under the new tag, value-identical)."""
+    import glob
+    import os
+
+    from task_on_dataframes_spark.operators.similarity import (
+        IVF_INDEX_BUCKETS,
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        probe_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(
+        (F.col("vec_id") % 10 != 0) & (F.col("vec_id") % 10 != 5)
+    )
+    cents_t, lists_t = build_ivf_index(
+        spark, base, "vec_id", "embedding", name_tag="t_ivfcmp",
+        n_centroids=8,
+    )
+    growth = emb.filter(F.col("vec_id") % 10 == 5)
+    append_ivf_index(spark, growth, cents_t, lists_t)
+    queries_df = emb.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 100)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    before = {
+        tuple(r)
+        for r in probe_ivf_index(
+            spark, queries_df, cents_t, lists_t, k=5, n_probe=3
+        ).collect()
+    }
+    assert len(before) > 0
+    cc, cl = compact_ivf_index(spark, cents_t, lists_t, "t_ivfcmp_c")
+    cl_dir = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {cl}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    ).removeprefix("file:")
+    files = glob.glob(os.path.join(cl_dir, "*.parquet"))
+    assert len(files) <= IVF_INDEX_BUCKETS, files
+    # centroid snapshot is value-identical under the new tag
+    old_c = {(r["cid"], tuple(r["cv"])) for r in spark.table(cents_t).collect()}
+    new_c = {(r["cid"], tuple(r["cv"])) for r in spark.table(cc).collect()}
+    assert new_c == old_c
+    after = {
+        tuple(r)
+        for r in probe_ivf_index(
+            spark, queries_df, cc, cl, k=5, n_probe=3
+        ).collect()
+    }
+    assert after == before
+
+
 def test_exact_dedup_counts_sum_to_corpus(spark, sf_dir):
     from task_on_dataframes_spark.operators.dedup import exact_dedup
 

@@ -496,6 +496,29 @@ def test_ivf_index_maintain_probe_stays_in_place(spark, sf_dir, queries):
     assert "PushedFilters: [In(cid" in plan, plan
 
 
+def test_ivf_compacted_index_probe_stays_in_place(spark, sf_dir, queries):
+    """The compacted IVF index must keep the exact probe contract of
+    the fresh-built one (r12, twin of the LSH compaction pin above):
+    the ``tada_ivfidx_lists`` FileScan in ann_index_compact joined in
+    place via the broadcast probe pairs — no Exchange, no Aggregate
+    above it — with the probed-cid literal filter reaching the parquet
+    reader and the bucketed read engaged."""
+    plan = _physical(queries["ann_index_compact"](spark, sf_dir))
+    paths = _scan_ancestry(plan, "tada_ivfidx_lists")
+    scans = [p for p in paths if p]
+    assert len(scans) == 1, plan
+    for path in scans:
+        for ln in path:
+            if "Join" in ln:
+                break
+            assert "Exchange" not in ln, plan
+            assert "Aggregate" not in ln, plan
+        else:
+            raise AssertionError(f"list scan never joined:\n{plan}")
+    assert "PushedFilters: [In(cid" in plan, plan
+    assert "Bucketed: true" in plan, plan
+
+
 def test_jaccard_verify_intersects_exactly_once(spark):
     """The r10 sf10 finding: without the pushdown barrier, Catalyst
     duplicates array_intersect into the join condition (interpreted,
