@@ -301,8 +301,9 @@ def _stream_index_maintain(spark, sf_dir):
     appended into it. Wave 2's matches therefore include wave-1
     documents — the same grown-index semantics as the batch
     dedup_index_maintain query, checked by the SAME value oracle, but
-    produced by the streaming engine (sequential micro-batches,
-    checkpointed exactly-once foreachBatch). phase = doc_id % 7
+    produced by the streaming engine (sequential micro-batches;
+    foreachBatch is at-least-once, made idempotent by the per-batch
+    overwrite + ledger gating in streaming/index.py). phase = doc_id % 7
     recovers the wave tag. Output: (phase, doc_id, n_matches,
     max_jaccard)."""
     import tempfile

@@ -6,10 +6,19 @@ sink, and then its own band keys + packed shingle sets appended into
 the index — so micro-batch N+1's probe sees micro-batch N. This is
 the continuous-ingest form of the build → probe → append lifecycle
 (``operators/dedup.py``): the batch path runs it wave-by-wave from a
-driver loop; this module runs it from a Structured Streaming drain,
-where Spark guarantees micro-batches execute sequentially and exactly
-once per checkpoint — the property the index append needs (a replayed
-batch would double-append; the checkpoint prevents replays).
+driver loop; this module runs it from a Structured Streaming drain.
+Micro-batches execute sequentially, but ``foreachBatch`` is
+AT-LEAST-ONCE: a micro-batch that fails (or whose driver dies) after
+side effects but before its offset commits is re-run with the same
+``batch_id`` on restart. Neither a parquet append nor an index-table
+append is naturally idempotent, so the batch body makes itself so:
+results are written under a per-batch directory with ``overwrite``
+(a retry replaces, never duplicates), and the index append is gated
+by a per-batch ledger marker written after the append lands (a retry
+skips it). The residual window — a crash exactly between the index
+append and its marker — is the window every non-transactional sink
+has; a production deployment closes it with a transactional table
+format (Delta/Iceberg) whose append and commit are atomic.
 
 Scale shape: identical to the batch probe/append — every stage inside
 ``foreachBatch`` is micro-batch-sized (shingle, sign, pack, probe
@@ -48,34 +57,57 @@ def index_maintain_stream(
     maintenance of the persisted LSH index, with ``availableNow``.
 
     Per micro-batch, in order: (1) probe the batch against the index
-    AS OF the previous batch — matches go to ``results_dir`` (parquet
-    append; each batch writes its own files, no rewrite); (2) append
-    the batch's band keys + packed sets into the index. Returns the
-    drained results frame ``(id_col, n_matches, max_jaccard)``.
+    AS OF the previous batch — matches go to
+    ``results_dir/b{batch_id}`` with ``overwrite``, so an
+    at-least-once re-run of the same batch REPLACES its own output
+    instead of duplicating match rows; (2) append the batch's band
+    keys + packed sets into the index, gated by a ledger marker
+    (``{results_dir}_ledger/appended_{batch_id}``) so a re-run never
+    double-appends index keys. Returns the drained results frame
+    ``(id_col, n_matches, max_jaccard)``.
 
     The probe result must be materialized BEFORE the append (the
     write action does this naturally) — a lazy probe evaluated after
     the append would see the batch's own signatures and self-match.
+    On a retried batch whose append already landed, the probe result
+    is rebuilt against an index that already CONTAINS the batch; the
+    overwrite would then record self-matches — so a ledgered batch
+    skips the probe rewrite too (its previous overwrite already
+    committed the pre-append probe result; parquet directory writes
+    finish with the _SUCCESS marker the ledger write follows).
     """
+    import os
+
     from task_on_dataframes_spark.operators.dedup import (
         append_lsh_index,
         probe_lsh_index,
     )
 
     schema = spark.read.parquet(src_dir).schema
+    ledger = results_dir.rstrip("/") + "_ledger"
+    os.makedirs(ledger, exist_ok=True)
 
     def _probe_then_append(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger, f"appended_{batch_id}")
+        if os.path.exists(marker):
+            # at-least-once replay of a fully-applied batch: both the
+            # per-batch results overwrite and the index append landed
+            return
         sess = batch_df.sparkSession
         matches = probe_lsh_index(
             sess, batch_df, id_col, text_col, keys_table, sets_table,
             num_perm=num_perm, bands=bands, threshold=threshold,
             shingle_n=shingle_n,
         )
-        matches.write.mode("append").parquet(results_dir)
+        matches.write.mode("overwrite").parquet(
+            os.path.join(results_dir, f"b{batch_id}")
+        )
         append_lsh_index(
             sess, batch_df, id_col, text_col, keys_table, sets_table,
             num_perm=num_perm, bands=bands, shingle_n=shingle_n,
         )
+        with open(marker, "w") as fh:
+            fh.write("committed\n")
 
     q = (
         spark.readStream.schema(schema)
@@ -87,13 +119,15 @@ def index_maintain_stream(
         .start()
     )
     q.awaitTermination()
-    import os
-
     if not os.path.exists(results_dir):  # empty stream: no batch ran
         return spark.createDataFrame(
             [], schema=f"{id_col} bigint, n_matches int, max_jaccard double"
         )
-    return spark.read.parquet(results_dir)
+    # per-batch subdirectories: recursive lookup, no partition inference
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(results_dir)
+    )
 
 
 def stage_wave_files(

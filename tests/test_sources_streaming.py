@@ -412,3 +412,83 @@ def test_watermark_drops_late_event_in_append_mode(spark, tmp_path):
     )
     bmap = {(r["hour"], r["event_type"]): r["count"] for r in batch}
     assert bmap[(t0, "view")] == 4
+
+
+def test_index_maintain_stream_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch re-run with the same
+    batch_id after its side effects landed must not double-append
+    index keys or duplicate match rows (r11 advisor, medium). Replay
+    the WHOLE drain — delete the checkpoint and re-run over the same
+    staged files with the same results/ledger dirs; availableNow with
+    maxFilesPerTrigger=1 reassigns the same batch ids — and assert
+    the results parquet, the ledger, and the index row counts are all
+    byte-for-byte unchanged."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from task_on_dataframes_spark.operators.dedup import build_lsh_index
+    from task_on_dataframes_spark.streaming.index import (
+        index_maintain_stream,
+        stage_wave_files,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old "
+        "stone bridge by the river every single morning without fail"
+    )
+    docs = spark.createDataFrame(
+        [
+            (100, base),
+            (200, base.replace("lazy", "sleepy")),  # wave 1 near-dup
+            (300, base.replace("lazy", "drowsy")),  # wave 2 near-dup
+        ],
+        ["doc_id", "text"],
+    )
+    keys_t, sets_t = build_lsh_index(
+        spark, docs.filter(F.col("doc_id") == 100), "doc_id", "text",
+        name_tag="t_replay",
+    )
+    src = stage_wave_files(
+        spark, docs, [F.col("doc_id") == 200, F.col("doc_id") == 300]
+    )
+    results = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    first = {
+        tuple(r)
+        for r in index_maintain_stream(
+            spark, src, keys_t, sets_t, results_dir=results,
+            checkpoint=ck,
+        ).collect()
+    }
+    assert first, "both waves should match doc 100's near-dup chain"
+    snap_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(results, "**", "*.parquet"),
+                           recursive=True)
+    }
+    ledger = results.rstrip("/") + "_ledger"
+    snap_ledger = sorted(os.listdir(ledger))
+    n_keys = spark.table(keys_t).count()
+    n_sets = spark.table(sets_t).count()
+    # simulate a post-crash replay: offsets lost, side effects kept
+    shutil.rmtree(ck)
+    replay = {
+        tuple(r)
+        for r in index_maintain_stream(
+            spark, src, keys_t, sets_t, results_dir=results,
+            checkpoint=str(tmp_path / "ck2"),
+        ).collect()
+    }
+    assert replay == first
+    after_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(results, "**", "*.parquet"),
+                           recursive=True)
+    }
+    assert after_files == snap_files  # no rewrite, no duplicate files
+    assert sorted(os.listdir(ledger)) == snap_ledger
+    assert spark.table(keys_t).count() == n_keys  # no double-append
+    assert spark.table(sets_t).count() == n_sets
