@@ -116,6 +116,17 @@ def main() -> None:
         # runs measure the steady-state batch-sized probe)
         "dedup_index_probe",
         "ann_index_probe",
+        # round-12 (r11 verdict item 8): the index LIFECYCLE paths —
+        # maintain (probe+append+re-probe), compact (rewrite+probe),
+        # and the streaming drain — get the same round-over-round
+        # regression scrutiny the probe path has. These rebuild their
+        # index per invocation (fresh uuid tag), so the timing covers
+        # build+maintain, not just the probe.
+        "dedup_index_maintain",
+        "dedup_index_compact",
+        "ann_index_maintain",
+        "ann_index_compact",
+        "stream_index_maintain",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -230,8 +241,14 @@ def main() -> None:
             # queries, and on a 0.721 host factor it manufactured 19
             # phantom rows whose raw ratios were 0.94-1.28 (r11 local
             # run). A query whose wall time did not grow did not
-            # regress.
-            and t / prev[n] > 1.3
+            # regress. Threshold 1.1, not 1.3 (r11 advisor): the
+            # justification above only supports "wall time did not
+            # grow" — a query 1.25x slower raw while the host sped up
+            # 30% is a real ~1.8x normalized regression that a 1.3
+            # raw gate would have silently suppressed. 1.1 keeps the
+            # min-of-3 jitter floor out while letting the normalized
+            # thresholds do the actual flagging.
+            and t / prev[n] > 1.1
             and t / prev[n] / host > 1.3
             and (not host_par or t / prev[n] / host_par > 1.3)
         }
@@ -267,7 +284,51 @@ def main() -> None:
             "regressions": regressions,
         }
 
-    print(json.dumps(out))
+    # The driver captures only the LAST 2000 CHARS of stdout and parses
+    # the JSON line found there: BENCH_r10's 1819-char line parsed,
+    # BENCH_r11's line grew past 2000 (calib_par fields + 4-row
+    # regression detail) and the driver recorded `parsed: null` with a
+    # mid-line tail — which silently broke the anchor chain (r12 found
+    # BENCH_r11 unusable and fell back to r10, exactly the
+    # no-parallel-probe-anchor hole the r11 verdict flagged). So: the
+    # FULL result goes to BENCH_LOCAL.json (git-tracked, judge-readable)
+    # and stdout gets a compact line — all per-query timings (2
+    # decimals), both calib medians, and a vs_anchor summary with
+    # regression names only.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {n: round(t, 2) for n, t in out["queries"].items()},
+        "sf": out["sf"],
+        "calib_sec": out["calib_sec"],
+        "calib_par_sec": out["calib_par_sec"],
+    }
+    if "vs_anchor" in out:
+        va = out["vs_anchor"]
+        compact["vs_anchor"] = {
+            "anchor": va["anchor"],
+            "ratio_common": va["ratio_common"],
+            "ratio_common_calib_normalized": va[
+                "ratio_common_calib_normalized"
+            ],
+            "host_factor": round(
+                out["calib_sec"] / va["prev_calib"], 3
+            ) if va.get("prev_calib") else None,
+            "host_factor_par": va["host_factor_par"],
+            "regressions": sorted(va["regressions"]),
+            "detail": "BENCH_LOCAL.json",
+        }
+    line = json.dumps(compact)
+    if len(line) > 1900:
+        # last-resort guard against future headline growth: vs_anchor
+        # detail is already in BENCH_LOCAL.json
+        compact.pop("vs_anchor", None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 
@@ -333,7 +394,16 @@ def _latest_anchor() -> dict:
     name. Crash artifacts (rc!=0, parsed:null, no per-query timings —
     e.g. BENCH_r02) are skipped, falling back to the newest round that
     actually carries a ``queries`` dict, so deltas keep being computed
-    against a real anchor."""
+    against a real anchor.
+
+    A driver artifact whose line OVERFLOWED the 2000-char stdout tail
+    (``parsed: null`` but a mid-line ``tail`` string — BENCH_r11) is
+    SALVAGED rather than skipped: the per-query pairs visible in the
+    tail window plus the top-level calib medians are regex-extracted,
+    and the result is marked ``_salvaged`` (queries missing from the
+    window simply get no comparison row). Skipping it instead would
+    re-anchor on a round two back and silently lose the parallel-probe
+    sample — the exact hole the r11 verdict flagged."""
     import glob
     import re
 
@@ -353,10 +423,41 @@ def _latest_anchor() -> dict:
         if "queries" not in data and isinstance(data.get("parsed"), dict):
             data = data["parsed"] or {}
         if not isinstance(data.get("queries"), dict) or not data["queries"]:
-            continue
+            salvaged = _salvage_tail(data.get("tail"))
+            if not salvaged:
+                continue
+            data = salvaged
         data["_file"] = os.path.basename(path)
         return data
     return {}
+
+
+def _salvage_tail(tail) -> dict:
+    """Recover what the driver's 2000-char stdout window kept of an
+    overflowing bench line: the tail starts mid-``queries``, so the
+    fragment up to the closing ``}, "sf":`` yields complete
+    ``"name": seconds`` pairs (the first, name-truncated pair is
+    dropped by the regex), and the top-level calib medians sit after
+    it. vs_anchor's nested floats are excluded by slicing before the
+    ``"vs_anchor"`` key."""
+    import re
+
+    if not isinstance(tail, str) or '"sf":' not in tail:
+        return {}
+    qfrag = tail.split('"sf":')[0]
+    queries = {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"([a-z0-9_]+)": ([0-9]+\.?[0-9]*)[,}]', qfrag)
+    }
+    if not queries:
+        return {}
+    head = tail.split('"vs_anchor"')[0]
+    out: dict = {"queries": queries, "_salvaged": True}
+    for key in ("calib_sec", "calib_par_sec"):
+        m = re.search(rf'"{key}": ([0-9]+\.?[0-9]*)', head)
+        if m:
+            out[key] = float(m.group(1))
+    return out
 
 
 if __name__ == "__main__":

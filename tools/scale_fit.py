@@ -67,6 +67,13 @@ DEFAULT_NAMES = [
     # steady-state cost every ingest wave actually pays).
     "dedup_index_build",
     "dedup_index_probe",
+    # r12 (r11 verdict item 6): the streaming maintain path's
+    # per-micro-batch cost claim (O(batch), index-size-independent)
+    # was plan-asserted only — give it a measured fit row. The query
+    # rebuilds its corpus index and drains a fixed 2-wave stream per
+    # invocation, so t(sf) covers build + probe+append per wave with
+    # batch size ∝ sf: linear fit = the O(batch) claim.
+    "stream_index_maintain",
 ]
 
 
@@ -92,10 +99,16 @@ def _child(sf_dir: str, names: list[str]) -> None:
     # 32g test-scale heap while the fixture grows 100x measures memory
     # starvation, not the plan: at sf10 (1.6 GiB on disk) the cached
     # shingle/key frames thrash against 16M-row join execution memory
-    # and identical runs drew 12-123 s (SCALE.md §28 addendum). Rule:
-    # 32g below 1 GiB on-disk (every regular fit scale — their regime
-    # and cross-round comparability are unchanged), 64g at/above.
-    if "SPARK_DRIVER_MEMORY" not in os.environ and sum(sizes) >= (1 << 30):
+    # and identical runs drew 12-123 s (SCALE.md §28 addendum). Every
+    # persist in the package uses the default MEMORY_AND_DISK_DESER
+    # level, so cached frames spill rather than recompute — the
+    # remaining starvation lever is execution-memory pressure, i.e.
+    # the heap. Rule (r12, spill-aware regime per the r11 verdict):
+    # 32g below 0.5 GiB on-disk (sf0.1/sf1 — regime and cross-round
+    # comparability unchanged), 64g at/above (sf3 AND sf10, so the
+    # sf3 adjudication point no longer runs a heap regime the grow
+    # point doesn't).
+    if "SPARK_DRIVER_MEMORY" not in os.environ and sum(sizes) >= (1 << 29):
         os.environ["SPARK_DRIVER_MEMORY"] = "64g"
     spark = get_spark("scale-fit", max_partition_bytes=str(mpb))
     for t in (
@@ -381,11 +394,15 @@ def _adjudicate(rnd: int, extra: list = ()) -> int:
         pred3 = max(t1 + 2.0 * (t1 - t01) / 0.9, t1)
         adj = round(t3 / pred3, 2) if pred3 > 0 else None
         rec["excess_sf3_adjudicated"] = adj
-        if (adj is None or adj > 1.5) and n not in extra:
-            still.append(n)
-        elif adj is not None and adj > 1.5 and n in extra:
-            # an extra (unflagged) row that fails its isolated fit is
-            # a real finding, not a pollution artifact — flag it
+        # One rule for every adjudicated row, whether it came from
+        # art['flagged'], the extra CLI list, or both (r11 advisor:
+        # the old extra-list branching let a doubly-listed name lose
+        # the adj-None-stays-flagged guarantee, and silently passed
+        # an extra whose adjudication produced no number): a row with
+        # no adjudicated excess (pred3 <= 0 or missing draw) is kept
+        # flagged conservatively, and any adjudicated excess > 1.5
+        # flags regardless of provenance.
+        if adj is None or adj > 1.5:
             still.append(n)
         print(
             f"[adjudicate] {n}: isolated norms "
