@@ -222,6 +222,7 @@ from task_on_dataframes_spark.registry.streaming import (
     _stream_mv_upsert,
     _stream_windowed_topk,
     _stream_dedup,
+    _stream_ann_maintain,
     _stream_index_maintain,
     _stream_enrich,
     _stream_hourly_agg,
@@ -719,84 +720,86 @@ def _bloom_decontaminate_oracle_sql(k: int = 3, m: int = 1 << 16) -> str:
 # ---------------------------------------------------------------------------
 
 #: driver window, rotated per round (policy: everything this round
-#: TOUCHED first — the new persisted-IVF index pair (never
-#: driver-checked), the two pipeline flagships after the §27 verdict
-#: rewrite (scan-stage array_max argmax, named c3), the script_id
-#: consumers, the three event-family queries under bench-drift
-#: adjudication, every rider of the seeded-barrier / BPE-artifact-key
-#: changes — then the least-recently-driver-checked tail (stalest per
-#: the CORRECTNESS_r1..r10 union). Overlap with the r10 window: 6/50,
-#: all six touched by round-11 changes.
-_R11_WINDOW = [
+#: TOUCHED first — `ann_index_compact` (new this round, never
+#: driver-checked), the IVF compaction's file riders
+#: (`ann_index_maintain`), every consumer of the fused
+#: signature+pack probe rewrite in `probe_lsh_index`
+#: (`dedup_index_probe/maintain/compact`, `dedup_incremental_lsh`),
+#: and `stream_index_maintain` after the at-least-once idempotency
+#: rewrite — then the 43 least-recently-driver-checked queries
+#: (stalest per the CORRECTNESS_r1..r11 union, ties broken by name:
+#: all 11 last checked in r6 plus the first 32 of the 41 last
+#: checked in r7; the remaining 9 head the r13 rotation). Overlap
+#: with the r11 window: 6/50, all six touched by round-12 changes.
+_R12_WINDOW = [
     # never driver-checked (new this round)
-    "ann_index_build",
-    "ann_index_probe",
+    "ann_index_compact",
+    # round-12 code riders (IVF compaction / fused LSH probe /
+    # idempotent streaming drain)
     "ann_index_maintain",
+    "dedup_index_probe",
     "dedup_index_maintain",
     "dedup_index_compact",
-    "stream_index_maintain",
-    # §27 verdict rewrite + script_id consumers
-    "pipeline_multilingual_curation",
-    "pipeline_multilingual_tokens",
-    "text_langid_script",
-    "text_langid",
-    # bench-drift adjudication targets (parallel-stage probe)
-    "j6_asof_join",
-    "ev_sessionize",
-    "ev_hourly_agg",
-    # persisted-index probes (new bench flagships) + barrier riders
-    "dedup_index_build",
-    "dedup_index_probe",
-    "dedup_minhash_char",
     "dedup_incremental_lsh",
-    # BPE artifact-key change rider
-    "text_bpe_apply",
-    # stalest tail (r3/r4 waves, unseen since)
-    "stream_enrich",
-    "stream_stream_join",
-    "stream_windowed_topk",
-    "text_bigram_lm",
-    "text_fim_transform",
-    "text_sentences",
-    "w8_first_last",
-    "a1_value_counts",
-    "a2_scalar_sum",
-    "a9_quantiles",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_sq_rerank",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_exact",
-    "dedup_substring",
-    "emb_gram",
-    "emb_pca_project",
-    "emb_pca_top",
-    "emb_pca_top2",
-    "emb_quantize",
-    "f1_explode_carry",
-    "f2_word_boundary_split",
-    "f_array_funcs",
-    "f_date_funcs",
-    "f_posexplode",
-    "f_string_funcs",
-    "j3_left_join",
-    "mm_png_decode",
-    "mm_wav_decode",
+    "stream_index_maintain",
+    # stalest: last driver-checked in r6
+    "j4_semi_join",
+    "j5_anti_join",
+    "j8_upsert",
+    "sample_split",
+    "set_ops",
+    "text_bpe_train",
+    "text_bpe_train256",
+    "text_fingerprint",
+    "text_token_stats",
+    "w3_ranking",
+    "w6_ntile_bins",
+    # stalest: last driver-checked in r7 (first 32 by name)
+    "ann_ivf_incremental",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfsq_topk",
+    "curriculum_quality_bins",
+    "dedup_substring_rewrite",
+    "graph_pagerank",
+    "o2_pagination",
+    "o3_topk_counts",
+    "p1_projection_reindex",
+    "p3_filter_startswith",
+    "p5_null_safe_flag_filter",
+    "p6_distinct_subset",
+    "pipeline_c4_curation",
+    "planner_top90_tokens",
+    "q10_returned_items",
+    "q11_value_concentration",
+    "q12_priority_lines",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_filter",
+    "q1_pricing_summary",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    head = {k: q[k] for k in _R11_WINDOW if k in q}
+    head = {k: q[k] for k in _R12_WINDOW if k in q}
     return head | {k: v for k, v in q.items() if k not in head}
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r4 ordering below; the driver window is imposed by
-        # _R11_WINDOW in queries() ---
+        # _R12_WINDOW in queries() ---
         "j10_interval_overlap_join": _j10_interval_overlap_join,
         "quality_ks_drift": _quality_ks_drift,
         "quality_psi_drift": _quality_psi_drift,
@@ -874,6 +877,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_session_window_builtin": _ev_session_window_builtin,
         "stream_dedup": _stream_dedup,
         "stream_index_maintain": _stream_index_maintain,
+        "stream_ann_maintain": _stream_ann_maintain,
         "stream_enrich": _stream_enrich,
         "stream_stream_join": _stream_stream_join,
         "emb_label_centroids": _emb_label_centroids,
@@ -2374,6 +2378,76 @@ def _ivf_index_maintain_oracle() -> str:
         "FROM qa) WHERE pr <= 4), "
         + phase_score.format(p=1) + ", "
         + phase_score.format(p=2)
+        + " SELECT CAST(1 AS INTEGER) AS phase, query_id, vec_id, cos, "
+        "CAST(rank AS INTEGER) AS rank FROM r1 WHERE rank <= 10 "
+        "UNION ALL "
+        "SELECT CAST(2 AS INTEGER) AS phase, query_id, vec_id, cos, "
+        "CAST(rank AS INTEGER) AS rank FROM r2 WHERE rank <= 10"
+    )
+
+
+def _stream_ann_maintain_oracle() -> str:
+    """Grown-index replay for the STREAMING vector maintain (mirrors
+    registry.streaming._stream_ann_maintain): the base split
+    (vec_id % 10 not in (0, 5)) elects the centroids and the phase-1
+    member set; phase 2 adds wave 1 (% 20 = 5) under the frozen
+    quantizer. Each wave's ARRIVING vectors are the queries — wave 1
+    (% 20 = 5) scores against the base members only (it is probed
+    before its own append), wave 2 (% 20 = 15) against base + wave 1.
+    Top-10 per query by cosine within its 4 probed lists."""
+    phase_block = (
+        "qa{p} AS (SELECT q.query_id, q.vq, cent.cid, "
+        "round(list_dot_product(q.vq, cent.cv) / "
+        "(sqrt(list_dot_product(q.vq, q.vq)) * "
+        "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS qsim "
+        "FROM q{p} q, cent), "
+        "probes{p} AS (SELECT query_id, vq, cid FROM ("
+        "SELECT query_id, vq, cid, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY qsim DESC, cid ASC) AS pr "
+        "FROM qa{p}) WHERE pr <= 4), "
+        "s{p} AS (SELECT pr.query_id, m.vec_id, "
+        "round(list_dot_product(pr.vq, m.v) / "
+        "(sqrt(list_dot_product(pr.vq, pr.vq)) * "
+        "sqrt(list_dot_product(m.v, m.v))), 5) AS cos "
+        "FROM member{p} m JOIN probes{p} pr ON m.cid = pr.cid "
+        "WHERE pr.query_id != m.vec_id), "
+        "r{p} AS (SELECT query_id, vec_id, cos, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) "
+        "AS rank FROM s{p})"
+    )
+    member = (
+        "assign{p} AS (SELECT u.vec_id, u.v, cent.cid, "
+        "round(list_dot_product(u.v, cent.cv) / "
+        "(sqrt(list_dot_product(u.v, u.v)) * "
+        "sqrt(list_dot_product(cent.cv, cent.cv))), 5) AS sim "
+        "FROM {src} u, cent), "
+        "member{p} AS (SELECT vec_id, v, cid FROM ("
+        "SELECT vec_id, v, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn "
+        "FROM assign{p}) WHERE rn = 1)"
+    )
+    return (
+        "WITH call AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings), "
+        "c AS (SELECT vec_id, v FROM call "
+        "WHERE vec_id % 10 NOT IN (0, 5)), "
+        "ch AS (SELECT vec_id, v, "
+        "CAST(('0x' || substr(md5(CAST('ivf:' || CAST(vec_id AS VARCHAR) "
+        "AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM c), "
+        "cent AS (SELECT vec_id AS cid, v AS cv FROM ("
+        "SELECT vec_id, v, row_number() OVER "
+        "(PARTITION BY h % 16 ORDER BY h, vec_id) AS rn FROM ch) "
+        "WHERE rn = 1), "
+        "grown AS (SELECT vec_id, v FROM c UNION ALL "
+        "SELECT vec_id, v FROM call WHERE vec_id % 20 = 5), "
+        + member.format(p=1, src="c") + ", "
+        + member.format(p=2, src="grown") + ", "
+        "q1 AS (SELECT vec_id AS query_id, v AS vq FROM call "
+        "WHERE vec_id % 20 = 5), "
+        "q2 AS (SELECT vec_id AS query_id, v AS vq FROM call "
+        "WHERE vec_id % 20 = 15), "
+        + phase_block.format(p=1) + ", "
+        + phase_block.format(p=2)
         + " SELECT CAST(1 AS INTEGER) AS phase, query_id, vec_id, cos, "
         "CAST(rank AS INTEGER) AS rank FROM r1 WHERE rank <= 10 "
         "UNION ALL "
@@ -4145,6 +4219,7 @@ WHERE round(i.inter / sa.sz, 6) >= 0.6
         # the streaming drain reproduces the batch lifecycle exactly:
         # same grown-index replay as dedup_index_maintain
         "stream_index_maintain": _lsh_index_maintain_oracle(16, 4, 0.5),
+        "stream_ann_maintain": _stream_ann_maintain_oracle(),
         "stream_enrich": (
             "SELECT user_id % 7 AS segment, event_type, count(*) AS n, "
             "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) "

@@ -336,3 +336,56 @@ def _stream_index_maintain(spark, sf_dir):
         (F.col("doc_id") % 7).cast("int").alias("phase"),
         "doc_id", "n_matches", "max_jaccard",
     )
+
+def _stream_ann_maintain(spark, sf_dir):
+    """Continuous-ingest VECTOR index maintenance through a real
+    Structured Streaming drain (r12) — the IVF twin of
+    :func:`_stream_index_maintain`, completing the lifecycle matrix
+    {LSH, IVF} x {batch, streaming}: the base corpus
+    (vec_id % 10 not in (0, 5)) is indexed once, then two ingest
+    waves of NEW vectors (% 20 == 5, then % 20 == 15) arrive as
+    ordered micro-batches; each arriving vector is probed as a query
+    against the index AS OF the previous batch (top-10 cosine within
+    4 probed lists) and then the batch is appended under the frozen
+    quantizer. Wave 2's neighbors can therefore include wave-1
+    vectors — the same grown-index semantics as ann_index_maintain,
+    produced by the streaming engine (foreachBatch at-least-once,
+    made idempotent by the per-batch overwrite + ledger gating in
+    streaming/index.py). phase = 1 for % 20 == 5 arrivals, 2 for
+    % 20 == 15. Output: (phase, query_id, vec_id, cos, rank)."""
+    import tempfile
+    import uuid
+
+    from task_on_dataframes_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from task_on_dataframes_spark.streaming.index import (
+        ann_maintain_stream,
+        stage_wave_files,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tag = "sann_" + uuid.uuid4().hex[:8]
+    corpus = emb.filter(
+        (F.col("vec_id") % 10 != 0) & (F.col("vec_id") % 10 != 5)
+    )
+    cents_t, lists_t = build_ivf_index(
+        spark, corpus, "vec_id", "embedding", name_tag=tag,
+        n_centroids=16,
+    )
+    src = stage_wave_files(
+        spark, emb.filter(F.col("vec_id") % 10 == 5),
+        [F.col("vec_id") % 20 == 5, F.col("vec_id") % 20 == 15],
+        id_col="vec_id",
+    )
+    res = ann_maintain_stream(
+        spark, src, cents_t, lists_t,
+        results_dir=tempfile.mkdtemp(prefix="tada_sannres_") + "/out",
+        checkpoint=tempfile.mkdtemp(prefix="tada_ck_"),
+        k=10, n_probe=4,
+    )
+    return res.select(
+        F.when(F.col("query_id") % 20 == 5, 1)
+        .otherwise(2).cast("int").alias("phase"),
+        "query_id", "vec_id", "cos", "rank",
+    )

@@ -1,4 +1,4 @@
-"""Streaming maintenance of the persisted LSH index.
+"""Streaming maintenance of the persisted LSH and IVF indexes.
 
 Each document micro-batch is probed against the CURRENT index inside
 ``foreachBatch``, its verified near-dup matches appended to a results
@@ -124,6 +124,103 @@ def index_maintain_stream(
             [], schema=f"{id_col} bigint, n_matches int, max_jaccard double"
         )
     # per-batch subdirectories: recursive lookup, no partition inference
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(results_dir)
+    )
+
+
+def ann_maintain_stream(
+    spark: SparkSession,
+    src_dir: str,
+    cents_table: str,
+    lists_table: str,
+    results_dir: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drain ``src_dir`` (one parquet file of ``(id_col, vec_col)``
+    rows per ingest wave) through probe-then-append maintenance of the
+    persisted IVF index — the vector twin of
+    :func:`index_maintain_stream`, completing the lifecycle matrix
+    {LSH, IVF} x {batch driver loop, Structured Streaming drain}.
+
+    Per micro-batch, in order: (1) each arriving vector is probed as a
+    query against the index AS OF the previous batch (top-``k`` by
+    exact cosine within ``n_probe`` coarse lists — the "link new
+    embeddings to their nearest indexed neighbors" step of a rolling
+    ingest pipeline); results land in ``results_dir/b{batch_id}`` with
+    ``overwrite``; (2) the batch is appended into the list table under
+    the FROZEN stored quantizer (O(batch x n_centroids), existing
+    files untouched). Wave N+1's neighbors can therefore include
+    wave-N vectors, which a build-once index can never return.
+
+    The same at-least-once idempotency contract as the LSH drain: a
+    per-batch ledger marker gates the append, the per-batch overwrite
+    replaces rather than duplicates on replay, and a fully-applied
+    batch is skipped wholesale (re-probing it would see its own
+    appended vectors and self-match). Scale shape: every stage inside
+    ``foreachBatch`` is micro-batch-sized; the index is read
+    bucket-pruned (``cid IN (...)``) and never shuffled.
+
+    Returns the drained results frame
+    ``(query_id, vec_id, cos, rank)`` where ``query_id`` is the
+    arriving vector's id.
+    """
+    import os
+
+    from task_on_dataframes_spark.operators.similarity import (
+        append_ivf_index,
+        probe_ivf_index,
+    )
+
+    schema = spark.read.parquet(src_dir).schema
+    ledger = results_dir.rstrip("/") + "_ledger"
+    os.makedirs(ledger, exist_ok=True)
+
+    def _probe_then_append(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger, f"appended_{batch_id}")
+        if os.path.exists(marker):
+            return
+        sess = batch_df.sparkSession
+        queries = batch_df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col)
+        )
+        matches = probe_ivf_index(
+            sess, queries, cents_table, lists_table,
+            k=k, n_probe=n_probe, vec_col=vec_col,
+        )
+        matches.write.mode("overwrite").parquet(
+            os.path.join(results_dir, f"b{batch_id}")
+        )
+        append_ivf_index(
+            sess, batch_df, cents_table, lists_table,
+            id_col=id_col, vec_col=vec_col,
+        )
+        with open(marker, "w") as fh:
+            fh.write("committed\n")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(_probe_then_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.exists(results_dir):  # empty stream: no batch ran
+        return spark.createDataFrame(
+            [],
+            schema=(
+                "query_id bigint, vec_id bigint, cos double, rank int"
+            ),
+        )
     return (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(results_dir)

@@ -492,3 +492,80 @@ def test_index_maintain_stream_replay_is_idempotent(spark, tmp_path):
     assert sorted(os.listdir(ledger)) == snap_ledger
     assert spark.table(keys_t).count() == n_keys  # no double-append
     assert spark.table(sets_t).count() == n_sets
+
+def test_ann_maintain_stream_replay_is_idempotent(spark, tmp_path):
+    """The IVF twin of the LSH replay test (r12): drain two vector
+    waves through probe-then-append, assert wave 2 can see wave 1
+    (grown-index semantics), then replay the whole drain with a fresh
+    checkpoint and assert results parquet, ledger, and list-table row
+    counts are unchanged — foreachBatch at-least-once made idempotent
+    by the same per-batch overwrite + ledger gating."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from task_on_dataframes_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from task_on_dataframes_spark.streaming.index import (
+        ann_maintain_stream,
+        stage_wave_files,
+    )
+
+    rows = [
+        (1, [1.0, 0.05, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.05, 0.0]),
+        (4, [0.1, 0.9, 0.0, 0.0]),
+        (20, [0.95, 0.08, 0.0, 0.0]),  # wave 1
+        (30, [0.97, 0.06, 0.0, 0.0]),  # wave 2: nearest is 20
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents_t, lists_t = build_ivf_index(
+        spark, emb.filter(F.col("vec_id") <= 4), "vec_id", "embedding",
+        name_tag="t_sann_replay", n_centroids=2,
+    )
+    src = stage_wave_files(
+        spark, emb, [F.col("vec_id") == 20, F.col("vec_id") == 30],
+        id_col="vec_id",
+    )
+    results = str(tmp_path / "out")
+    first = {
+        tuple(r)
+        for r in ann_maintain_stream(
+            spark, src, cents_t, lists_t, results_dir=results,
+            checkpoint=str(tmp_path / "ck"), k=3, n_probe=2,
+        ).collect()
+    }
+    assert first
+    # grown-index semantics: wave 2's neighbors include wave-1 vec 20
+    assert any(q == 30 and v == 20 for q, v, _, _ in first)
+    # wave 1 probed BEFORE its own append: no self-match, no wave-2 vec
+    assert not any(q == 20 and v in (20, 30) for q, v, _, _ in first)
+    snap_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(results, "**", "*.parquet"),
+                           recursive=True)
+    }
+    ledger = results.rstrip("/") + "_ledger"
+    snap_ledger = sorted(os.listdir(ledger))
+    n_lists = spark.table(lists_t).count()
+    shutil.rmtree(str(tmp_path / "ck"))
+    replay = {
+        tuple(r)
+        for r in ann_maintain_stream(
+            spark, src, cents_t, lists_t, results_dir=results,
+            checkpoint=str(tmp_path / "ck2"), k=3, n_probe=2,
+        ).collect()
+    }
+    assert replay == first
+    after_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(results, "**", "*.parquet"),
+                           recursive=True)
+    }
+    assert after_files == snap_files
+    assert sorted(os.listdir(ledger)) == snap_ledger
+    assert spark.table(lists_t).count() == n_lists
