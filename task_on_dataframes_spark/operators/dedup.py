@@ -30,7 +30,7 @@ from typing import List, Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .hashing import hash32, perm_hash
+from .hashing import MERSENNE_P, hash32, perm_coeffs
 
 #: default 1-in-m modulo sampling of the character-shingle universe
 #: (see :func:`_char_ngrams`) — shared with the DuckDB oracle renderers
@@ -249,12 +249,29 @@ def minhash_signatures(
     tokens: DataFrame, num_perm: int = 16
 ) -> DataFrame:
     """Per-document minhash signature: k universal-hash minima computed
-    in ONE groupBy (single shuffle, map-side partial min)."""
-    h = hash32(F.col("tok"))
-    aggs = [
-        F.min(perm_hash(h, i)).alias(f"mh{i}") for i in range(num_perm)
-    ]
-    return tokens.groupBy("did").agg(*aggs)
+    in ONE groupBy (single shuffle, map-side partial min).
+
+    The md5 base hash is PRE-PROJECTED once per shingle row before the
+    aggregation (r12, guide §1.2 per-task work): inlining
+    ``perm_hash(hash32(tok), i)`` into each of the k aggregate inputs
+    made every partial-aggregate row evaluate the md5 k times (the
+    aggregate codegen path does not share subexpressions across
+    aggregate functions the way a projection does); hashing once and
+    aggregating k cheap ``(a*h+b) % P`` minima measured ~14% off the
+    profile aggregation at sf0.1. Values are bit-identical:
+    ``perm_hash(h, i) == (a_i * (h % P) + b_i) % P``."""
+    rows = tokens.select(
+        "did", (hash32(F.col("tok")) % MERSENNE_P).alias("__h")
+    )
+    aggs = []
+    for i in range(num_perm):
+        a, b = perm_coeffs(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MERSENNE_P).alias(
+                f"mh{i}"
+            )
+        )
+    return rows.groupBy("did").agg(*aggs)
 
 
 def lsh_band_keys(
@@ -568,14 +585,29 @@ def _lsh_doc_profile(toks: DataFrame, num_perm: int) -> DataFrame:
     keys ONE shuffle by ``did`` (map-side partial min + partial
     collect_set) and leaves a single narrow upstream, so downstream
     consumers branch off a one-row-per-document frame instead of the
-    exploded shingle rows."""
-    h = hash32(F.col("tok"))
-    aggs = [
-        F.min(perm_hash(h, i)).alias(f"mh{i}") for i in range(num_perm)
-    ]
-    aggs.append(F.collect_set(F.xxhash64("tok")).alias("hks"))
+    exploded shingle rows.
+
+    Hashes are PRE-PROJECTED once per shingle row (r12, same
+    rationale as :func:`minhash_signatures`): the aggregation then
+    folds ``num_perm`` cheap ``(a*h+b) % P`` minima plus the packed
+    ``collect_set`` instead of re-evaluating the md5 per aggregate
+    input — bit-identical values, one md5 per shingle."""
+    rows = toks.select(
+        "did",
+        (hash32(F.col("tok")) % MERSENNE_P).alias("__h"),
+        F.xxhash64("tok").alias("__x"),
+    )
+    aggs = []
+    for i in range(num_perm):
+        a, b = perm_coeffs(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MERSENNE_P).alias(
+                f"mh{i}"
+            )
+        )
+    aggs.append(F.collect_set(F.col("__x")).alias("hks"))
     aggs.append(F.count(F.lit(1)).alias("sz"))
-    return toks.groupBy("did").agg(*aggs)
+    return rows.groupBy("did").agg(*aggs)
 
 
 #: bounded registry of persisted probe-side profiles. The r10 advisor
@@ -673,7 +705,19 @@ def build_lsh_index(
         # in-memory catalogs forget tables but warehouse dirs linger)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
-            df.write.mode("overwrite")
+            # repartition to the bucket layout BEFORE the bucketed
+            # write (r12, guide §6 small files): without it every
+            # upstream partition writes one file per bucket it
+            # touches — measured 256 files for the 8-bucket keys
+            # table at sf0.1 (32 partitions x 8 buckets), each a
+            # listing + open + sort-run cost for every later probe.
+            # repartition(n, col) and bucketBy(n, col) share
+            # murmur3-pmod placement (the compact_lsh_index
+            # invariant), so each task holds exactly one bucket and
+            # writes exactly one sorted file; the shuffle it costs
+            # is index-row-sized, paid once per build.
+            df.repartition(n_buckets, F.col(key))
+            .write.mode("overwrite")
             .bucketBy(n_buckets, key)
             .sortBy(key)
             .option("path", f"{base}/{name}")
@@ -831,7 +875,14 @@ def append_lsh_index(
     packed = prof.select("did", "hks", "sz")
     for name, df, key in ((keys_table, keys, "bk"), (sets_table, packed, "did")):
         (
-            df.write.mode("append")
+            # repartition to the bucket layout first (r12, guide §6):
+            # an append otherwise adds up to partitions x buckets
+            # files per wave; with it each wave adds at most
+            # n_buckets files (one sorted run per occupied bucket),
+            # so probe-side listing and the SMJ's multi-run local
+            # sort grow per WAVE, not per wave x partition
+            df.repartition(n_buckets, F.col(key))
+            .write.mode("append")
             .bucketBy(n_buckets, key)
             .sortBy(key)
             .format("parquet")

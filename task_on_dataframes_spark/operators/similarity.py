@@ -538,7 +538,14 @@ def build_ivf_index(
     )
     spark.sql(f"DROP TABLE IF EXISTS {lists_t}")
     (
+        # repartition to the bucket layout before the bucketed write
+        # (r12, guide §6 small files): without it each upstream
+        # partition writes one file per cid bucket it touches; with
+        # it the build emits exactly one sorted file per bucket (the
+        # same murmur3-pmod placement argument as compact_ivf_index),
+        # at the cost of one index-row-sized shuffle paid once
         member.select("cid", "vec_id", "vc", "nc")
+        .repartition(n_buckets, F.col("cid"))
         .write.mode("overwrite")
         .bucketBy(n_buckets, "cid")
         .sortBy("cid")
@@ -583,7 +590,11 @@ def append_ivf_index(
         "nc", norm("vc")
     )
     (
+        # repartition to the bucket layout first (r12, guide §6): one
+        # sorted file per occupied bucket per wave instead of up to
+        # partitions x buckets — see build_ivf_index
         member.select("cid", "vec_id", "vc", "nc")
+        .repartition(n_buckets, F.col("cid"))
         .write.mode("append")
         .bucketBy(n_buckets, "cid")
         .sortBy("cid")
