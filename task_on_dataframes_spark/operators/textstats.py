@@ -259,15 +259,14 @@ def multilingual_curation_verdicts(
             for i, (_name, rng) in enumerate(SCRIPT_RANGES)
         ]
     )
+    def _score(words: List[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(
+            F.filter(F.col("toks"), lambda t: F.array_contains(arr, t))
+        )
+
     score_cols = [
-        F.size(
-            F.filter(
-                F.col("toks"),
-                lambda t: F.array_contains(
-                    F.array(*[F.lit(w) for w in words]), t
-                ),
-            )
-        ).alias(f"score_{lang}")
+        (f"score_{lang}", _score(words))
         for lang, words in STOPWORDS.items()
     ]
     # char 3-grams over the prefix of the NORMALIZED text — the
@@ -297,6 +296,21 @@ def multilingual_curation_verdicts(
     # script_id (see its docstring for the rejected explode+groupBy
     # shape: SortAggregate + corpus Exchange + an inferred
     # size(entries)>0 filter that re-ran all 8 regexes per row).
+    #
+    # Gate signals are BRANCH-CONDITIONAL (r12, guide §1.2 — don't
+    # compute what you throw away): a document consumes either the
+    # WORD gates (Latin: stopword filters, g2/g3 gram arrays — ~6
+    # interpreted HOF passes over the token array) or the CHAR gates
+    # (non-Latin: the 510-substring c3 transform + dedup), never
+    # both, and ``reason`` only ever reads top2/dup3/best_stop under
+    # ``is_latin`` and dup3c under ``~is_latin``. The argmax is
+    # therefore computed FIRST (one select earlier) and each branch's
+    # array producers are wrapped in when(lat, ...)/when(~lat, ...),
+    # so the per-row conditional skips the unused branch's work
+    # entirely (NULL flows to a signal no gate reads — verdict
+    # unchanged, oracle-checked). On a Latin-dominant corpus this
+    # skips the c3 work on ~every row.
+    lat = (F.col("m")["n"] > 0) & (F.col("m")["ni"] == 0)
     staged = (
         df.select(
             F.col(id_col),
@@ -309,13 +323,21 @@ def multilingual_curation_verdicts(
         .select(
             F.col(id_col),
             "digest",
+            "toks",
+            "n_chars",
+            "p2",
+            F.array_max("entries").alias("m"),
+        )
+        .select(
+            F.col(id_col),
+            "digest",
             F.size("toks").alias("n_tokens"),
             "n_chars",
-            *score_cols,
-            _grams(F.col("toks"), 2).alias("g2"),
-            _grams(F.col("toks"), 3).alias("g3"),
-            c3.alias("c3"),
-            "entries",
+            *[F.when(lat, sc).alias(sc_name) for sc_name, sc in score_cols],
+            F.when(lat, _grams(F.col("toks"), 2)).alias("g2"),
+            F.when(lat, _grams(F.col("toks"), 3)).alias("g3"),
+            F.when(~lat, c3).alias("c3"),
+            "m",
         )
         .select(
             F.col(id_col),
@@ -331,7 +353,7 @@ def multilingual_curation_verdicts(
             ).otherwise(F.lit(0.0)).alias("top2"),
             _dup_frac(F.col("g3")).alias("dup3"),
             _dup_frac(F.col("c3")).alias("dup3c"),
-            F.array_max("entries").alias("m"),
+            "m",
         )
     )
     case: Column = F.lit(SCRIPT_RANGES[-1][0])
