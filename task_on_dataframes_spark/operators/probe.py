@@ -63,7 +63,17 @@ def probe_features(
         lambda t: F.length(t) > 0,
     )
     carry = [F.col(group_col).alias("grp")] if group_col else []
-    base = df.select(
+    # token-bearing gate as a CHEAP text predicate, not size(arr) > 0:
+    # the two are equivalent (a row has a non-empty token iff the text
+    # has a non-whitespace character), but the arr-based filter is
+    # pushable and Catalyst pushed it below the parallelism-floor
+    # repartition — re-running the full tokenize per row inside the
+    # single-task scan stage (measured 1.9 CPU-s serial at sf0.1,
+    # the query's wall floor) and then again post-shuffle for the
+    # features. The rlike pushes below the exchange too, but costs a
+    # find-first-char regex instead of a tokenize. (r12, guide §2.3
+    # project-before-exchange / §1.2 per-task work.)
+    base = df.filter(F.col(text_col).rlike(r"\S")).select(
         *carry,
         arr.alias("arr"),
         F.length(text_col).alias("tlen"),
@@ -73,7 +83,7 @@ def probe_features(
         ).alias("digits"),
         F.col("n_chars"),
     ).withColumn("n_tok", F.size("arr"))
-    return base.filter(F.col("n_tok") > 0).select(
+    return base.select(
         *([F.col("grp")] if group_col else []),
         F.lit(1000).cast("bigint").alias("x0"),
         F.least("n_tok", F.lit(1000)).cast("bigint").alias("x1"),
