@@ -865,10 +865,32 @@ def append_lsh_index(
     )
     # fused profile, persisted for exactly the two writes below — the
     # append HAS an in-function materialization point, so the persist
-    # is explicitly scoped (no registry needed, no recompute per write)
-    prof = _lsh_doc_profile(
+    # is explicitly scoped (no registry needed, no recompute per write).
+    # Probe-cache reuse (r12, guide §1.2): the maintain lifecycle —
+    # batch and streaming alike — probes a wave and then appends the
+    # SAME wave, and both start from the identical fused profile; the
+    # probe's copy sits in the bounded persist registry, already
+    # materialized by the probe's own action. A plan-equality lookup
+    # (sameSemantics) reuses it instead of re-shingling and
+    # re-aggregating the batch — one full batch pass saved per
+    # maintained wave. A miss (append without a preceding probe, or a
+    # cache entry already rotated out) falls back to computing and
+    # owning a scoped persist; a rotated-but-matched entry is still
+    # CORRECT (persist keeps lineage), it just recomputes.
+    cand = _lsh_doc_profile(
         _shingles(bid, "did", "text", shingle_n), num_perm
-    ).persist()
+    )
+    prof = None
+    for cached in reversed(_probe_persisted):
+        try:
+            if cand.sameSemantics(cached):
+                prof = cached
+                break
+        except Exception:
+            continue  # dead-session cache entry — skip, never poison
+    owned = prof is None
+    if owned:
+        prof = cand.persist()
     keys = lsh_band_keys(prof, num_perm, bands).withColumn(
         "bk", F.concat_ws(":", F.col("band").cast("string"), F.col("key"))
     )
@@ -888,7 +910,8 @@ def append_lsh_index(
             .format("parquet")
             .saveAsTable(name)
         )
-    prof.unpersist()
+    if owned:
+        prof.unpersist()
 
 
 def compact_lsh_index(

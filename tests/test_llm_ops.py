@@ -92,6 +92,53 @@ def test_persisted_lsh_index_probe_matches_one_shot(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_index_writes_one_file_per_bucket(spark, sf_dir):
+    """r12 layout optimization: build/append repartition to the bucket
+    column before every bucketed write, so a build emits at most one
+    sorted file per bucket and each append wave adds at most
+    n_buckets more (previously: one file per upstream partition per
+    touched bucket — 256 files for the 8-bucket keys table at
+    sf0.1). Guards the guide-§6 small-files contract the probe SMJ
+    and the compaction pass both depend on."""
+    from task_on_dataframes_spark.operators.dedup import (
+        LSH_INDEX_BUCKETS,
+        append_lsh_index,
+        build_lsh_index,
+    )
+    from task_on_dataframes_spark.operators.similarity import (
+        IVF_INDEX_BUCKETS,
+        append_ivf_index,
+        build_ivf_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    keys_t, sets_t = build_lsh_index(
+        spark, docs.filter(F.col("doc_id") % 3 == 0),
+        "doc_id", "text", name_tag="t_onefile",
+    )
+    for t in (keys_t, sets_t):
+        n = len(spark.table(t).inputFiles())
+        assert n <= LSH_INDEX_BUCKETS, (t, n)
+    append_lsh_index(
+        spark, docs.filter(F.col("doc_id") % 3 == 1),
+        "doc_id", "text", keys_t, sets_t,
+    )
+    for t in (keys_t, sets_t):
+        n = len(spark.table(t).inputFiles())
+        assert n <= 2 * LSH_INDEX_BUCKETS, (t, n)
+
+    emb = _emb(spark, sf_dir)
+    cents_t, lists_t = build_ivf_index(
+        spark, emb.filter(F.col("vec_id") % 3 == 0),
+        name_tag="t_onefile",
+    )
+    assert len(spark.table(lists_t).inputFiles()) <= IVF_INDEX_BUCKETS
+    append_ivf_index(
+        spark, emb.filter(F.col("vec_id") % 3 == 1), cents_t, lists_t
+    )
+    assert len(spark.table(lists_t).inputFiles()) <= 2 * IVF_INDEX_BUCKETS
+
+
 def test_lsh_index_append_then_compact_roundtrip(spark, sf_dir):
     """The r11 index lifecycle: appending a wave into the persisted
     index makes its documents probe-visible (equal to a one-shot over
