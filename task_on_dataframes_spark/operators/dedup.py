@@ -636,6 +636,23 @@ def _bounded_persist(df: DataFrame) -> DataFrame:
     return out
 
 
+def _parallel_writes(fn, jobs) -> None:
+    """Run independent table writes as concurrent driver-submitted
+    jobs (guide §2.6: actions are only sequential because driver code
+    calls them sequentially — two jobs writing disjoint tables can
+    back-fill each other's straggler tails). Two in flight is plenty;
+    exceptions propagate to the caller."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = list(jobs)
+    if len(jobs) <= 1:
+        for j in jobs:
+            fn(j)
+        return
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(fn, jobs))
+
+
 def build_lsh_index(
     spark,
     corpus: DataFrame,
@@ -700,7 +717,9 @@ def build_lsh_index(
     )
     packed = prof.select("did", "hks", "sz")
     base = base_path or tempfile.mkdtemp(prefix="tada_lshidx_")
-    for name, df, key in ((keys_t, keys, "bk"), (sets_t, packed, "did")):
+
+    def _write(args):
+        name, df, key = args
         # external table at a fresh temp path (see _s13_bucketed_join:
         # in-memory catalogs forget tables but warehouse dirs linger)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -724,6 +743,17 @@ def build_lsh_index(
             .format("parquet")
             .saveAsTable(name)
         )
+
+    # materialize the shared profile once, then run the two
+    # independent table writes as concurrent driver-submitted jobs
+    # (guide §2.6 — the keys write's straggler tail no longer
+    # serializes ahead of the sets write; job descriptions and the
+    # catalog ops are per-thread-safe, and the writes touch disjoint
+    # tables/paths)
+    prof.count()
+    _parallel_writes(
+        _write, ((keys_t, keys, "bk"), (sets_t, packed, "did"))
+    )
     prof.unpersist()
     return keys_t, sets_t
 
@@ -895,7 +925,8 @@ def append_lsh_index(
         "bk", F.concat_ws(":", F.col("band").cast("string"), F.col("key"))
     )
     packed = prof.select("did", "hks", "sz")
-    for name, df, key in ((keys_table, keys, "bk"), (sets_table, packed, "did")):
+    def _write(args):
+        name, df, key = args
         (
             # repartition to the bucket layout first (r12, guide §6):
             # an append otherwise adds up to partitions x buckets
@@ -910,6 +941,13 @@ def append_lsh_index(
             .format("parquet")
             .saveAsTable(name)
         )
+
+    # materialize the (owned or probe-cached) profile, then overlap
+    # the two independent table appends (guide §2.6 — see build)
+    prof.count()
+    _parallel_writes(
+        _write, ((keys_table, keys, "bk"), (sets_table, packed, "did"))
+    )
     if owned:
         prof.unpersist()
 
@@ -962,10 +1000,9 @@ def compact_lsh_index(
     new_keys = f"tada_lshidx_keys_{name_tag}"
     new_sets = f"tada_lshidx_sets_{name_tag}"
     base = base_path or tempfile.mkdtemp(prefix="tada_lshidx_")
-    for src, name, key in (
-        (keys_table, new_keys, "bk"),
-        (sets_table, new_sets, "did"),
-    ):
+
+    def _rewrite(args):
+        src, name, key = args
         cat = spark.table(src)
         files = cat.inputFiles()
         if files:
@@ -985,6 +1022,13 @@ def compact_lsh_index(
             .format("parquet")
             .saveAsTable(name)
         )
+
+    # the two rewrites read and write disjoint tables — overlap them
+    # (guide §2.6), same as the build/append writes
+    _parallel_writes(
+        _rewrite,
+        ((keys_table, new_keys, "bk"), (sets_table, new_sets, "did")),
+    )
     return new_keys, new_sets
 
 

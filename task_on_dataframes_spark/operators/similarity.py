@@ -17,7 +17,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine, dot, norm
+from .dedup import _parallel_writes, cosine, dot, norm
 from .hashing import hash32, perm_coeffs, MERSENNE_P
 
 
@@ -529,30 +529,40 @@ def build_ivf_index(
     cents = _ivf_centroids(c, n_centroids)
     member = _ivf_member(c, cents).withColumn("nc", norm("vc"))
     base = base_path or tempfile.mkdtemp(prefix="tada_ivfidx_")
-    spark.sql(f"DROP TABLE IF EXISTS {cents_t}")
-    (
-        cents.write.mode("overwrite")
-        .option("path", f"{base}/{cents_t}")
-        .format("parquet")
-        .saveAsTable(cents_t)
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {lists_t}")
-    (
-        # repartition to the bucket layout before the bucketed write
-        # (r12, guide §6 small files): without it each upstream
-        # partition writes one file per cid bucket it touches; with
-        # it the build emits exactly one sorted file per bucket (the
-        # same murmur3-pmod placement argument as compact_ivf_index),
-        # at the cost of one index-row-sized shuffle paid once
-        member.select("cid", "vec_id", "vc", "nc")
-        .repartition(n_buckets, F.col("cid"))
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "cid")
-        .sortBy("cid")
-        .option("path", f"{base}/{lists_t}")
-        .format("parquet")
-        .saveAsTable(lists_t)
-    )
+
+    def _write_cents(_):
+        spark.sql(f"DROP TABLE IF EXISTS {cents_t}")
+        (
+            cents.write.mode("overwrite")
+            .option("path", f"{base}/{cents_t}")
+            .format("parquet")
+            .saveAsTable(cents_t)
+        )
+
+    def _write_lists(_):
+        spark.sql(f"DROP TABLE IF EXISTS {lists_t}")
+        (
+            # repartition to the bucket layout before the bucketed
+            # write (r12, guide §6 small files): without it each
+            # upstream partition writes one file per cid bucket it
+            # touches; with it the build emits exactly one sorted
+            # file per bucket (the same murmur3-pmod placement
+            # argument as compact_ivf_index), at the cost of one
+            # index-row-sized shuffle paid once
+            member.select("cid", "vec_id", "vc", "nc")
+            .repartition(n_buckets, F.col("cid"))
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "cid")
+            .sortBy("cid")
+            .option("path", f"{base}/{lists_t}")
+            .format("parquet")
+            .saveAsTable(lists_t)
+        )
+
+    # overlap the two disjoint-table writes (guide §2.6 — the shared
+    # centroid frame is persisted, so concurrent materialization is
+    # block-lock-safe and computed once)
+    _parallel_writes(lambda f: f(None), (_write_cents, _write_lists))
     return cents_t, lists_t
 
 
@@ -699,33 +709,41 @@ def compact_ivf_index(
     new_cents = f"tada_ivfidx_cents_{name_tag}"
     new_lists = f"tada_ivfidx_lists_{name_tag}"
     base = base_path or tempfile.mkdtemp(prefix="tada_ivfidx_")
-    cents = spark.table(cents_table)
-    spark.sql(f"DROP TABLE IF EXISTS {new_cents}")
-    (
-        cents.write.mode("overwrite")
-        .option("path", f"{base}/{new_cents}")
-        .format("parquet")
-        .saveAsTable(new_cents)
-    )
-    cat = spark.table(lists_table)
-    files = cat.inputFiles()
-    if files:
-        src_dir = os.path.dirname(files[0])
-        raw = spark.read.schema(cat.schema).parquet(src_dir)
-    else:
-        # zero-file list table: compact to an empty index rather than
-        # IndexError (same guard as compact_lsh_index)
-        raw = spark.createDataFrame([], cat.schema)
-    spark.sql(f"DROP TABLE IF EXISTS {new_lists}")
-    (
-        raw.repartition(n_buckets, F.col("cid"))
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "cid")
-        .sortBy("cid")
-        .option("path", f"{base}/{new_lists}")
-        .format("parquet")
-        .saveAsTable(new_lists)
-    )
+
+    def _copy_cents(_):
+        cents = spark.table(cents_table)
+        spark.sql(f"DROP TABLE IF EXISTS {new_cents}")
+        (
+            cents.write.mode("overwrite")
+            .option("path", f"{base}/{new_cents}")
+            .format("parquet")
+            .saveAsTable(new_cents)
+        )
+
+    def _rewrite_lists(_):
+        cat = spark.table(lists_table)
+        files = cat.inputFiles()
+        if files:
+            src_dir = os.path.dirname(files[0])
+            raw = spark.read.schema(cat.schema).parquet(src_dir)
+        else:
+            # zero-file list table: compact to an empty index rather
+            # than IndexError (same guard as compact_lsh_index)
+            raw = spark.createDataFrame([], cat.schema)
+        spark.sql(f"DROP TABLE IF EXISTS {new_lists}")
+        (
+            raw.repartition(n_buckets, F.col("cid"))
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "cid")
+            .sortBy("cid")
+            .option("path", f"{base}/{new_lists}")
+            .format("parquet")
+            .saveAsTable(new_lists)
+        )
+
+    # the snapshot copy and the list rewrite touch disjoint tables —
+    # overlap them (guide §2.6)
+    _parallel_writes(lambda f: f(None), (_copy_cents, _rewrite_lists))
     return new_cents, new_lists
 
 
