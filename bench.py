@@ -20,6 +20,81 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+#: the timed headline queries, in bench order. Module-level (r13,
+#: advisor) so tools/dump_plans.py reads the list directly instead of
+#: regex-scraping this file's source; main() uses it unchanged.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "a1_value_counts",
+    "p6_distinct_subset",
+    "j3_left_join",
+    "w2_top90_tokens",
+    "ev_sessionize",
+    "ev_hourly_agg",
+    # extension flagships
+    "j6_asof_join",
+    "text_tfidf",
+    "text_pack",
+    "dedup_minhash_lsh",
+    "ann_ivf_topk",
+    # round-3 flagships
+    "planner_llm_chunks",
+    "skew_salted_agg",
+    "q20_excess_volume",
+    # round-3 second wave
+    "pipeline_c4_curation",
+    "graph_pagerank",
+    "emb_gram",
+    # round-4 flagships
+    "ann_pq_topk",
+    "s13_bucketed_join",
+    "dq_rules",
+    "sketch_heavy_hitters",
+    "text_entropy",
+    # round-4 waves 5-6
+    "quality_linear_probe",
+    "dedup_substring",
+    "s18_bloom_join_prune",
+    # round-4 final wave
+    "dedup_incremental_lsh",
+    # round-4 wave 12
+    "mix_token_budget",
+    "ann_hybrid_rrf",
+    # round-6 flagships
+    "dedup_substring_rewrite",
+    "ann_ivfsq_topk",
+    "text_bpe_train256",
+    # round-7 flagships
+    "dedup_components",
+    "text_bpe_bytes",
+    "dedup_minhash_char",
+    # round-8 flagship: the script-routed multilingual curation
+    # pass (verdicts + char-LSH near-dup over survivors)
+    "pipeline_multilingual_curation",
+    # round-9 flagship: byte-BPE token accounting over the kept
+    # survivors (train + apply in one query)
+    "pipeline_multilingual_tokens",
+    # round-10/11 flagships: probe-only paths against persisted
+    # indexes (the warm run pays the one-time index build; timed
+    # runs measure the steady-state batch-sized probe)
+    "dedup_index_probe",
+    "ann_index_probe",
+    # round-12 (r11 verdict item 8): the index LIFECYCLE paths —
+    # maintain (probe+append+re-probe), compact (rewrite+probe),
+    # and the streaming drain — get the same round-over-round
+    # regression scrutiny the probe path has. These rebuild their
+    # index per invocation (fresh uuid tag), so the timing covers
+    # build+maintain, not just the probe.
+    "dedup_index_maintain",
+    "dedup_index_compact",
+    "ann_index_maintain",
+    "ann_index_compact",
+    "stream_index_maintain",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -58,76 +133,7 @@ def main() -> None:
 
     read_events(spark, f"{sf_dir}/events.parquet").count()
 
-    headline = [
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_region_volume",
-        "a1_value_counts",
-        "p6_distinct_subset",
-        "j3_left_join",
-        "w2_top90_tokens",
-        "ev_sessionize",
-        "ev_hourly_agg",
-        # extension flagships
-        "j6_asof_join",
-        "text_tfidf",
-        "text_pack",
-        "dedup_minhash_lsh",
-        "ann_ivf_topk",
-        # round-3 flagships
-        "planner_llm_chunks",
-        "skew_salted_agg",
-        "q20_excess_volume",
-        # round-3 second wave
-        "pipeline_c4_curation",
-        "graph_pagerank",
-        "emb_gram",
-        # round-4 flagships
-        "ann_pq_topk",
-        "s13_bucketed_join",
-        "dq_rules",
-        "sketch_heavy_hitters",
-        "text_entropy",
-        # round-4 waves 5-6
-        "quality_linear_probe",
-        "dedup_substring",
-        "s18_bloom_join_prune",
-        # round-4 final wave
-        "dedup_incremental_lsh",
-        # round-4 wave 12
-        "mix_token_budget",
-        "ann_hybrid_rrf",
-        # round-6 flagships
-        "dedup_substring_rewrite",
-        "ann_ivfsq_topk",
-        "text_bpe_train256",
-        # round-7 flagships
-        "dedup_components",
-        "text_bpe_bytes",
-        "dedup_minhash_char",
-        # round-8 flagship: the script-routed multilingual curation
-        # pass (verdicts + char-LSH near-dup over survivors)
-        "pipeline_multilingual_curation",
-        # round-9 flagship: byte-BPE token accounting over the kept
-        # survivors (train + apply in one query)
-        "pipeline_multilingual_tokens",
-        # round-10/11 flagships: probe-only paths against persisted
-        # indexes (the warm run pays the one-time index build; timed
-        # runs measure the steady-state batch-sized probe)
-        "dedup_index_probe",
-        "ann_index_probe",
-        # round-12 (r11 verdict item 8): the index LIFECYCLE paths —
-        # maintain (probe+append+re-probe), compact (rewrite+probe),
-        # and the streaming drain — get the same round-over-round
-        # regression scrutiny the probe path has. These rebuild their
-        # index per invocation (fresh uuid tag), so the timing covers
-        # build+maintain, not just the probe.
-        "dedup_index_maintain",
-        "dedup_index_compact",
-        "ann_index_maintain",
-        "ann_index_compact",
-        "stream_index_maintain",
-    ]
+    headline = HEADLINE
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     n_timed = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -40,6 +40,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# merge tables are tokenizer-sized driver lists; the Arrow local frame
+# skips the 32-task pickled fan-out (r13, guide §6)
+from .localdata import local_frame
+
 #: extract the wrapped symbols back out of the representation string
 _SYMS = r"regexp_extract_all(repr, '\\(([^)]*)\\)', 1)"
 
@@ -283,7 +287,8 @@ def bpe_train_delta(
     for gen in live + [(words, pc)]:
         for f in gen:
             f.unpersist()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         out_rows,
         "step int, lhs string, rhs string, merged string, pair_count long",
     )
@@ -457,7 +462,8 @@ def bpe_train_batched(
     if stats is not None:
         stats["batches"] = n_batches
         stats["merges"] = len(out_rows)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         out_rows,
         "step int, lhs string, rhs string, merged string, pair_count long",
     )
@@ -584,7 +590,8 @@ def bpe_train_scalable(
     if stats is not None:
         stats["path"] = "local"
         stats["jobs"] = 1
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         out_rows,
         "step int, lhs string, rhs string, merged string, pair_count long",
     )

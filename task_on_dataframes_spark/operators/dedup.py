@@ -624,6 +624,35 @@ _PROBE_PERSIST_CAP = 4
 _probe_persisted: list = []
 
 
+def _lookup_probe_profile(cand: DataFrame) -> Optional[DataFrame]:
+    """Plan-equality (``sameSemantics``) lookup in the bounded probe
+    registry, newest entry first. Entries whose cache was dropped OUT
+    OF BAND — ``spark.catalog.clearCache()`` (bench.py calls it
+    between query blocks) or an explicit unpersist — are EVICTED at
+    lookup rather than matched (r12 verdict item 4): a cleared entry
+    reports ``storageLevel == NONE``, and "reusing" it makes the
+    caller skip its own persist, silently recomputing the profile
+    once per consumer instead of materializing it once. Returns the
+    live cached frame, or None (caller persists and owns)."""
+    from pyspark import StorageLevel
+
+    for cached in list(reversed(_probe_persisted)):
+        try:
+            if cached.storageLevel == StorageLevel.NONE:
+                # identity filter, NOT list.remove: remove() would call
+                # DataFrame.__eq__ (a Column) on earlier entries and
+                # raise before reaching the identical object
+                _probe_persisted[:] = [
+                    e for e in _probe_persisted if e is not cached
+                ]
+                continue
+            if cand.sameSemantics(cached):
+                return cached
+        except Exception:
+            continue  # dead-session cache entry — skip, never poison
+    return None
+
+
 def _bounded_persist(df: DataFrame) -> DataFrame:
     out = df.persist()  # MEMORY_AND_DISK: spill, don't recompute
     _probe_persisted.append(out)
@@ -641,16 +670,45 @@ def _parallel_writes(fn, jobs) -> None:
     jobs (guide §2.6: actions are only sequential because driver code
     calls them sequentially — two jobs writing disjoint tables can
     back-fill each other's straggler tails). Two in flight is plenty;
-    exceptions propagate to the caller."""
+    exceptions propagate to the caller.
+
+    Each job runs under ``inheritable_thread_target`` (ADVICE r12):
+    a plain pool thread starts with EMPTY JVM-thread-local properties
+    under PySpark pinned-thread mode, so the caller's job group /
+    description / scheduler pool would silently not apply to these
+    writes (cancelJobGroup would miss them, the UI would mislabel
+    them). The wrapper captures the submitting thread's properties at
+    wrap time and installs them in the worker thread.
+
+    Failure contract: if one write raises, the sibling still runs to
+    completion before the exception propagates (pool.map drains), so
+    the caller can observe AT MOST ONE table updated — the same
+    partial state a sequential loop leaves when its first write lands
+    and its second raises. Callers owning appends (append_lsh_index /
+    append_ivf_index) treat any exception as index-poisoning and must
+    rebuild or compact under a fresh tag before further probes; the
+    build/compact paths write fresh-tag tables, so a failed half is
+    simply never returned to the caller."""
     from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+    from pyspark.sql import SparkSession
 
     jobs = list(jobs)
     if len(jobs) <= 1:
         for j in jobs:
             fn(j)
         return
+    # the session form inherits TAGS as well as local properties (the
+    # bare-callable form copies properties only, and warns)
+    sess = SparkSession.getActiveSession()
+    wrapped = (
+        inheritable_thread_target(sess)(fn)
+        if sess is not None
+        else inheritable_thread_target(fn)
+    )
     with ThreadPoolExecutor(max_workers=2) as pool:
-        list(pool.map(fn, jobs))
+        list(pool.map(wrapped, jobs))
 
 
 def build_lsh_index(
@@ -906,18 +964,20 @@ def append_lsh_index(
     # maintained wave. A miss (append without a preceding probe, or a
     # cache entry already rotated out) falls back to computing and
     # owning a scoped persist; a rotated-but-matched entry is still
-    # CORRECT (persist keeps lineage), it just recomputes.
+    # CORRECT (persist keeps lineage), it just recomputes. Cleared-but-
+    # still-registered entries (catalog.clearCache between probe and
+    # append) are evicted at lookup so the fallback persist fires
+    # (r12 verdict item 4). Staleness contract (ADVICE r12, mirroring
+    # _ivf_centroids): the lookup keys on PLAN equality, so if the
+    # batch's underlying source files are REWRITTEN between the probe
+    # and this append within one session, the append writes the
+    # probe-time snapshot — standard Spark cache semantics; callers
+    # whose batch source mutates mid-lifecycle must clearCache (which
+    # now also evicts here) before appending.
     cand = _lsh_doc_profile(
         _shingles(bid, "did", "text", shingle_n), num_perm
     )
-    prof = None
-    for cached in reversed(_probe_persisted):
-        try:
-            if cand.sameSemantics(cached):
-                prof = cached
-                break
-        except Exception:
-            continue  # dead-session cache entry — skip, never poison
+    prof = _lookup_probe_profile(cand)
     owned = prof is None
     if owned:
         prof = cand.persist()
@@ -1447,9 +1507,11 @@ def connected_components(
             node_t = all_nodes.schema["node"].dataType.simpleString()
             if stats is not None:
                 stats["path"] = "local"
-            return spark.createDataFrame(
-                out, f"member {node_t}, rep {node_t}"
-            )
+            # Arrow local frame (r13, guide §6): component map ships
+            # as driver-built Arrow batches — no Python-worker fan-out
+            from .localdata import local_frame
+
+            return local_frame(spark, out, f"member {node_t}, rep {node_t}")
     if stats is not None:
         stats["path"] = "distributed"
     vtype = e.schema["v"].dataType

@@ -140,9 +140,12 @@ def pagerank(
         out = _pagerank_local(edge_rows, node_vals, iters, damping)
         spark = edges.sparkSession
         node_t = nodes.schema["node"].dataType.simpleString()
-        return spark.createDataFrame(
-            out, f"node {node_t}, rank double"
-        )
+        # Arrow local frame (r13, guide §6): the node-count-sized rank
+        # table ships as driver-built Arrow batches (LocalTableScan) —
+        # zero Python-worker tasks, vs ~32 pickled-slice tasks
+        from .localdata import local_frame
+
+        return local_frame(spark, out, f"node {node_t}, rank double")
 
     n = nodes.count()
     teleport = (1.0 - damping) / n

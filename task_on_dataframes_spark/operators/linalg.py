@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .localdata import local_frame
+
 
 def label_centroids(
     emb: DataFrame,
@@ -122,7 +124,7 @@ def pca_power_top(
     if v[lead] < 0:
         v = -v
     rows = [(i + 1, float(x)) for i, x in enumerate(np.round(v, 5))]
-    return spark.createDataFrame(rows, "pos int, loading double")
+    return local_frame(spark, rows, "pos int, loading double")
 
 
 def pca_power_top2(
@@ -168,6 +170,6 @@ def pca_power_top2(
         for c, v in ((1, v1), (2, v2))
         for i, x in enumerate(v)
     ]
-    return spark.createDataFrame(
-        rows, "component int, pos int, loading double"
+    return local_frame(
+        spark, rows, "component int, pos int, loading double"
     )

@@ -559,9 +559,12 @@ def build_ivf_index(
             .saveAsTable(lists_t)
         )
 
-    # overlap the two disjoint-table writes (guide §2.6 — the shared
-    # centroid frame is persisted, so concurrent materialization is
-    # block-lock-safe and computed once)
+    # materialize the shared persisted centroid frame BEFORE the pool
+    # (ADVICE r12, mirroring build_lsh_index's prof.count()): a lazy
+    # persist lets both writes race to compute it — benign duplicate
+    # work, but "computed once" only holds if it is computed here —
+    # then overlap the two disjoint-table writes (guide §2.6)
+    cents.count()
     _parallel_writes(lambda f: f(None), (_write_cents, _write_lists))
     return cents_t, lists_t
 

@@ -92,6 +92,48 @@ def test_persisted_lsh_index_probe_matches_one_shot(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_probe_persist_registry_evicts_cleared_entries(spark, sf_dir):
+    """r12 verdict item 4: ``spark.catalog.clearCache()`` (bench.py
+    calls it between query blocks) unpersists cached probe profiles
+    WITHOUT removing them from the bounded registry. The registry
+    lookup must treat a cleared entry as a miss AND evict it, so
+    ``append_lsh_index``'s fallback persist fires — a stale "hit"
+    makes the caller skip its own persist and silently recompute the
+    batch profile once per index-table write instead of materializing
+    it once."""
+    from pyspark import StorageLevel
+
+    from task_on_dataframes_spark.operators import dedup as D
+
+    bid = (
+        _docs(spark, sf_dir)
+        .limit(40)
+        .select(F.col("doc_id").alias("did"), F.col("text").alias("text"))
+    )
+
+    def profile():
+        return D._lsh_doc_profile(D._shingles(bid, "did", "text", 2), 16)
+
+    prof = D._bounded_persist(profile())
+    prof.count()  # materialize, like the probe's own action does
+    # live entry: plan-equality hit returns the cached frame itself
+    assert D._lookup_probe_profile(profile()) is prof
+    spark.catalog.clearCache()
+    assert prof.storageLevel == StorageLevel.NONE
+    # cleared entry: miss (caller will persist and own), and evicted
+    assert D._lookup_probe_profile(profile()) is None
+    assert not any(e is prof for e in D._probe_persisted)
+    # end-to-end: the append fallback persists exactly once on a miss
+    # (owned path) — exercised via the real maintain flow below
+    keys_t, sets_t = D.build_lsh_index(
+        spark, bid, "did", "text", name_tag="t_evict"
+    )
+    spark.catalog.clearCache()  # simulate bench block boundary
+    D.append_lsh_index(spark, bid, "did", "text", keys_t, sets_t)
+    # the appended rows landed (append worked on the owned path)
+    assert spark.table(sets_t).count() == 2 * bid.count()
+
+
 def test_index_writes_one_file_per_bucket(spark, sf_dir):
     """r12 layout optimization: build/append repartition to the bucket
     column before every bucketed write, so a build emits at most one

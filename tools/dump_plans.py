@@ -1,8 +1,8 @@
-"""Dump `.explain("formatted")` for headline queries to plans/r12/.
+"""Dump `.explain("formatted")` for headline queries to plans/r13/.
 
 Usage: python tools/dump_plans.py [--suffix before|after] [names...]
 
-Writes one file per query: plans/r12/<name>_<suffix>.txt — the
+Writes one file per query: plans/r13/<name>_<suffix>.txt — the
 formatted physical plan at the bench SF dir (default sf0.1, override
 with $SPARK_GRAFT_SF_DIR). Names default to bench.py's headline list.
 """
@@ -28,19 +28,18 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = args.out_dir or os.path.join(here, "plans", "r12")
+    out_dir = args.out_dir or os.path.join(here, "plans", "r13")
     os.makedirs(out_dir, exist_ok=True)
 
     if args.names:
         names = args.names
     else:
-        import bench  # headline list lives there
+        # the headline list is module-level in bench.py since r13
+        # (ADVICE r12: the old regex scrape of the in-function literal
+        # broke on any reformat and left ``import bench`` unused)
+        import bench
 
-        import re
-
-        src = open(os.path.join(here, "bench.py")).read()
-        m = re.search(r"headline = \[(.*?)\]", src, re.S)
-        names = re.findall(r'"([a-z0-9_]+)"', m.group(1))
+        names = bench.HEADLINE
 
     spark = get_spark("dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
