@@ -37,6 +37,8 @@ nothing ever gathers more than the single winning pair.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -597,17 +599,110 @@ def bpe_train_scalable(
     )
 
 
+#: merge-rule count at/above which the apply operators switch from
+#: the chain-over-the-token-stream shape to the distinct-vocabulary
+#: join shape. Two independent reasons (SCALE.md r13 memo):
+#: performance — the chain costs O(rules x stream rows) replace scans
+#: vs the vocab shape's O(rules x DISTINCT words) plus one (doc, word)
+#: aggregation and a broadcast join-back (at the bench's 6/64-rule
+#: tables the chain wins, measured r12 and re-measured r13; the
+#: synthetic-vocab A/B locates the crossover) — and STRUCTURE: a
+#: single projection of ~512 nested ``replace`` calls overflows the
+#: JVM thread stack at plan-build time (StackOverflowError in the
+#: analyzer), so deep rule lists are only expressible as segmented
+#: chains over a materialized frame, which is corpus-cheap only on
+#: the vocabulary side.
+BPE_APPLY_VOCAB_CUTOFF = 256
+
+#: replace-chain segment length inside the vocab shape: rules are
+#: applied :data:`BPE_APPLY_CHAIN_SEG` per projection with a lazy
+#: localCheckpoint between segments, keeping every plan below the
+#: analyzer's recursion limit (and CollapseProject from re-nesting).
+#: Each cut materializes only the vocabulary-sized (w, repr) frame.
+BPE_APPLY_CHAIN_SEG = 128
+
+
+def _apply_counts(
+    toks: DataFrame, rules: list, base_repr, via_vocab: Optional[bool]
+) -> DataFrame:
+    """Shared tail of the two apply operators: per-doc BPE piece
+    counts for a ``(doc_id, w)`` token/piece stream under a collected
+    rule list, where ``base_repr`` renders ``w`` into the wrapped-
+    symbol representation the replace chain consumes.
+
+    Two value-identical shapes (sum over pieces of n(piece) ==
+    sum over distinct pieces of count * n(piece) — exact integer
+    arithmetic, same oracle):
+
+    * ``via_vocab=False`` — the replace chain runs per stream row;
+      zero shuffles beyond the final per-doc count. Right when the
+      rule list is small (the chain is ~rules cheap scans).
+    * ``via_vocab=True`` — aggregate the stream to ``(doc_id, w, c)``
+      once (localCheckpoint cuts the lineage so the upstream corpus
+      pipeline runs exactly once for both consumers — the r12
+      rejection's ReusedExchange divergence), run the chain over the
+      DISTINCT words only, broadcast the tokenizer-output-sized
+      ``(w, n)`` table back, and sum ``c * n`` per doc. Right when
+      rules x stream-rows dwarfs rules x vocab (production
+      vocabularies: every real tokenizer has >= 8k merges).
+
+    ``via_vocab=None`` picks by :data:`BPE_APPLY_VOCAB_CUTOFF`."""
+    if via_vocab is None:
+        via_vocab = len(rules) >= BPE_APPLY_VOCAB_CUTOFF
+    n_syms = F.size(F.expr(_SYMS.replace("repr", "r")))
+
+    def chain(col, seg):
+        for lhs, rhs, merged in seg:
+            col = F.replace(
+                col, F.lit(f"({lhs})({rhs})"), F.lit(f"({merged})")
+            )
+        return col
+
+    if not via_vocab:
+        return (
+            toks.select("doc_id", chain(base_repr, rules).alias("r"))
+            .select("doc_id", n_syms.alias("n"))
+            .groupBy("doc_id")
+            .agg(F.sum("n").cast("bigint").alias("bpe_tokens"))
+        )
+    wc = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # segmented chain over the materialized vocabulary: each segment
+    # is one projection, each cut is a vocabulary-sized lazy
+    # checkpoint — plan depth stays bounded for 8k/32k-rule tables
+    # (one ~512-deep projection StackOverflows the analyzer)
+    vf = wc.select("w").distinct().select("w", base_repr.alias("r"))
+    for i in range(0, len(rules), BPE_APPLY_CHAIN_SEG):
+        if i > 0:
+            vf = vf.localCheckpoint(eager=False)
+        vf = vf.select(
+            "w", chain(F.col("r"), rules[i : i + BPE_APPLY_CHAIN_SEG]).alias("r")
+        )
+    vocab_n = vf.select("w", n_syms.alias("n"))
+    return (
+        wc.join(F.broadcast(vocab_n), on="w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("n")).cast("bigint").alias("bpe_tokens"))
+    )
+
+
 def bpe_apply_token_counts(
     docs: DataFrame,
     merge_table: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    via_vocab: Optional[bool] = None,
 ) -> DataFrame:
     """Tokenize with a learned merge table: per document, the BPE
     token count after applying every merge rule in order. The merge
     table (tokenizer-sized) collects to the driver and the whole
-    application compiles to a chain of scan-stage ``replace`` calls
-    over the corpus — zero shuffles beyond the final count.
+    application compiles to a chain of scan-stage ``replace`` calls —
+    run per token-stream row for small rule lists, or per DISTINCT
+    word with a broadcast join-back for production-sized vocabularies
+    (see :func:`_apply_counts` for the two shapes and the cutoff).
 
     Returns ``(doc_id, bpe_tokens)``.
     """
@@ -615,26 +710,14 @@ def bpe_apply_token_counts(
         (r["lhs"], r["rhs"], r["merged"])
         for r in merge_table.orderBy("step").collect()
     ]
-    # per-word representation inline (no vocab join: the replace chain
-    # is cheap enough to run on the token stream directly, keeping the
-    # operator shuffle-free until the count)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.split(F.lower(F.col(text_col)), r"\s+")
         ).alias("w"),
     ).filter(F.col("w").rlike("^[a-z]+$"))
-    repr_col = F.regexp_replace("w", "(.)", "($1)")
-    for lhs, rhs, merged in rules:
-        repr_col = F.replace(
-            repr_col, F.lit(f"({lhs})({rhs})"), F.lit(f"({merged})")
-        )
-    n_syms = F.size(F.expr(_SYMS.replace("repr", "r")))
-    return (
-        toks.select("doc_id", repr_col.alias("r"))
-        .select("doc_id", n_syms.alias("n"))
-        .groupBy("doc_id")
-        .agg(F.sum("n").cast("bigint").alias("bpe_tokens"))
+    return _apply_counts(
+        toks, rules, F.regexp_replace("w", "(.)", "($1)"), via_vocab
     )
 
 
@@ -643,6 +726,7 @@ def bpe_apply_byte_token_counts(
     merge_table: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    via_vocab: Optional[bool] = None,
 ) -> DataFrame:
     """BYTE-level twin of :func:`bpe_apply_token_counts`: per-document
     BPE piece counts under a ``level="bytes"`` merge table. Documents
@@ -650,10 +734,12 @@ def bpe_apply_byte_token_counts(
     pieces, :data:`BPE_PIECE_CHAR_CAP` chunking, UTF-8 bytes as
     wrapped 2-hex-digit symbols), then the tokenizer-sized merge
     table collects to the driver and compiles to a chain of
-    scan-stage ``replace`` calls — zero shuffles beyond the final
-    per-doc count. This is the honest multilingual token accounting
-    (r8 verdict item 8): the char-level apply's ``^[a-z]+$`` filter
-    counts a CJK clause as ZERO tokens, the whitespace count as ONE.
+    scan-stage ``replace`` calls — run per chunk-piece row for small
+    rule lists, or per DISTINCT piece with a broadcast join-back for
+    production vocabularies (:func:`_apply_counts`). This is the
+    honest multilingual token accounting (r8 verdict item 8): the
+    char-level apply's ``^[a-z]+$`` filter counts a CJK clause as
+    ZERO tokens, the whitespace count as ONE.
 
     Returns ``(doc_id, bpe_tokens)``.
     """
@@ -671,19 +757,11 @@ def bpe_apply_byte_token_counts(
         lambda p: F.col("w0").substr(p, F.lit(cap)),
     )
     toks = pieces.select("doc_id", F.explode(chunks).alias("w"))
-    repr_col = F.regexp_replace(
-        F.hex(F.encode(F.col("w"), "UTF-8")), "(..)", "($1)"
-    )
-    for lhs, rhs, merged in rules:
-        repr_col = F.replace(
-            repr_col, F.lit(f"({lhs})({rhs})"), F.lit(f"({merged})")
-        )
-    n_syms = F.size(F.expr(_SYMS.replace("repr", "r")))
-    return (
-        toks.select("doc_id", repr_col.alias("r"))
-        .select("doc_id", n_syms.alias("n"))
-        .groupBy("doc_id")
-        .agg(F.sum("n").cast("bigint").alias("bpe_tokens"))
+    return _apply_counts(
+        toks,
+        rules,
+        F.regexp_replace(F.hex(F.encode(F.col("w"), "UTF-8")), "(..)", "($1)"),
+        via_vocab,
     )
 
 

@@ -239,6 +239,53 @@ def test_bpe_apply_bounds(spark, sf_dir):
         assert r["bpe_tokens"] >= r["n_words"]
 
 
+def test_bpe_apply_vocab_shape_matches_chain(spark, sf_dir):
+    """r13 apply-shape switch: the distinct-vocabulary join shape
+    (segmented replace chain over distinct words + broadcast
+    join-back, the only shape buildable at production rule counts —
+    one ~512-deep nested replace projection StackOverflows the
+    analyzer) must return EXACTLY the per-row chain's counts, on both
+    the char and byte levels, including across a segment boundary."""
+    from task_on_dataframes_spark.operators import bpe as B
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for apply_fn, train_kw in (
+        (B.bpe_apply_token_counts, {}),
+        (B.bpe_apply_byte_token_counts, {"level": "bytes"}),
+    ):
+        table = B.bpe_train_scalable(docs, "text", merges=16, **train_kw)
+        a = {
+            (r["doc_id"], r["bpe_tokens"])
+            for r in apply_fn(docs, table, via_vocab=False).collect()
+        }
+        b = {
+            (r["doc_id"], r["bpe_tokens"])
+            for r in apply_fn(docs, table, via_vocab=True).collect()
+        }
+        assert a == b and a
+    # segment boundary: force a tiny segment so the vocab chain spans
+    # multiple checkpointed projections
+    old = B.BPE_APPLY_CHAIN_SEG
+    B.BPE_APPLY_CHAIN_SEG = 5
+    try:
+        table = B.bpe_train_scalable(docs, "text", merges=16)
+        a = {
+            (r["doc_id"], r["bpe_tokens"])
+            for r in B.bpe_apply_token_counts(
+                docs, table, via_vocab=False
+            ).collect()
+        }
+        b = {
+            (r["doc_id"], r["bpe_tokens"])
+            for r in B.bpe_apply_token_counts(
+                docs, table, via_vocab=True
+            ).collect()
+        }
+        assert a == b and a
+    finally:
+        B.BPE_APPLY_CHAIN_SEG = old
+
+
 def test_bpe_train_delta_matches_recount(spark):
     from task_on_dataframes_spark.operators.bpe import (
         bpe_train,
