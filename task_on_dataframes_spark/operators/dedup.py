@@ -324,11 +324,46 @@ def minhash_lsh_pairs(
     threshold decisions are approximate near the cut. Pass
     ``sample_mod=1`` for exact char-universe Jaccard at ~``sample_mod``x
     the shingle volume."""
-    candidates, toks = lsh_candidates(
-        df, id_col, text_col, num_perm, bands, shingle_n, kind, star,
-        star_bucket_cap, sample_mod,
+    # FUSED one-shot path (r13, guide §2.1 one shuffle): signatures
+    # and packed sets come from ONE _lsh_doc_profile aggregation over
+    # the shingles — the same fusion the persisted-index path got in
+    # r12 — instead of lsh_candidates' two separate groupBys
+    # (minhash_signatures + jaccard_verify's pack_shingle_sets) over a
+    # persisted shingle table. Bit-identical values (hashing.py:
+    # perm_hash(h,i) == (a_i*(h%P)+b_i)%P; same collect_set pack);
+    # one shingle aggregation pass and one shuffle instead of two,
+    # and the persist holds one doc-count profile row per document
+    # instead of the full shingle table. lsh_candidates keeps its
+    # original shape for candidate-only consumers (levenshtein,
+    # recall evals).
+    if kind == "char":
+        toks = _char_ngrams(df, id_col, text_col, shingle_n, sample_mod)
+    elif shingle_n > 1:
+        toks = _word_ngrams(df, id_col, text_col, shingle_n)
+    else:
+        toks = _tokens(df, id_col, text_col)
+    prof = _lsh_doc_profile(toks, num_perm).persist()
+    keys = lsh_band_keys(prof, num_perm, bands).persist()
+    if star:
+        candidates = star_candidates(keys, star_bucket_cap)
+    else:
+        ka = keys.select(F.col("did").alias("a"), "band", "key")
+        kb = keys.select(F.col("did").alias("b"), "band", "key")
+        candidates = (
+            ka.join(kb, on=["band", "key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+    pa = prof.select(
+        F.col("did").alias("a"), F.col("hks").alias("hka"),
+        F.col("sz").alias("sza"),
     )
-    return jaccard_verify(candidates, toks, threshold)
+    pb = prof.select(
+        F.col("did").alias("b"), F.col("hks").alias("hkb"),
+        F.col("sz").alias("szb"),
+    )
+    return jaccard_verify_packed(candidates, pa, pb, threshold)
 
 
 def _char_ngrams(
