@@ -190,6 +190,7 @@ def jaccard_verify_packed(
     pa: DataFrame,
     pb: DataFrame,
     threshold: float,
+    broadcast_left: bool = False,
 ) -> DataFrame:
     """Verification tail shared by :func:`jaccard_verify` (packs both
     sides itself) and :func:`probe_lsh_index` (the b side comes
@@ -221,7 +222,15 @@ def jaccard_verify_packed(
     the ``once`` frame — ``once.persist()`` materializes the single
     evaluation physically, at the cost of caching candidate-count
     rows."""
-    joined = candidates.join(pa, on="a").join(pb, on="b")
+    joined = candidates.join(pa, on="a")
+    if broadcast_left:
+        # the (candidates x pa) product is candidate-sized; hinting it
+        # HERE (not on the inputs — a hint does not survive across a
+        # join node) pins the b-side join as a BroadcastHashJoin whose
+        # streamed side is ``pb``, read in place (probe_lsh_index's
+        # broadcast shape)
+        joined = F.broadcast(joined)
+    joined = joined.join(pb, on="b")
     once = joined.select(
         "a",
         "b",
@@ -658,6 +667,25 @@ def _lsh_doc_profile(toks: DataFrame, num_perm: int) -> DataFrame:
 _PROBE_PERSIST_CAP = 4
 _probe_persisted: list = []
 
+#: probe join shape for :func:`probe_lsh_index`: ``"merge"`` pins
+#: SMJ-over-buckets (the batch side shuffles+sorts to the index's
+#: bucketing; the index reads its pre-bucketed, pre-sorted layout in
+#: place), ``"broadcast"`` broadcasts the BATCH side (guide §3.1: the
+#: ingest wave is the bounded small side of every probe join, so the
+#: batch-side Exchange+Sort disappears and the index scan streams
+#: through two BroadcastHashJoins with zero corpus movement either
+#: way). Both shapes are value-identical (equi-joins + the same
+#: verify tail). Overridable per run via $TADA_PROBE_SHAPE for the
+#: scale-fit A/B; the default is the sf0.1/sf1/sf3-adjudicated winner
+#: (SCALE.md r13).
+PROBE_LSH_SHAPE = "broadcast"
+
+
+def _probe_shape() -> str:
+    import os
+
+    return os.environ.get("TADA_PROBE_SHAPE", PROBE_LSH_SHAPE)
+
 
 def _lookup_probe_profile(cand: DataFrame) -> Optional[DataFrame]:
     """Plan-equality (``sameSemantics``) lookup in the bounded probe
@@ -862,6 +890,7 @@ def probe_lsh_index(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_n: int = 2,
+    shape: Optional[str] = None,
 ) -> DataFrame:
     """Near-dup matches of a new ingest ``batch`` against the
     PERSISTED corpus index written by :func:`build_lsh_index` — the
@@ -881,16 +910,19 @@ def probe_lsh_index(
     2. candidates = batch band keys joined to the bucketed index keys
        on the single ``bk`` column — the index side reads its buckets
        in place (no Exchange above the scan, asserted in
-       tests/test_plan_shapes.py), the batch side shuffles to the
-       index's bucketing;
+       tests/test_plan_shapes.py); how the batch side reaches it is
+       the ``shape`` choice below;
     3. verify with :func:`jaccard_verify_packed`: the batch side's
        packed sets come from the SAME cached profile, the corpus side
        is the STORED packed-set table bucketed by ``did``, so only
-       candidate rows shuffle.
+       candidate rows move.
 
     ``num_perm``/``bands``/``shingle_n`` must match the build call —
     they parameterize the signature the stored keys were computed
-    with.
+    with. ``shape`` (``"broadcast"``/``"merge"``, default
+    :func:`_probe_shape`) picks the batch-to-index join strategy —
+    value-identical either way; see :data:`PROBE_LSH_SHAPE` for the
+    adjudication.
     """
     bid = batch.select(
         F.col(id_col).alias("did"), F.col(text_col).alias("text")
@@ -917,16 +949,24 @@ def probe_lsh_index(
             ).alias("bk"),
         )
     )
-    # merge hints pin SMJ-over-buckets: the index side reads its
-    # pre-bucketed, pre-sorted layout in place (no Exchange, no Sort —
-    # asserted in tests/test_plan_shapes.py) and only the batch /
-    # candidate side shuffles to the index's bucketing. Without the
-    # hint, test-SF statistics would broadcast the INDEX side — the
-    # exact corpus-scale materialization the index exists to avoid.
+    # Join shape (:data:`PROBE_LSH_SHAPE`): either way the index side
+    # reads its pre-bucketed layout in place with no Exchange above the
+    # scan (asserted in tests/test_plan_shapes.py) and the corpus is
+    # never broadcast — test-SF statistics would otherwise broadcast
+    # the INDEX side, the exact corpus-scale materialization the index
+    # exists to avoid.
+    #
+    # * merge: SMJ-over-buckets — the batch/candidate side pays an
+    #   Exchange + Sort per join to reach the index's bucketing.
+    # * broadcast: the BATCH side (bounded: one ingest wave) is the
+    #   build side of both joins (guide §3.1), so the batch-side
+    #   Exchanges and every Sort disappear; the index scan streams
+    #   through the hash joins. Adjudicated at sf0.1/sf1/sf3
+    #   (SCALE.md r13).
+    shape = shape or _probe_shape()
     ikeys = spark.table(keys_table).select(
         F.col("did").alias("b"), "bk"
-    ).hint("merge")
-    candidates = bkeys.join(ikeys, on="bk").select("a", "b").distinct()
+    )
     pa = prof.select(
         F.col("did").alias("a"),
         F.col("hks").alias("hka"),
@@ -936,8 +976,24 @@ def probe_lsh_index(
         F.col("did").alias("b"),
         F.col("hks").alias("hkb"),
         F.col("sz").alias("szb"),
-    ).hint("merge")
-    pairs = jaccard_verify_packed(candidates, pa, pb, threshold)
+    )
+    if shape == "broadcast":
+        candidates = (
+            ikeys.join(F.broadcast(bkeys), on="bk")
+            .select("a", "b")
+            .distinct()
+        )
+        pairs = jaccard_verify_packed(
+            F.broadcast(candidates), pa, pb, threshold,
+            broadcast_left=True,
+        )
+    else:
+        candidates = (
+            bkeys.join(ikeys.hint("merge"), on="bk")
+            .select("a", "b")
+            .distinct()
+        )
+        pairs = jaccard_verify_packed(candidates, pa, pb.hint("merge"), threshold)
     return pairs.groupBy(F.col("a").alias(id_col)).agg(
         F.count(F.lit(1)).cast("int").alias("n_matches"),
         F.max("jaccard").alias("max_jaccard"),

@@ -94,10 +94,17 @@ def index_maintain_stream(
             # per-batch results overwrite and the index append landed
             return
         sess = batch_df.sparkSession
+        # shape="merge": the streaming drain is the one probe call
+        # site where the broadcast-batch shape measured SLOWER, both
+        # locally and at scale (sf0.1: 5.9 vs 7.4 s; sf3: 14.5 vs
+        # 24.3 s, interleaved min-of-2 — SCALE.md r13): each
+        # micro-batch pays two driver-side broadcast builds whose
+        # fixed latency cannot amortize over a drain of small batches,
+        # while the SMJ probe is one pipelined multi-stage job.
         matches = probe_lsh_index(
             sess, batch_df, id_col, text_col, keys_table, sets_table,
             num_perm=num_perm, bands=bands, threshold=threshold,
-            shingle_n=shingle_n,
+            shingle_n=shingle_n, shape="merge",
         )
         matches.write.mode("overwrite").parquet(
             os.path.join(results_dir, f"b{batch_id}")

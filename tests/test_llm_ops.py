@@ -92,6 +92,48 @@ def test_persisted_lsh_index_probe_matches_one_shot(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_probe_lsh_shapes_identical_and_planned(spark, sf_dir):
+    """r13: ``probe_lsh_index`` has two value-identical join shapes
+    (``merge`` = SMJ-over-buckets, ``broadcast`` = broadcast the
+    BATCH side, guide §3.1). Pin (a) identical results, (b) each
+    shape's join strategy actually lands in the physical plan, and
+    (c) neither shape broadcasts the INDEX side (the corpus-scale
+    materialization the index exists to avoid)."""
+    from task_on_dataframes_spark.operators.dedup import (
+        build_lsh_index,
+        probe_lsh_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 7 == 0)
+    batch = docs.filter(F.col("doc_id") % 7 != 0)
+    keys_t, sets_t = build_lsh_index(
+        spark, corpus, "doc_id", "text", name_tag="t_shapes"
+    )
+    frames = {
+        s: probe_lsh_index(
+            spark, batch, "doc_id", "text", keys_t, sets_t,
+            threshold=0.5, shape=s,
+        )
+        for s in ("merge", "broadcast")
+    }
+    rows = {s: {tuple(r) for r in f.collect()} for s, f in frames.items()}
+    assert rows["merge"] == rows["broadcast"] and len(rows["merge"]) > 0
+    plans = {
+        s: f._jdf.queryExecution().executedPlan().toString()
+        for s, f in frames.items()
+    }
+    assert "SortMergeJoin" in plans["merge"]
+    assert "BroadcastHashJoin" in plans["broadcast"]
+    # the index scans stream through the broadcast joins — no
+    # SortMergeJoin (batch-side Exchange+Sort) survives. The
+    # corpus-never-moves invariant (no Exchange, broadcast included,
+    # between an index scan and its join) is pinned for the DEFAULT
+    # shape by test_plan_shapes.test_lsh_index_probe_never_shuffles_
+    # the_corpus.
+    assert "SortMergeJoin" not in plans["broadcast"]
+
+
 def test_probe_persist_registry_evicts_cleared_entries(spark, sf_dir):
     """r12 verdict item 4: ``spark.catalog.clearCache()`` (bench.py
     calls it between query blocks) unpersists cached probe profiles
